@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.extract.TokenRules
+
+/** Driver-facing query registry: every operator from SURVEY.md §2 that is
+  * runnable over the scale-factor parquet tables, paired (in `oracle`)
+  * with the exact ANSI SQL the DuckDB oracle runs on the same tables.
+  *
+  * Conventions shared with the oracle (the driver hash-compares after
+  * sorting columns by name, so names must match exactly):
+  *   - every computed column is aliased identically on both sides;
+  *   - aggregates that DuckDB would widen to HUGEINT are CAST to BIGINT;
+  *   - floating-point outputs are avoided — ratios are emitted as
+  *     integer-divided milli/micro units so both engines produce
+  *     bit-identical integers;
+  *   - every query's row set is a deterministic function of the input
+  *     (total orders before any LIMIT).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------
+  // Extraction operators (SURVEY §2.3): E1/E2/E3/E4/E5 as token rules
+  // ---------------------------------------------------------------
+
+  /** E1 — per-document entity mentions. */
+  val kgMentions: Q = (s, dir) => TokenRules.mentions(docs(s, dir))
+
+  val kgMentionsSql: String =
+    s"WITH t AS (${TokenRules.Sql.toksCte}), " +
+      "m AS (SELECT doc_id, unnest(toks) AS entity FROM t) " +
+      s"SELECT DISTINCT doc_id, entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}"
+
+  /** E1/E4 — global entity set (union of per-chunk results + distinct). */
+  val kgEntities: Q = (s, dir) =>
+    docs(s, dir)
+      .select(explode(TokenRules.tokens(col("text"))).as("entity"))
+      .where(TokenRules.isEntity(col("entity")))
+      .distinct()
+
+  val kgEntitiesSql: String =
+    s"WITH t AS (${TokenRules.Sql.toksCte}), " +
+      "m AS (SELECT unnest(toks) AS entity FROM t) " +
+      s"SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}"
+
+  /** E2+E3+E4 — global valid triples (sliding window + membership filter
+    * + set semantics).
+    */
+  val kgTriples: Q = (s, dir) => TokenRules.triples(docs(s, dir))
+
+  val kgTriplesSql: String =
+    TokenRules.Sql.withTriples + "SELECT subject, predicate, obj FROM tr"
+
+  /** E5 — derived edge set: distinct predicates. */
+  val kgEdges: Q = (s, dir) => TokenRules.edges(TokenRules.triples(docs(s, dir)))
+
+  val kgEdgesSql: String =
+    TokenRules.Sql.withTriples + "SELECT DISTINCT predicate FROM tr"
+
+  /** A1 — aggregate(graphs): union of two per-source-partition graphs,
+    * then distinct (src/kg_gen/kg_gen.py:291-304). The two "graphs" are
+    * the triples of even- vs odd-doc_id documents.
+    */
+  val kgAggregate: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val g1 = TokenRules.triples(d.where(col("doc_id") % 2 === 0))
+    val g2 = TokenRules.triples(d.where(col("doc_id") % 2 === 1))
+    g1.union(g2).distinct()
+  }
+
+  val kgAggregateSql: String = {
+    def side(pred: String): String =
+      s"WITH toks_cte AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents WHERE $pred), " +
+        s"raw_cte AS (${TokenRules.Sql.rawTriplesCte}) ${TokenRules.Sql.triplesCte}"
+    s"SELECT DISTINCT subject, predicate, obj FROM ((${side("doc_id % 2 = 0")}) UNION (${side("doc_id % 2 = 1")}))"
+  }
+
+  // ---------------------------------------------------------------
+  // Aggregation operators (SURVEY §2.4)
+  // ---------------------------------------------------------------
+
+  /** A2 — degree / in-degree / out-degree per node
+    * (visualize_kg.py:97-120), one pass via endpoint explode.
+    */
+  val kgDegree: Q = (s, dir) => {
+    val tr = TokenRules.triples(docs(s, dir))
+    tr.select(
+        explode(
+          array(
+            struct(col("subject").as("entity"), lit(1L).as("o"), lit(0L).as("i")),
+            struct(col("obj").as("entity"), lit(0L).as("o"), lit(1L).as("i"))
+          )
+        ).as("e")
+      )
+      .select("e.*")
+      .groupBy("entity")
+      .agg(
+        sum("o").as("out_degree"),
+        sum("i").as("in_degree"),
+        sum(col("o") + col("i")).as("degree")
+      )
+  }
+
+  val kgDegreeSql: String =
+    TokenRules.Sql.withTriples +
+      ", ep AS (SELECT subject AS entity, 1 AS o, 0 AS i FROM tr UNION ALL SELECT obj, 0, 1 FROM tr) " +
+      "SELECT entity, CAST(sum(o) AS BIGINT) AS out_degree, CAST(sum(i) AS BIGINT) AS in_degree, " +
+      "CAST(sum(o + i) AS BIGINT) AS degree FROM ep GROUP BY entity"
+
+  /** A2 — count per predicate (visualize_kg.py:115-120). */
+  val kgPredCounts: Q = (s, dir) =>
+    TokenRules
+      .triples(docs(s, dir))
+      .groupBy("predicate")
+      .agg(count(lit(1)).as("cnt"))
+
+  val kgPredCountsSql: String =
+    TokenRules.Sql.withTriples +
+      "SELECT predicate, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY predicate"
+
+  /** A3 — top-10 entities by (-degree, entity) (visualize_kg.py:191-216;
+    * deterministic total order before LIMIT).
+    */
+  val kgTopEntities: Q = (s, dir) =>
+    kgDegree(s, dir)
+      .select("entity", "degree")
+      .orderBy(desc("degree"), asc("entity"))
+      .limit(10)
+
+  val kgTopEntitiesSql: String =
+    TokenRules.Sql.withTriples +
+      ", ep AS (SELECT subject AS entity, 1 AS d FROM tr UNION ALL SELECT obj, 1 FROM tr), " +
+      "deg AS (SELECT entity, CAST(sum(d) AS BIGINT) AS degree FROM ep GROUP BY entity) " +
+      "SELECT entity, degree FROM deg ORDER BY degree DESC, entity LIMIT 10"
+
+  /** A4 — summary stats (visualize_kg.py:218-234): counts, isolated
+    * entities, average degree and density in exact integer milli/micro
+    * units (integer division on both sides — no floats cross the oracle
+    * boundary).
+    */
+  val kgStats: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val ents = kgEntities(s, dir)
+    val tr = TokenRules.triples(d)
+    val endpoints = tr.select(col("subject").as("entity"))
+      .union(tr.select(col("obj").as("entity")))
+      .distinct()
+    val nEnt = ents.agg(count(lit(1)).as("n_entities"))
+    val nTri = tr.agg(count(lit(1)).as("n_triples"))
+    val nEdg = tr.select("predicate").distinct().agg(count(lit(1)).as("n_edges"))
+    val nIso = ents
+      .join(endpoints, Seq("entity"), "left_anti")
+      .agg(count(lit(1)).as("n_isolated"))
+    nEnt
+      .crossJoin(nTri)
+      .crossJoin(nEdg)
+      .crossJoin(nIso)
+      .withColumn("avg_degree_milli", expr("2000 * n_triples div n_entities"))
+      .withColumn("density_micro", expr("1000000 * n_triples div (n_entities * (n_entities - 1))"))
+  }
+
+  val kgStatsSql: String =
+    TokenRules.Sql.withTriples +
+      ", m AS (SELECT unnest(toks) AS entity FROM toks_cte) " +
+      s", ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}) " +
+      ", ep AS (SELECT subject AS entity FROM tr UNION SELECT obj FROM tr) " +
+      ", c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ents) AS n_entities, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_triples, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT predicate FROM tr)) AS n_edges, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM ents WHERE entity NOT IN (SELECT entity FROM ep)) AS n_isolated) " +
+      "SELECT n_entities, n_triples, n_edges, n_isolated, " +
+      "(2000 * n_triples) // n_entities AS avg_degree_milli, " +
+      "(1000000 * n_triples) // (n_entities * (n_entities - 1)) AS density_micro FROM c"
+
+  // ---------------------------------------------------------------
+  // Ingest operators (SURVEY §2.1/§2.2): conversation flatten
+  // ---------------------------------------------------------------
+
+  private val conversation: Seq[(Int, String, String)] = Seq(
+    (0, "user", "What is the capital of France?"),
+    (1, "assistant", "The capital of France is Paris."),
+    (2, "system", "You are a helpful assistant."),
+    (3, "user", "Thanks!"),
+    (4, "tool", "noop"),
+    (5, "assistant", "You're welcome.")
+  )
+
+  /** S1/T1 — conversation ingest: keep user/assistant roles, flatten to
+    * "role: content" lines joined by newline in message order
+    * (src/kg_gen/kg_gen.py:176-195). Order is made explicit via the seq
+    * column (Python relies on list order).
+    */
+  val convFlatten: Q = (s, _) => {
+    import s.implicits._
+    conversation
+      .toDF("seq", "role", "content")
+      .where(col("role").isin("user", "assistant"))
+      .select(
+        struct(col("seq"), concat(col("role"), lit(": "), col("content")).as("line")).as("m")
+      )
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(col("m"))), m => m.getField("line")),
+          "\n"
+        ).as("flattened")
+      )
+  }
+
+  val convFlattenSql: String = {
+    val values = conversation
+      .map { case (i, r, c) => s"($i, '$r', '${c.replace("'", "''")}')" }
+      .mkString(", ")
+    s"SELECT string_agg(role || ': ' || content, chr(10) ORDER BY seq) AS flattened " +
+      s"FROM (VALUES $values) AS t(seq, role, content) WHERE role IN ('user', 'assistant')"
+  }
+
+  // ---------------------------------------------------------------
+  // Relational sanity check on the TPC-H-ish tables
+  // ---------------------------------------------------------------
+
+  val q1Agg: Q = (s, dir) =>
+    s.read
+      .parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+
+  val q1AggSql: String =
+    "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+      "FROM lineitem GROUP BY l_returnflag"
+
+  // ---------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "kg_mentions" -> kgMentions,
+    "kg_entities" -> kgEntities,
+    "kg_triples" -> kgTriples,
+    "kg_edges" -> kgEdges,
+    "kg_aggregate" -> kgAggregate,
+    "kg_degree" -> kgDegree,
+    "kg_pred_counts" -> kgPredCounts,
+    "kg_top_entities" -> kgTopEntities,
+    "kg_stats" -> kgStats,
+    "conv_flatten" -> convFlatten,
+    "q1_agg" -> q1Agg
+  )
+
+  val oracles: Map[String, String] = Map(
+    "kg_mentions" -> kgMentionsSql,
+    "kg_entities" -> kgEntitiesSql,
+    "kg_triples" -> kgTriplesSql,
+    "kg_edges" -> kgEdgesSql,
+    "kg_aggregate" -> kgAggregateSql,
+    "kg_degree" -> kgDegreeSql,
+    "kg_pred_counts" -> kgPredCountsSql,
+    "kg_top_entities" -> kgTopEntitiesSql,
+    "kg_stats" -> kgStatsSql,
+    "conv_flatten" -> convFlattenSql,
+    "q1_agg" -> q1AggSql
+  )
+}
