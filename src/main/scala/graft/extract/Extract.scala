@@ -1,0 +1,130 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.textprep.{Chunker, TextExtract}
+
+/** One chunk's extraction result — the per-chunk structured output of the
+  * scorer (entities + triples ride in the row, so the reference's
+  * subject/object-in-entities filter needs no join).
+  */
+final case class ChunkExtraction(
+    url: String,
+    chunkId: Int,
+    entities: Seq[String],
+    triples: Seq[Triple]
+)
+
+/** The generate() pipeline re-expressed as Spark dataflow
+  * (reference lifecycle: src/kg_gen/kg_gen.py:149-268; SURVEY.md §3.1):
+  *
+  *   pages --filter(lang)--> flatMap(clean+chunk) --mapPartitions(score)-->
+  *   explode --membership filter--> union/distinct --> graph tables
+  *
+  * Scale design notes:
+  *   - chunking is a narrow flatMap: parallelism = input partitions (the
+  *     reference's ThreadPoolExecutor, kg_gen.py:227-231, for free);
+  *   - scoring is micro-batched per partition (north-star shape);
+  *   - the reference's hard filter (E3, _2_get_relations.py:101-105) is a
+  *     per-row array_contains on the chunk's own entity list — chunk
+  *     scope means no shuffle join is ever needed for it;
+  *   - set semantics (E4, kg_gen.py:233-241) = one distinct per output
+  *     table, fused at the end rather than per stage (SURVEY.md §7.5
+  *     risk 4) — partial aggregation makes these map-side combines.
+  */
+object Extract {
+
+  final case class Config(
+      chunkSize: Int = Chunker.DefaultMaxChunkSize,
+      lang: Option[String] = Some("en"),
+      isConversation: Boolean = false,
+      scoreBatchSize: Int = 32
+  )
+
+  /** pages -> chunks: lang filter (pushed to the parquet scan when pages
+    * come from a file source), byte-deterministic clean, chunk.
+    */
+  def chunks(pages: Dataset[Page], cfg: Config = Config()): Dataset[Chunk] = {
+    import pages.sparkSession.implicits._
+    val filtered = cfg.lang match {
+      case Some(l) => pages.filter(col("lang") === lit(l))
+      case None    => pages
+    }
+    filtered.flatMap { p =>
+      val text = TextExtract.extract(p.html)
+      Chunker.chunk(text, cfg.chunkSize).iterator.zipWithIndex.map {
+        case (t, i) => Chunk(p.url, i, t)
+      }
+    }
+  }
+
+  /** chunks -> per-chunk entities + triples via micro-batched scoring. */
+  def extractions(
+      chunks: Dataset[Chunk],
+      scorer: Scorer = PatternScorer,
+      cfg: Config = Config()
+  ): Dataset[ChunkExtraction] = {
+    import chunks.sparkSession.implicits._
+    val batchSize = cfg.scoreBatchSize
+    val isConv = cfg.isConversation
+    chunks.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(_.text)
+        val ents = scorer.entities(texts, isConv)
+        val rels = scorer.relations(texts.zip(ents), isConv)
+        batch.lazyZip(ents).lazyZip(rels).map { (c, es, rs) =>
+          ChunkExtraction(c.url, c.chunkId, es, rs)
+        }
+      }
+    }
+  }
+
+  /** E1 output with provenance: (url, chunkId, entity), distinct per chunk. */
+  def mentions(ex: Dataset[ChunkExtraction]): DataFrame =
+    ex.select(col("url"), col("chunkId"), explode(col("entities")).as("entity"))
+      .dropDuplicates("url", "chunkId", "entity")
+
+  /** E2+E3 output with provenance: the membership filter is declarative
+    * (array_contains against the row's own entity list).
+    */
+  def tripleMentions(ex: Dataset[ChunkExtraction]): DataFrame =
+    ex.select(col("url"), col("chunkId"), col("entities"), explode(col("triples")).as("t"))
+      .where(
+        array_contains(col("entities"), col("t.subject")) &&
+          array_contains(col("entities"), col("t.obj"))
+      )
+      .select(col("url"), col("chunkId"), col("t.subject"), col("t.predicate"), col("t.obj"))
+
+  /** Global entity set (E4 union + distinct). */
+  def entityTable(mentions: DataFrame): DataFrame =
+    mentions.select("entity").distinct()
+
+  /** Global triple set (E4 union + distinct). */
+  def tripleTable(tripleMentions: DataFrame): DataFrame =
+    tripleMentions.select("subject", "predicate", "obj").distinct()
+
+  /** Derived edges (E5: kg_gen.py:241). */
+  def edgeTable(triples: DataFrame): DataFrame =
+    triples.select("predicate").distinct()
+
+  /** Full generate() dataflow returning the three graph tables. */
+  def generate(
+      pages: Dataset[Page],
+      scorer: Scorer = PatternScorer,
+      cfg: Config = Config()
+  ): (DataFrame, DataFrame, DataFrame) = {
+    val ex = extractions(chunks(pages, cfg), scorer, cfg)
+    val tm = tripleMentions(ex)
+    val triples = tripleTable(tm)
+    (entityTable(mentions(ex)), triples, edgeTable(triples))
+  }
+
+  /** Driver-side Graph materialization — test/golden scale only. */
+  def toGraph(entities: DataFrame, triples: DataFrame, edges: DataFrame): Graph = {
+    val e = entities.collect().map(_.getString(0)).toSet
+    val t = triples.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val ed = edges.collect().map(_.getString(0)).toSet
+    Graph(e, ed, t)
+  }
+}
