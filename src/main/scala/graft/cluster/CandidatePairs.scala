@@ -1,0 +1,163 @@
+package graft.cluster
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Candidate-pair generation for surface-form clustering — the
+  * deterministic, order-independent replacement for the reference's
+  * greedy LLM propose/validate loop (src/kg_gen/steps/_3_cluster_graph.py:
+  * 217-276). Four blocking channels, unioned:
+  *
+  *   1. exact normalized-key star edges (each member links to the
+  *      group-minimum member — no quadratic blowup for big exact groups);
+  *   2. sorted-neighborhood edges within 2-char-prefix blocks of the
+  *      normalized form (prefix-y variants sort adjacently; partitioning
+  *      by prefix block avoids a global sort at scale);
+  *   3. banded-MinHash buckets over character shingles (non-prefix
+  *      variants), pairs generated sorted-neighborhood-style inside each
+  *      bucket with a deterministic cap — no quadratic bucket blowup;
+  *   4. explicit synonym sets from ClusterConfig — the deterministic
+  *      analogue of the reference's free-text `context` steering
+  *      (tests/test_clustering.py:536-554; SURVEY.md §2.5).
+  *
+  * Channels 2-3 are *candidates* only; every pair then passes the exact
+  * acceptance rule (norm equality / shingle-Jaccard / prefix-ratio /
+  * synonym) before it becomes a cluster edge.
+  */
+object CandidatePairs {
+
+  final case class ClusterConfig(
+      /** 0.65: high enough that shared-affix antonyms do NOT merge
+        * (jaccard3(happy, unhappy) = 0.6) while genuine suffix variants
+        * still do (jaccard3(fish, fishe) = 0.67); pure stem truncations
+        * are caught by the prefix rule instead.
+        */
+      jaccardThreshold: Double = 0.65,
+      prefixRatio: Double = 0.6,
+      shingleK: Int = 3,
+      minhashSeeds: Int = 16,
+      bands: Int = 8,
+      neighborWindow: Int = 3,
+      bucketPairCap: Int = 10,
+      maxIterations: Int = 20,
+      synonymSets: Seq[Set[String]] = Nil
+  )
+
+  private def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Banded MinHash keys of a normalized surface: `bands` keys, each the
+    * md5 of `rows` per-seed minima over md5-hashed shingles. Pure
+    * function — identical on every executor.
+    */
+  def bandKeys(norm: String, cfg: ClusterConfig): Seq[String] = {
+    val sh = Normalize.shingles(norm, cfg.shingleK)
+    val rows = math.max(1, cfg.minhashSeeds / cfg.bands)
+    val sig = (0 until cfg.minhashSeeds).map(i => sh.map(t => md5Hex(i + ":" + t)).min)
+    (0 until cfg.bands).map(b => md5Hex(sig.slice(b * rows, (b + 1) * rows).mkString("|")))
+  }
+
+  /** The exact acceptance rule for a candidate pair of (surface, norm). */
+  def accepts(cfg: ClusterConfig)(aNorm: String, bNorm: String, aSurf: String, bSurf: String): Boolean =
+    aNorm == bNorm ||
+      Normalize.jaccard(aNorm, bNorm, cfg.shingleK) >= cfg.jaccardThreshold ||
+      Normalize.prefixMatch(aNorm, bNorm, cfg.prefixRatio) ||
+      cfg.synonymSets.exists(s => s.contains(aSurf) && s.contains(bSurf))
+
+  /** items: one string column `member` (distinct). Returns accepted edges
+    * (src, dst) over member surfaces.
+    */
+  def edges(items: DataFrame, cfg: ClusterConfig = ClusterConfig()): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+
+    val withNorm = items
+      .select(col("member"))
+      .distinct()
+      .as[String]
+      .map(m => (m, Normalize(m)))
+      .toDF("member", "norm")
+
+    // 1. exact-norm star edges: member -> min(member) within norm group.
+    // groupBy+join instead of a whole-partition Window so hot norms get
+    // map-side partial aggregation and AQE skew-join handling.
+    val roots = withNorm
+      .groupBy("norm")
+      .agg(min(struct(length(col("member")), col("member"))).as("root"))
+    val exact = withNorm
+      .join(roots, "norm")
+      .select(col("member").as("src"), col("root.member").as("dst"))
+      .where(col("src") =!= col("dst"))
+
+    // distinct norms carry one witness surface (their min member) so the
+    // near-match channels work per-norm, not per-member
+    val norms = withNorm
+      .groupBy("norm")
+      .agg(min("member").as("member"))
+
+    // 2. sorted neighborhood within 2-char prefix blocks
+    val block = Window
+      .partitionBy(substring(col("norm"), 1, 2))
+      .orderBy(col("norm"), col("member"))
+    val neighborCand = (1 to cfg.neighborWindow)
+      .map { d =>
+        norms
+          .withColumn("bNorm", lead(col("norm"), d).over(block))
+          .withColumn("bMember", lead(col("member"), d).over(block))
+      }
+      .reduce(_ union _)
+      .where(col("bNorm").isNotNull)
+      .select(col("member").as("aMember"), col("norm").as("aNorm"),
+        col("bMember"), col("bNorm"))
+
+    // 3. minhash band buckets over distinct norms, capped neighborhood
+    val banded = norms.as[(String, String)].flatMap { case (norm, member) =>
+      bandKeys(norm, cfg).map(k => (k, norm, member))
+    }.toDF("bandKey", "norm", "member")
+    val bucket = Window.partitionBy("bandKey").orderBy(col("norm"), col("member"))
+    val bandCand = (1 to cfg.bucketPairCap)
+      .map { d =>
+        banded
+          .withColumn("bNorm", lead(col("norm"), d).over(bucket))
+          .withColumn("bMember", lead(col("member"), d).over(bucket))
+      }
+      .reduce(_ union _)
+      .where(col("bNorm").isNotNull && col("bNorm") =!= col("norm"))
+      .select(col("member").as("aMember"), col("norm").as("aNorm"),
+        col("bMember"), col("bNorm"))
+
+    // 4. synonym edges (tiny, driver-provided config)
+    val synEdges: DataFrame = {
+      val pairs = cfg.synonymSets.flatMap { s =>
+        val sorted = s.toSeq.sorted
+        sorted.drop(1).map(m => (m, sorted.head))
+      }
+      if (pairs.isEmpty) Seq.empty[(String, String)].toDF("src", "dst")
+      else {
+        // only link synonyms that are actually present in the item set
+        val p = pairs.toDF("src", "dst")
+        val members = withNorm.select(col("member"))
+        p.join(members.withColumnRenamed("member", "src"), Seq("src"), "left_semi")
+          .join(members.withColumnRenamed("member", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+      }
+    }
+
+    val acc = accepts(cfg) _
+    val verified = neighborCand
+      .union(bandCand)
+      .dropDuplicates("aNorm", "bNorm")
+      .as[(String, String, String, String)]
+      .flatMap { case (aMember, aNorm, bMember, bNorm) =>
+        if (acc(aNorm, bNorm, aMember, bMember)) Some((aMember, bMember)) else None
+      }
+      .toDF("src", "dst")
+
+    exact.union(verified).union(synEdges).distinct()
+  }
+}

@@ -1,0 +1,163 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.cluster.CandidatePairs.ClusterConfig
+import graft.model.Graph
+
+/** The cluster() step re-expressed as one deterministic Spark pass
+  * (reference: cluster_graph, src/kg_gen/steps/_3_cluster_graph.py:279-325;
+  * SURVEY.md §2.5/§3.2):
+  *
+  *   normalize -> block -> candidate pairs -> connected components ->
+  *   representative (shortest-then-lex) -> rewrite relations
+  *   (3 broadcast joins) -> distinct
+  *
+  * The reference's greedy, order-dependent LLM loop becomes an
+  * order-independent fixpoint; its tests assert clustering *properties*
+  * (shrinkage, case-fold merging, no-over-merge, rep membership), which
+  * hold here by construction (SURVEY.md §7.5 risk 5).
+  */
+object ClusterGraph {
+
+  /** member -> (member, representative): every item lands in exactly one
+    * cluster; singletons are their own representative (the reference
+    * keeps singleton clusters too — _3_cluster_graph.py:209-214).
+    */
+  def clusterItems(items: DataFrame, cfg: ClusterConfig = ClusterConfig()): DataFrame = {
+    val distinctItems = items.select(col("member")).distinct()
+    val pairEdges = CandidatePairs.edges(distinctItems, cfg)
+    val comp = ConnectedComponents.run(
+      pairEdges,
+      distinctItems.select(col("member").as("node")),
+      cfg.maxIterations
+    )
+    // representative: shortest surface, then lexicographic, per component
+    // ("prefer shorter names" — _3_cluster_graph.py:16-18).
+    // groupBy+join rather than a whole-partition Window: partial
+    // aggregation keeps giant components skew-safe.
+    val reps = comp
+      .groupBy("component")
+      .agg(min(struct(length(col("node")), col("node"))).as("rep"))
+    comp
+      .join(reps, "component")
+      .select(col("node").as("member"), col("rep.node").as("representative"))
+  }
+
+  final case class Clustered(
+      entities: DataFrame, // (entity)
+      edges: DataFrame, // (predicate)
+      triples: DataFrame, // (subject, predicate, obj)
+      entityAssignments: DataFrame, // (member, representative)
+      edgeAssignments: DataFrame // (member, representative)
+  )
+
+  /** Full cluster_graph: cluster entities and predicates, rewrite every
+    * triple onto representatives, set-dedup (colliding triples merge —
+    * _3_cluster_graph.py:317).
+    *
+    * The member->representative dictionaries are the broadcast candidates
+    * named in the north star: their cardinality is the *distinct surface
+    * form* count, orders of magnitude below the triple count, so a
+    * broadcast hash join keeps the rewrite shuffle-free.
+    */
+  def clusterGraph(
+      entities: DataFrame,
+      triples: DataFrame,
+      cfg: ClusterConfig = ClusterConfig()
+  ): Clustered = {
+    val entAssign = clusterItems(entities.select(col("entity").as("member")), cfg)
+    val predAssign = clusterItems(triples.select(col("predicate").as("member")), cfg)
+
+    def dict(assign: DataFrame, memberCol: String, repCol: String): DataFrame =
+      broadcast(assign.select(col("member").as(memberCol), col("representative").as(repCol)))
+
+    val rewritten = triples
+      .join(dict(entAssign, "sMember", "sRep"), col("subject") === col("sMember"), "left")
+      .join(dict(predAssign, "pMember", "pRep"), col("predicate") === col("pMember"), "left")
+      .join(dict(entAssign, "oMember", "oRep"), col("obj") === col("oMember"), "left")
+      .select(
+        coalesce(col("sRep"), col("subject")).as("subject"),
+        coalesce(col("pRep"), col("predicate")).as("predicate"),
+        coalesce(col("oRep"), col("obj")).as("obj")
+      )
+      .distinct()
+
+    Clustered(
+      entities = entAssign.select(col("representative").as("entity")).distinct(),
+      edges = predAssign.select(col("representative").as("predicate")).distinct(),
+      triples = rewritten,
+      entityAssignments = entAssign,
+      edgeAssignments = predAssign
+    )
+  }
+
+  /** Driver-side materialization of the reference Graph shape including
+    * the rep -> members cluster dicts (test/golden scale only).
+    */
+  def toGraph(c: Clustered): Graph = {
+    def clusterMap(assign: DataFrame): Map[String, Set[String]] =
+      assign
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._2)
+        .map { case (rep, ms) => rep -> ms.map(_._1).toSet }
+
+    Graph(
+      entities = c.entities.collect().map(_.getString(0)).toSet,
+      edges = c.edges.collect().map(_.getString(0)).toSet,
+      relations = c.triples.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet,
+      entityClusters = Some(clusterMap(c.entityAssignments)),
+      edgeClusters = Some(clusterMap(c.edgeAssignments))
+    )
+  }
+
+  /** Small-graph convenience for fixture tests: cluster a driver-side
+    * Graph exactly like the reference entry point
+    * (kg_gen.cluster -> cluster_graph).
+    */
+  def clusterDriverGraph(
+      spark: SparkSession,
+      g: Graph,
+      cfg: ClusterConfig = ClusterConfig()
+  ): Graph = {
+    import spark.implicits._
+    val ents = g.entities.toSeq.toDF("entity")
+    val tris = g.relations.toSeq.toDF("subject", "predicate", "obj")
+    if (g.entities.isEmpty && g.relations.isEmpty && g.edges.isEmpty) {
+      // empty graph -> empty cluster dicts, not null
+      // (tests/test_clustering.py:245-256)
+      return g.copy(entityClusters = Some(Map.empty), edgeClusters = Some(Map.empty))
+    }
+    // edges may contain predicates not present in any triple; cluster the
+    // union so every edge lands in a cluster (reference clusters
+    // graph.edges — _3_cluster_graph.py:291)
+    val allPreds = (g.edges ++ g.relations.map(_._2)).toSeq.toDF("subject")
+    val predAssign = clusterItems(allPreds.select(col("subject").as("member")), cfg)
+    val entAssign = clusterItems(ents.select(col("entity").as("member")), cfg)
+
+    def dict(assign: DataFrame, memberCol: String, repCol: String): DataFrame =
+      broadcast(assign.select(col("member").as(memberCol), col("representative").as(repCol)))
+
+    val rewritten = tris
+      .join(dict(entAssign, "sMember", "sRep"), col("subject") === col("sMember"), "left")
+      .join(dict(predAssign, "pMember", "pRep"), col("predicate") === col("pMember"), "left")
+      .join(dict(entAssign, "oMember", "oRep"), col("obj") === col("oMember"), "left")
+      .select(
+        coalesce(col("sRep"), col("subject")).as("subject"),
+        coalesce(col("pRep"), col("predicate")).as("predicate"),
+        coalesce(col("oRep"), col("obj")).as("obj")
+      )
+      .distinct()
+
+    val c = Clustered(
+      entities = entAssign.select(col("representative").as("entity")).distinct(),
+      edges = predAssign.select(col("representative").as("predicate")).distinct(),
+      triples = rewritten,
+      entityAssignments = entAssign,
+      edgeAssignments = predAssign
+    )
+    toGraph(c)
+  }
+}

@@ -179,6 +179,131 @@ object Queries {
       "(1000000 * n_triples) // (n_entities * (n_entities - 1)) AS density_micro FROM c"
 
   // ---------------------------------------------------------------
+  // Clustering / canonicalization operators (SURVEY §2.5)
+  // ---------------------------------------------------------------
+
+  import graft.cluster.Normalize
+
+  /** The normalization rule as a SQL expression valid in both engines;
+    * `w` must already be a single lowercase word expression.
+    */
+  private def normExpr(colName: String): String =
+    Normalize.Sql.normCase(s"lower($colName)")
+
+  /** C1 (blocking key) — normalized surface form per entity. */
+  val kgNormalize: Q = (s, dir) =>
+    kgEntities(s, dir).withColumn("norm", expr(normExpr("entity")))
+
+  val kgNormalizeSql: String =
+    s"WITH t AS (${TokenRules.Sql.toksCte}), m AS (SELECT unnest(toks) AS entity FROM t), " +
+      s"ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}) " +
+      s"SELECT entity, ${normExpr("entity")} AS norm FROM ents"
+
+  /** Shared SQL: member->representative assignment over a set named
+    * `items(member)`: exact normalized-key blocking, representative =
+    * shortest-then-lexicographic member (C1+C3).
+    */
+  private def assignSql(itemsCte: String): String =
+    s"n AS (SELECT member, ${normExpr("member")} AS norm FROM ($itemsCte)), " +
+      "r AS (SELECT norm, member AS representative, " +
+      "row_number() OVER (PARTITION BY norm ORDER BY length(member), member) AS rn FROM n), " +
+      "assign AS (SELECT n.member, r.representative FROM n JOIN r ON n.norm = r.norm AND r.rn = 1)"
+
+  private def assignDf(items: DataFrame): DataFrame = {
+    // groupBy+join (skew-safe partial agg) — same result as the window
+    // row_number pick in the oracle SQL
+    val n = items.select(col("member")).distinct()
+      .withColumn("norm", expr(normExpr("member")))
+    val reps = n.groupBy("norm")
+      .agg(min(struct(length(col("member")), col("member"))).as("r"))
+      .select(col("norm"), col("r.member").as("representative"))
+    n.join(broadcast(reps), "norm").select("member", "representative")
+  }
+
+  /** C1+C3 — entity cluster assignment (exact normalized-key variant; the
+    * LSH/neighborhood channels are exercised by the sbt suite, this query
+    * keeps the SQL-checkable core).
+    */
+  val kgClusterAssign: Q = (s, dir) =>
+    assignDf(kgEntities(s, dir).select(col("entity").as("member")))
+
+  private val entityItemsCte: String =
+    s"SELECT DISTINCT entity AS member FROM (SELECT unnest(toks) AS entity FROM toks_cte) " +
+      s"WHERE length(entity) >= ${TokenRules.MinEntityLen}"
+
+  val kgClusterAssignSql: String =
+    s"WITH toks_cte AS (${TokenRules.Sql.toksCte}), ${assignSql(entityItemsCte)} " +
+      "SELECT member, representative FROM assign"
+
+  /** S3 sink shape — rep -> sorted member list (the dict-of-sets JSON
+    * form, long format internally; SURVEY §7.5 risk 6).
+    */
+  val kgClusterMap: Q = (s, dir) =>
+    assignDf(kgEntities(s, dir).select(col("entity").as("member")))
+      .groupBy("representative")
+      .agg(sort_array(collect_list(col("member"))).as("members"))
+
+  val kgClusterMapSql: String =
+    s"WITH toks_cte AS (${TokenRules.Sql.toksCte}), ${assignSql(entityItemsCte)} " +
+      "SELECT representative, list_sort(list(member)) AS members FROM assign GROUP BY representative"
+
+  /** C4 — relation rewrite onto representatives (subject/predicate/obj
+    * lookups + set-dedup; _3_cluster_graph.py:294-317). Both entity and
+    * predicate dictionaries are broadcast (north-star requirement).
+    */
+  val kgClusterRewrite: Q = (s, dir) => {
+    val tr = TokenRules.triples(docs(s, dir))
+    val entAssign = assignDf(kgEntities(s, dir).select(col("entity").as("member")))
+    val predAssign = assignDf(tr.select(col("predicate").as("member")))
+    tr.join(broadcast(entAssign.select(col("member").as("sM"), col("representative").as("sR"))),
+        col("subject") === col("sM"))
+      .join(broadcast(predAssign.select(col("member").as("pM"), col("representative").as("pR"))),
+        col("predicate") === col("pM"))
+      .join(broadcast(entAssign.select(col("member").as("oM"), col("representative").as("oR"))),
+        col("obj") === col("oM"))
+      .select(col("sR").as("subject"), col("pR").as("predicate"), col("oR").as("obj"))
+      .distinct()
+  }
+
+  val kgClusterRewriteSql: String = {
+    val predItemsCte = "SELECT DISTINCT predicate AS member FROM tr"
+    s"WITH toks_cte AS (${TokenRules.Sql.toksCte}), raw_cte AS (${TokenRules.Sql.rawTriplesCte}), " +
+      s"tr AS (${TokenRules.Sql.triplesCte}), ${assignSql(entityItemsCte)}, " +
+      s"pn AS (SELECT member, ${normExpr("member")} AS norm FROM ($predItemsCte)), " +
+      "pr AS (SELECT norm, member AS representative, " +
+      "row_number() OVER (PARTITION BY norm ORDER BY length(member), member) AS rn FROM pn), " +
+      "passign AS (SELECT pn.member, pr.representative FROM pn JOIN pr ON pn.norm = pr.norm AND pr.rn = 1) " +
+      "SELECT DISTINCT sa.representative AS subject, pa.representative AS predicate, oa.representative AS obj " +
+      "FROM tr JOIN assign sa ON tr.subject = sa.member " +
+      "JOIN passign pa ON tr.predicate = pa.member " +
+      "JOIN assign oa ON tr.obj = oa.member"
+  }
+
+  /** C2/G6 — connected components of the relation graph (iterative
+    * min-label propagation in Spark; recursive-CTE reachability in the
+    * oracle — both yield min reachable label).
+    */
+  val kgComponents: Q = (s, dir) => {
+    val tr = TokenRules.triples(docs(s, dir))
+    val edges = tr.select(col("subject").as("src"), col("obj").as("dst"))
+    val nodes = tr.select(col("subject").as("node"))
+      .union(tr.select(col("obj").as("node"))).distinct()
+    graft.cluster.ConnectedComponents
+      .run(edges, nodes)
+      .select(col("node").as("entity"), col("component"))
+  }
+
+  val kgComponentsSql: String =
+    "WITH RECURSIVE toks_cte AS (" + TokenRules.Sql.toksCte + "), " +
+      "raw_cte AS (" + TokenRules.Sql.rawTriplesCte + "), " +
+      "tr AS (" + TokenRules.Sql.triplesCte + "), " +
+      "e AS (SELECT subject AS src, obj AS dst FROM tr UNION SELECT obj, subject FROM tr), " +
+      "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+      "walk(node, label) AS (SELECT node, node FROM nodes " +
+      "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node) " +
+      "SELECT node AS entity, min(label) AS component FROM walk GROUP BY node"
+
+  // ---------------------------------------------------------------
   // Ingest operators (SURVEY §2.1/§2.2): conversation flatten
   // ---------------------------------------------------------------
 
@@ -248,6 +373,11 @@ object Queries {
     "kg_pred_counts" -> kgPredCounts,
     "kg_top_entities" -> kgTopEntities,
     "kg_stats" -> kgStats,
+    "kg_normalize" -> kgNormalize,
+    "kg_cluster_assign" -> kgClusterAssign,
+    "kg_cluster_map" -> kgClusterMap,
+    "kg_cluster_rewrite" -> kgClusterRewrite,
+    "kg_components" -> kgComponents,
     "conv_flatten" -> convFlatten,
     "q1_agg" -> q1Agg
   )
@@ -262,6 +392,11 @@ object Queries {
     "kg_pred_counts" -> kgPredCountsSql,
     "kg_top_entities" -> kgTopEntitiesSql,
     "kg_stats" -> kgStatsSql,
+    "kg_normalize" -> kgNormalizeSql,
+    "kg_cluster_assign" -> kgClusterAssignSql,
+    "kg_cluster_map" -> kgClusterMapSql,
+    "kg_cluster_rewrite" -> kgClusterRewriteSql,
+    "kg_components" -> kgComponentsSql,
     "conv_flatten" -> convFlattenSql,
     "q1_agg" -> q1AggSql
   )
