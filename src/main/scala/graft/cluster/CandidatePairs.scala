@@ -30,12 +30,14 @@ import org.apache.spark.sql.functions._
 object CandidatePairs {
 
   final case class ClusterConfig(
-      /** 0.65: high enough that shared-affix antonyms do NOT merge
-        * (jaccard3(happy, unhappy) = 0.6) while genuine suffix variants
-        * still do (jaccard3(fish, fishe) = 0.67); pure stem truncations
-        * are caught by the prefix rule instead.
+      /** 0.75: shared-affix but distinct items do NOT merge — antonyms
+        * (jaccard3(happy, unhappy) = 0.6) and names differing only in a
+        * leading syllable (jaccard3(subel dunmore, vebel dunmore) ≈ 0.69)
+        * stay apart. Genuine tense/plural/case/abbreviation variants are
+        * caught upstream by norm-equality or the prefix rule, so the
+        * Jaccard channel only needs to admit near-identical strings.
         */
-      jaccardThreshold: Double = 0.65,
+      jaccardThreshold: Double = 0.75,
       prefixRatio: Double = 0.6,
       shingleK: Int = 3,
       minhashSeeds: Int = 16,

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cluster.CandidatePairs.ClusterConfig
+import graft.cluster.ClusterGraph
+import graft.corpus.CorpusGen
+import graft.extract.{Extract, PatternScorer, Scorer}
+import graft.model.Page
+import graft.store.SnapshotTable
+
+/** The end-to-end kg-gen job: clean -> chunk -> extract -> aggregate ->
+  * cluster -> materialize, every stage committed as a resumable snapshot
+  * (SURVEY.md §3.1-§3.3, §7.2 build order step 6).
+  *
+  * Scale wiring (north-star requirements, live even in local runs):
+  *   - explicit `repartitionByRange` on xxhash64(url) after ingest: a
+  *     uniform, order-free re-balance so chunk extraction load never
+  *     follows crawl locality;
+  *   - AQE + skew-join enabled in the session (see [[KgGenJob.session]]);
+  *   - the canonical dictionaries inside ClusterGraph are broadcast;
+  *   - every stage anchors downstream lineage at its committed snapshot,
+  *     so a restart resumes from the last commit (per-partition lineage
+  *     and counters live in the snapshot manifests).
+  */
+object KgGenJob {
+
+  final case class JobConfig(
+      tableRoot: String,
+      corpus: CorpusGen.Config = CorpusGen.Config(),
+      extract: Extract.Config = Extract.Config(),
+      cluster: ClusterConfig = ClusterConfig(),
+      parallelism: Int = 32
+  ) {
+    /** Stage fingerprints chain: a stage's identity includes everything
+      * upstream that shapes its output.
+      */
+    def corpusFp: String = corpus.toString
+    def chunksFp: String = s"$corpusFp|chunk=${extract.chunkSize}|lang=${extract.lang}"
+    def extractFp: String = s"$chunksFp|scorer=pattern|batch=${extract.scoreBatchSize}"
+    def clusterFp: String = s"$extractFp|${cluster.toString}"
+  }
+
+  final case class Result(
+      entities: DataFrame,
+      triples: DataFrame,
+      edges: DataFrame,
+      entityAssignments: DataFrame,
+      edgeAssignments: DataFrame
+  )
+
+  def session(master: String, appName: String = "graft-kggen"): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Run all stages on a generated corpus (bench/test path); each stage
+    * resumes from its snapshot when already committed.
+    */
+  def run(spark: SparkSession, cfg: JobConfig, scorer: Scorer = PatternScorer): Result = {
+    import spark.implicits._
+    val table = new SnapshotTable(spark, cfg.tableRoot)
+
+    // stage 1: ingest — corpus as the pages table, rebalanced by url hash
+    val pages = table.resumeOrCompute("pages", cfg.corpusFp) {
+      CorpusGen
+        .pages(spark, cfg.corpus)
+        .repartitionByRange(cfg.parallelism, xxhash64(col("url")))
+        .toDF()
+    }
+
+    // stage 2: clean + chunk
+    val chunks = table.resumeOrCompute("chunks", cfg.chunksFp) {
+      Extract.chunks(pages.as[Page], cfg.extract).toDF()
+    }
+
+    // stage 3: extraction (mentions + triple mentions with provenance)
+    val ex = Extract.extractions(chunks.as[graft.model.Chunk], scorer, cfg.extract)
+    val mentions = table.resumeOrCompute("mentions", cfg.extractFp) {
+      Extract.mentions(ex)
+    }
+    val tripleMentions = table.resumeOrCompute("triple_mentions", cfg.extractFp) {
+      Extract.tripleMentions(ex)
+    }
+
+    // stage 4: aggregate to global graph tables (set semantics)
+    val entities = table.resumeOrCompute("entities", cfg.extractFp) {
+      Extract.entityTable(mentions)
+    }
+    val triples = table.resumeOrCompute("triples", cfg.extractFp) {
+      Extract.tripleTable(tripleMentions)
+    }
+
+    // stage 5: cluster + rewrite, materialize canonical tables
+    val clustered = ClusterGraph.clusterGraph(entities, triples, cfg.cluster)
+    val entAssign = table.resumeOrCompute("entity_clusters", cfg.clusterFp) {
+      clustered.entityAssignments
+    }
+    val edgeAssign = table.resumeOrCompute("edge_clusters", cfg.clusterFp) {
+      clustered.edgeAssignments
+    }
+    val canonicalTriples = table.resumeOrCompute("canonical_triples", cfg.clusterFp) {
+      clustered.triples
+    }
+    val canonicalEntities = table.resumeOrCompute("canonical_entities", cfg.clusterFp) {
+      clustered.entities
+    }
+    val canonicalEdges = table.resumeOrCompute("canonical_edges", cfg.clusterFp) {
+      clustered.edges
+    }
+
+    Result(canonicalEntities, canonicalTriples, canonicalEdges, entAssign, edgeAssign)
+  }
+
+  /** spark-submit entry: KgGenJob <tableRoot> [nDocs] [master]. */
+  def main(args: Array[String]): Unit = {
+    val tableRoot = if (args.length > 0) args(0) else "/tmp/graft-kggen"
+    val nDocs = if (args.length > 1) args(1).toLong else 1000L
+    val master = if (args.length > 2) args(2) else s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"
+    val spark = session(master)
+    val cfg = JobConfig(tableRoot = tableRoot, corpus = CorpusGen.Config(nDocs = nDocs))
+    val t0 = System.nanoTime()
+    val res = run(spark, cfg)
+    val nTriples = res.triples.count()
+    val nEntities = res.entities.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      f"""{"job":"kggen","docs":$nDocs,"entities":$nEntities,"canonical_triples":$nTriples,"seconds":$secs%.3f,"triples_per_sec":${nTriples / secs}%.1f}"""
+    )
+    spark.stop()
+  }
+}

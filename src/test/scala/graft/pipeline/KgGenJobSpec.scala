@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.corpus.CorpusGen
+import graft.model.Triple
+
+/** End-to-end job: generate -> cluster -> materialize with snapshot
+  * resume (SURVEY.md §5 test plan items 3 and 5).
+  */
+class KgGenJobSpec extends AnyFunSuite with SparkTestBase {
+
+  test("end-to-end job meets the P/R gate and resumes byte-identically") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-job").toString
+    val cfg = KgGenJob.JobConfig(
+      tableRoot = root,
+      corpus = CorpusGen.Config(nDocs = 150L, seed = 11L)
+    )
+    val res = KgGenJob.run(spark, cfg)
+    val got = res.triples.as[Triple].collect().map(t => (t.subject, t.predicate, t.obj)).toSet
+
+    // canonical triples vs the generating graph: with variantRate=0 the
+    // cluster step must be near-identity (identical base surfaces), so
+    // P/R vs the oracle stays >= the 0.95 gate
+    val oracle = CorpusGen.oracleGraph(cfg.corpus).relations
+    val tp = (got & oracle).size.toDouble
+    val p = tp / got.size
+    val r = tp / oracle.size
+    assert(p >= 0.95, s"precision $p")
+    assert(r >= 0.95, s"recall $r")
+
+    // resume: rerunning the identical config must not recompute —
+    // and must produce the identical canonical tables
+    val res2 = KgGenJob.run(spark, cfg)
+    val got2 = res2.triples.as[Triple].collect().map(t => (t.subject, t.predicate, t.obj)).toSet
+    assert(got2 == got)
+    val ents1 = res.entities.as[String].collect().toSet
+    val ents2 = res2.entities.as[String].collect().toSet
+    assert(ents1 == ents2)
+  }
+
+  test("changed config yields new snapshots without disturbing old ones") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-job2").toString
+    val small = KgGenJob.JobConfig(root, corpus = CorpusGen.Config(nDocs = 40L, seed = 3L))
+    val bigger = small.copy(corpus = small.corpus.copy(nDocs = 80L))
+    val a = KgGenJob.run(spark, small).triples.count()
+    val b = KgGenJob.run(spark, bigger).triples.count()
+    assert(b > a)
+    // original still resumable and unchanged
+    assert(KgGenJob.run(spark, small).triples.count() == a)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.store
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SnapshotTableSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  test("commit writes data + manifest with per-file lineage, hint swaps atomically") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    val df = spark.range(100).withColumn("v", col("id") * 2)
+    t.commit(df.repartition(4), "stage1", "fp-a")
+    assert(t.exists("stage1", "fp-a"))
+    assert(t.rowCount("stage1", "fp-a").contains(100L))
+    val id = t.snapshotId("stage1", "fp-a")
+    assert(t.currentSnapshot.contains(id))
+    val manifest = t.manifest(id).get
+    assert(manifest("stage").toString.contains("stage1"))
+    // per-file lineage present (4 partitions -> up to 4 files)
+    assert(manifest.contains("files"))
+  }
+
+  test("resumeOrCompute skips recomputation for committed fingerprints") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    var computes = 0
+    def compute() = { computes += 1; spark.range(10).toDF() }
+    val a = t.resumeOrCompute("s", "fp1")(compute())
+    assert(computes == 1 && a.count() == 10)
+    val b = t.resumeOrCompute("s", "fp1")(compute())
+    assert(computes == 1, "second call must not recompute")
+    assert(b.count() == 10)
+    // different fingerprint -> new snapshot
+    t.resumeOrCompute("s", "fp2")(compute())
+    assert(computes == 2)
+  }
+
+  test("kill-and-resume: a fresh table instance resumes identical data") {
+    val root = freshRoot()
+    val t1 = new SnapshotTable(spark, root)
+    val data = spark.range(50).withColumn("x", col("id") % 7)
+    t1.commit(data, "stage1", "fp")
+    // "crash": drop the handle; a new process opens the same root
+    val t2 = new SnapshotTable(spark, root)
+    assert(t2.exists("stage1", "fp"))
+    val resumed = t2.read("stage1", "fp")
+    assert(resumed.collect().map(_.toSeq).toSet == data.collect().map(_.toSeq).toSet)
+  }
+}
