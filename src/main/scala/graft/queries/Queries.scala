@@ -179,6 +179,117 @@ object Queries {
       "(1000000 * n_triples) // (n_entities * (n_entities - 1)) AS density_micro FROM c"
 
   // ---------------------------------------------------------------
+  // Graph analytics / retrieval operators (SURVEY §2.6)
+  // ---------------------------------------------------------------
+
+  import graft.analytics.Analytics
+
+  /** A3 — top-10 relations by (-count, predicate). */
+  val kgTopRelations: Q = (s, dir) =>
+    Analytics.topRelations(TokenRules.triples(docs(s, dir)))
+
+  val kgTopRelationsSql: String =
+    TokenRules.Sql.withTriples +
+      "SELECT predicate, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY predicate " +
+      "ORDER BY cnt DESC, predicate LIMIT 10"
+
+  /** G1 — nx projection: parallel (subject, obj) edges collapse to one
+    * deterministic relation.
+    */
+  val kgNxEdges: Q = (s, dir) =>
+    Analytics.collapsedEdges(TokenRules.triples(docs(s, dir)))
+
+  val kgNxEdgesSql: String =
+    TokenRules.Sql.withTriples +
+      "SELECT subject, obj, min(predicate) AS predicate FROM tr GROUP BY subject, obj"
+
+  /** G4 — 2-hop BFS context sentences around a fixed seed. */
+  private val hopSeed = "data"
+  val kg2Hop: Q = (s, dir) =>
+    Analytics.twoHopContext(TokenRules.triples(docs(s, dir)), hopSeed)
+
+  private def twoHopSql(seedsCte: String): String =
+    ", s AS (SELECT subject, obj, subject || ' ' || predicate || ' ' || obj || '.' AS sentence FROM tr), " +
+      s"seeds AS ($seedsCte), " +
+      "e1 AS (SELECT * FROM s WHERE subject IN (SELECT seed FROM seeds) OR obj IN (SELECT seed FROM seeds)), " +
+      "f AS (SELECT subject AS n FROM e1 UNION SELECT obj FROM e1), " +
+      "e2 AS (SELECT sentence FROM s WHERE subject IN (SELECT n FROM f) OR obj IN (SELECT n FROM f)), " +
+      "ctx AS (SELECT DISTINCT sentence FROM (SELECT sentence FROM e1 UNION ALL SELECT sentence FROM e2))"
+
+  val kg2HopSql: String =
+    TokenRules.Sql.withTriples + twoHopSql(s"SELECT '$hopSeed' AS seed") +
+      " SELECT sentence FROM ctx"
+
+  /** G8 — case-insensitive substring retrieval, deterministic cap 10. */
+  val kgSubstring: Q = (s, dir) =>
+    Analytics.substringEntities(kgEntities(s, dir), "ar")
+
+  val kgSubstringSql: String =
+    s"WITH t AS (${TokenRules.Sql.toksCte}), m AS (SELECT unnest(toks) AS entity FROM t), " +
+      s"ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}) " +
+      "SELECT entity FROM ents WHERE lower(entity) LIKE '%ar%' ORDER BY entity LIMIT 10"
+
+  /** G2 — long-format deterministic node embeddings (entity, dim, cnt). */
+  val kgEmbed: Q = (s, dir) => Analytics.nodeEmbeddings(kgEntities(s, dir))
+
+  private val embSqlCte: String =
+    "emb AS (SELECT entity, " + Analytics.trigramDimSqlExpr("tri") + " AS dim, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM (" +
+      "SELECT entity, unnest(list_transform(range(1, length(lower(entity)) - 1), i -> substr(lower(entity), i, 3))) AS tri " +
+      "FROM ents WHERE length(entity) >= 3) GROUP BY entity, dim)"
+
+  val kgEmbedSql: String =
+    s"WITH t AS (${TokenRules.Sql.toksCte}), m AS (SELECT unnest(toks) AS entity FROM t), " +
+      s"ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}), " +
+      embSqlCte + " SELECT entity, CAST(dim AS BIGINT) AS dim, cnt FROM emb"
+
+  /** G3 — top-8 nodes by cosine to a fixed query, integer micro-score. */
+  private val retrieveQuery = "stream data"
+  val kgRetrieve: Q = (s, dir) =>
+    Analytics.retrieveRelevantNodes(kgEntities(s, dir), retrieveQuery, 8)
+
+  private def qvSqlCte: String = {
+    val qv = Analytics.embedQuery(retrieveQuery).toSeq.sorted
+    val values = qv.map { case (d, c) => s"($d, $c)" }.mkString(", ")
+    s"qv AS (SELECT * FROM (VALUES $values) t(dim, qcnt))"
+  }
+
+  val kgRetrieveSql: String = {
+    val qNorm = Analytics.embedQuery(retrieveQuery).values.map(c => c * c).sum
+    s"WITH t AS (${TokenRules.Sql.toksCte}), m AS (SELECT unnest(toks) AS entity FROM t), " +
+      s"ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}), " +
+      embSqlCte + ", " + qvSqlCte + ", " +
+      "dots AS (SELECT entity, CAST(sum(cnt * qcnt) AS BIGINT) AS dot FROM emb JOIN qv USING (dim) GROUP BY entity), " +
+      "norms AS (SELECT entity, CAST(sum(cnt * cnt) AS BIGINT) AS na FROM emb GROUP BY entity) " +
+      s"SELECT dots.entity, (1000000 * dot * dot) // (na * $qNorm) AS score_micro " +
+      "FROM dots JOIN norms ON dots.entity = norms.entity " +
+      "ORDER BY score_micro DESC, dots.entity LIMIT 8"
+  }
+
+  /** G5 — retrieve: top-3 seeds -> union of 2-hop contexts -> one sorted
+    * context string.
+    */
+  val kgRetrieveContext: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Analytics.retrieve(kgEntities(s, dir), TokenRules.triples(d), retrieveQuery, 3)
+  }
+
+  val kgRetrieveContextSql: String = {
+    val qNorm = Analytics.embedQuery(retrieveQuery).values.map(c => c * c).sum
+    "WITH toks_cte AS (" + TokenRules.Sql.toksCte + "), raw_cte AS (" +
+      TokenRules.Sql.rawTriplesCte + "), tr AS (" + TokenRules.Sql.triplesCte + "), " +
+      "m AS (SELECT unnest(toks) AS entity FROM toks_cte), " +
+      s"ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}), " +
+      embSqlCte + ", " + qvSqlCte + ", " +
+      "dots AS (SELECT entity, CAST(sum(cnt * qcnt) AS BIGINT) AS dot FROM emb JOIN qv USING (dim) GROUP BY entity), " +
+      "norms AS (SELECT entity, CAST(sum(cnt * cnt) AS BIGINT) AS na FROM emb GROUP BY entity), " +
+      s"scored AS (SELECT dots.entity, (1000000 * dot * dot) // (na * $qNorm) AS score_micro " +
+      "FROM dots JOIN norms ON dots.entity = norms.entity ORDER BY score_micro DESC, dots.entity LIMIT 3)" +
+      twoHopSql("SELECT entity AS seed FROM scored") +
+      " SELECT string_agg(sentence, ' ' ORDER BY sentence) AS context FROM ctx"
+  }
+
+  // ---------------------------------------------------------------
   // Clustering / canonicalization operators (SURVEY §2.5)
   // ---------------------------------------------------------------
 
@@ -373,6 +484,13 @@ object Queries {
     "kg_pred_counts" -> kgPredCounts,
     "kg_top_entities" -> kgTopEntities,
     "kg_stats" -> kgStats,
+    "kg_top_relations" -> kgTopRelations,
+    "kg_nx_edges" -> kgNxEdges,
+    "kg_2hop" -> kg2Hop,
+    "kg_substring" -> kgSubstring,
+    "kg_embed" -> kgEmbed,
+    "kg_retrieve" -> kgRetrieve,
+    "kg_retrieve_context" -> kgRetrieveContext,
     "kg_normalize" -> kgNormalize,
     "kg_cluster_assign" -> kgClusterAssign,
     "kg_cluster_map" -> kgClusterMap,
@@ -392,6 +510,13 @@ object Queries {
     "kg_pred_counts" -> kgPredCountsSql,
     "kg_top_entities" -> kgTopEntitiesSql,
     "kg_stats" -> kgStatsSql,
+    "kg_top_relations" -> kgTopRelationsSql,
+    "kg_nx_edges" -> kgNxEdgesSql,
+    "kg_2hop" -> kg2HopSql,
+    "kg_substring" -> kgSubstringSql,
+    "kg_embed" -> kgEmbedSql,
+    "kg_retrieve" -> kgRetrieveSql,
+    "kg_retrieve_context" -> kgRetrieveContextSql,
     "kg_normalize" -> kgNormalizeSql,
     "kg_cluster_assign" -> kgClusterAssignSql,
     "kg_cluster_map" -> kgClusterMapSql,

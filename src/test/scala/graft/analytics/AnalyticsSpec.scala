@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def triplesDf(ts: (String, String, String)*) =
+    ts.toDF("subject", "predicate", "obj")
+
+  test("degrees: single-pass in/out/total") {
+    val tr = triplesDf(("a", "r", "b"), ("a", "r", "c"), ("b", "q", "a"))
+    val d = Analytics.degrees(tr).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(d == Set(("a", 2L, 1L, 3L), ("b", 1L, 1L, 2L), ("c", 0L, 1L, 1L)))
+  }
+
+  test("2-hop context: exactly edges within two hops of seed") {
+    // path graph: a->b->c->d->e ; from seed a, 2-hop context = edges
+    // incident to {a} plus edges incident to neighbors of a ({a,b}) =
+    // (a b), (b c); NOT (c d) or (d e)
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"), ("d", "r", "e"))
+    val ctx = Analytics.twoHopContext(tr, "a").as[String].collect().toSet
+    assert(ctx == Set("a r b.", "b r c."))
+  }
+
+  test("2-hop context follows incoming edges too") {
+    // reference BFS explores predecessors as well (kg_gen.py:398-402)
+    val tr = triplesDf(("x", "r", "seed"), ("y", "r", "x"), ("z", "r", "y"))
+    val ctx = Analytics.twoHopContext(tr, "seed").as[String].collect().toSet
+    assert(ctx == Set("x r seed.", "y r x."))
+  }
+
+  test("collapsedEdges: parallel edges collapse deterministically") {
+    val tr = triplesDf(("a", "zzz", "b"), ("a", "aaa", "b"), ("a", "r", "c"))
+    val c = Analytics.collapsedEdges(tr).collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(c == Set(("a", "b", "aaa"), ("a", "c", "r")))
+  }
+
+  test("retrieveRelevantNodes ranks the query's own surface first") {
+    val ents = Seq("streaming", "stream", "table", "zebra").toDF("entity")
+    val top = Analytics.retrieveRelevantNodes(ents, "stream", 4).collect()
+    assert(top.head.getString(0) == "stream") // exact match = cosine 1
+    val scores = top.map(_.getLong(1))
+    assert(scores.sorted.reverse.sameElements(scores), "descending scores")
+    assert(top.map(_.getString(0)).contains("streaming"))
+  }
+
+  test("embedQuery matches the Column-side formula") {
+    val ents = Seq("stream").toDF("entity")
+    val fromDf = Analytics.nodeEmbeddings(ents).collect()
+      .map(r => (r.getLong(1).toInt, r.getLong(2))).toMap
+    assert(fromDf == Analytics.embedQuery("stream"))
+  }
+
+  test("substring retrieval caps deterministically") {
+    val ents = (1 to 30).map(i => f"bar$i%02d").toDF("entity")
+    val got = Analytics.substringEntities(ents, "AR", 10).as[String].collect()
+    assert(got.length == 10 && got.head == "bar01" && got.last == "bar10")
+  }
+
+  test("retrieve composes seeds and contexts into one sorted string") {
+    val ents = Seq("alpha", "beta", "gamma").toDF("entity")
+    val tr = triplesDf(("alpha", "r", "beta"), ("beta", "r", "gamma"))
+    val ctx = Analytics.retrieve(ents, tr, "alpha", 1).as[String].head()
+    assert(ctx == "alpha r beta. beta r gamma.")
+  }
+}
