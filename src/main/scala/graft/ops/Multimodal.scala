@@ -1,0 +1,92 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted by a
+  * batched per-partition stage.
+  *
+  * The actual media codecs are NOT available in this offline container,
+  * so the decode step is a clearly-marked deterministic STUB
+  * ([[DecodeStub]]); everything around it — the binary-column schema,
+  * the micro-batched mapPartitions signature (the same shape a Pandas-UDF
+  * `mapInPandas` stage has in PySpark), partitioning, and the
+  * explode-style frame sampling — is real, tested Spark plumbing that a
+  * real decoder drops into.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
+
+  final case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      checksum: String,
+      width: Long,
+      height: Long,
+      n_frames: Long
+  )
+
+  /** STUB decoder — stands in for an image/audio/video codec. Output is
+    * a pure function of the payload + id, so tests and oracles are
+    * exact. A production build replaces `decodeBatch` with real codec
+    * calls; the batched signature is what matters (one call per
+    * micro-batch, amortizing decoder/session init — exactly like
+    * `mapInPandas` batches).
+    */
+  object DecodeStub {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaMeta] =
+      rows.map { r =>
+        val md = MessageDigest.getInstance("MD5")
+        val checksum = md.digest(r.media).map(b => f"$b%02x").mkString
+        MediaMeta(
+          doc_id = r.doc_id,
+          media_type = r.media_type,
+          byte_len = r.media.length.toLong,
+          checksum = checksum,
+          width = 320L + (r.doc_id % 5) * 160L,
+          height = 240L + (r.doc_id % 3) * 120L,
+          n_frames = r.media.length.toLong / 10L
+        )
+      }
+  }
+
+  /** Build the opaque media table from `documents` (payload = UTF-8 text
+    * bytes — the deterministic stand-in for real image bytes).
+    */
+  def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        concat(lit("image/fake-"), (col("doc_id") % 3).cast("string")).as("media_type")
+      )
+      .as[MediaRow]
+  }
+
+  /** The decode stage: micro-batched mapPartitions over binary payloads. */
+  def decode(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(b => DecodeStub.decodeBatch(b)))
+  }
+
+  /** Frame sampling plumbing: one row per sampled frame index
+    * (every `stride`-th frame), with deterministic fake timestamps.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Long = 7L): DataFrame =
+    meta
+      .toDF()
+      .where(col("n_frames") > 0)
+      .select(
+        col("doc_id"),
+        explode(expr(s"sequence(0L, n_frames - 1, ${stride}L)")).as("frame_idx")
+      )
+      .withColumn("ts_milli", col("frame_idx") * lit(40L)) // 25 fps stand-in
+}

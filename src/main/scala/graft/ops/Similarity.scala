@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding: array<float>, label).
+  *
+  * Exactness strategy: embeddings are quantized once to integer
+  * centi-units (floor(double(x)*100 + 0.5)); every similarity after that
+  * is exact int64 arithmetic, so scores and rankings are bit-identical
+  * across engines and runs — no float summation-order drift. The ranking
+  * score is the monotone integer transform
+  * score_milli = 1000 * dot * |dot| div (|a|^2 * |b|^2) (sign-preserving
+  * cosine^2 in milli-units).
+  *
+  * Scale paths:
+  *   - [[bruteTopK]]: exact baseline — broadcast the (small) query set,
+  *     one pass over the corpus, per-query top-k via window;
+  *   - [[lshTopK]]: sign-bit hyperplane buckets (deterministic integer
+  *     hyperplanes) restrict each query to its own cell — the IVF-style
+  *     scale path: cells shrink candidate sets by ~2^planes.
+  */
+object Similarity {
+
+  /** (vec_id, label, v: array<bigint>) quantized embeddings. */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))").as("v")
+    )
+
+  /** Long-format (vec_id, d, x) with per-vector squared norm attached. */
+  private def exploded(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+
+  private def norms(q: DataFrame): DataFrame =
+    q.select(
+      col("vec_id"),
+      expr("aggregate(v, 0L, (acc, x) -> acc + x * x)").as("n2")
+    )
+
+  /** Exact brute-force top-k: for each query vector (vec_id < nQueries),
+    * the k nearest other vectors by quantized cosine. Query side is
+    * broadcast; the corpus is scanned once.
+    */
+  def bruteTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val q = quantized(embeddings)
+    val queries = q.where(col("vec_id") < nQueries)
+    val dots = exploded(q)
+      .join(
+        broadcast(exploded(queries).select(col("vec_id").as("q"), col("d"), col("x").as("qx"))),
+        Seq("d")
+      )
+      .groupBy(col("q"), col("vec_id").as("n"))
+      .agg(sum(col("x") * col("qx")).as("dot"))
+      .where(col("q") =!= col("n"))
+    val nn = norms(q)
+    val scored = dots
+      .join(nn.select(col("vec_id").as("n"), col("n2").as("nn")), "n")
+      .join(broadcast(norms(queries).select(col("vec_id").as("q"), col("n2").as("qn"))), "q")
+      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
+    val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
+  }
+
+  val Planes = 8
+
+  /** Deterministic integer hyperplane weight for (plane j, dim d) —
+    * shared with the oracle SQL.
+    */
+  def planeWeightExpr(j: String, d: String): String =
+    s"(($j * 31 + $d * 17) % 7) - 3"
+
+  /** Sign-bit LSH bucket per vector: bit j = [dot(v, r_j) > 0]. */
+  def buckets(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = quantized(embeddings)
+    val planes = (0 until Planes)
+      .flatMap(j => (0 until 64).map(d => (j, d)))
+      .toDF("j", "d")
+      .withColumn("w", expr(planeWeightExpr("j", "d")).cast("long"))
+    val bits = exploded(q)
+      .join(broadcast(planes), Seq("d"))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("x") * col("w")).as("dotj"))
+      .withColumn("bit", when(col("dotj") > 0, expr("shiftleft(1L, j)")).otherwise(lit(0L)))
+    bits.groupBy("vec_id").agg(sum("bit").cast("long").as("bucket"))
+  }
+
+  /** Bucketed ANN: like [[bruteTopK]] but each query only scans its own
+    * sign-bit cell. Approximate (recall < 1) by design — the scale path.
+    */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val q = quantized(embeddings).join(buckets(embeddings), "vec_id")
+    val queries = q.where(col("vec_id") < nQueries)
+    val corpus = q.select(col("vec_id").as("n"), col("bucket"), col("v").as("nv"))
+    val pairs = broadcast(queries.select(col("vec_id").as("q"), col("bucket"), col("v").as("qv")))
+      .join(corpus, Seq("bucket"))
+      .where(col("q") =!= col("n"))
+      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("nn", expr("aggregate(nv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
+    val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Threshold near-duplicate pairs by embedding cosine (within label
+    * blocks): (a, b, score_milli) with score >= thetaMilli.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, thetaMilli: Int = 150): DataFrame = {
+    val q = quantized(embeddings)
+    val a = q.select(col("label"), col("vec_id").as("a"), col("v").as("av"))
+    val b = q.select(col("label"), col("vec_id").as("b"), col("v").as("bv"))
+    a.join(b, Seq("label"))
+      .where(col("a") < col("b"))
+      .withColumn("dot", expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("na", expr("aggregate(av, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("nb", expr("aggregate(bv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (na * nb)"))
+      .where(col("score_milli") >= thetaMilli)
+      .select("a", "b", "score_milli")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.extract.TokenRules
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, and winnowing document fingerprints.
+  * All rules are integer/string-exact and shared with the DuckDB oracles.
+  */
+object TextAnalysis {
+
+  /** Tiny marker-token vocabularies per language (deterministic n-gram
+    * heuristic stand-in for a trained language identifier).
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "que", "es", "una", "por"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "une")
+  )
+
+  private def markerCount(lang: String) = {
+    val set = markers(lang).map(m => s"'$m'").mkString(", ")
+    expr(s"size(filter(toks, t -> t IN ($set)))").cast("long").as(s"c_$lang")
+  }
+
+  /** (doc_id, c_en, c_de, c_es, c_fr, lang_pred): strict-argmax language
+    * vote; ties or zero evidence predict 'und'.
+    */
+  def langId(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        markerCount("en"),
+        markerCount("de"),
+        markerCount("es"),
+        markerCount("fr")
+      )
+      .withColumn(
+        "lang_pred",
+        expr(
+          """CASE
+             WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en'
+             WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de'
+             WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+             WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr'
+             ELSE 'und' END"""
+        )
+      )
+
+  /** Heuristic quality features, all integer-exact:
+    * n_chars, n_tokens, avg token length (milli), stopword ratio (pct),
+    * and a composite quality score (milli, capped at 1000).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val stopSet = markers("en").map(m => s"'$m'").mkString(", ")
+    docs
+      .select(col("doc_id"), col("text"), TokenRules.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("tok_chars"),
+        expr(s"size(filter(toks, t -> t IN ($stopSet)))").cast("long").as("stop_hits")
+      )
+      .where(col("n_tokens") > 0)
+      .withColumn("avg_tok_len_milli", expr("(1000 * tok_chars) div n_tokens"))
+      .withColumn("stop_pct", expr("(100 * stop_hits) div n_tokens"))
+      .withColumn(
+        "quality_milli",
+        least(lit(1000L), expr("(1000 * stop_hits) div n_tokens + n_tokens"))
+      )
+      .select("doc_id", "n_chars", "n_tokens", "avg_tok_len_milli", "stop_pct", "quality_milli")
+  }
+
+  /** Whitespace token count plus a BPE-ish regex token count
+    * (letter runs, digit runs, single non-alphanumeric marks).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(TokenRules.tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens")
+    )
+
+  val GramLen = 8
+  val WinnowWindow = 4
+
+  /** Winnowing fingerprints: md5 of every 8-char gram, robust-window
+    * minimum over each 4-gram window, distinct per document. The
+    * standard containment-detection sketch (Schleimer et al.), here as
+    * explode + window-min — no UDF, no driver loop.
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .where(length(col("text")) >= GramLen)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> struct(i AS pos, md5(CAST(substr(text, i, $GramLen) AS BINARY)) AS h))")
+        ).as("g")
+      )
+      .select(col("doc_id"), col("g.pos"), col("g.h"))
+    val w = Window
+      .partitionBy("doc_id")
+      .orderBy("pos")
+      .rowsBetween(-(WinnowWindow - 1), Window.currentRow)
+    grams
+      .withColumn("fp", min("h").over(w))
+      .where(col("pos") >= WinnowWindow) // complete windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+}

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver-facing queries + DuckDB oracles for the training-data pipeline
+  * operators (dedup, similarity search, text analysis, multimodal
+  * plumbing) over the `documents` and `embeddings` tables.
+  */
+object OpsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ----- shared SQL fragments -----
+
+  private val tsetCte: String =
+    "tset AS (SELECT doc_id, source, list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS toks FROM documents)"
+
+  private val toksCte: String =
+    "tk AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)"
+
+  private val quantCte: String =
+    "q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS v FROM embeddings)"
+
+  private def listDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  private def listNorm(a: String): String =
+    s"CAST(list_sum(list_transform($a, x -> x * x)) AS BIGINT)"
+
+  // ----- dedup -----
+
+  val dedupExact: Q = (s, dir) => Dedup.exact(docs(s, dir))
+
+  val dedupExactSql: String =
+    "WITH c AS (SELECT text, min(doc_id) AS dup_of FROM documents GROUP BY text) " +
+      "SELECT d.doc_id, c.dup_of FROM documents d JOIN c ON d.text = c.text WHERE d.doc_id <> c.dup_of"
+
+  val dedupJaccard: Q = (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), thetaPct = 90)
+
+  val dedupJaccardSql: String =
+    s"WITH $tsetCte " +
+      "SELECT a.doc_id AS a, b.doc_id AS b, " +
+      "CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter, " +
+      "CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni " +
+      "FROM tset a JOIN tset b ON a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE 100 * len(list_intersect(a.toks, b.toks)) >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
+
+  val dedupMinhash: Q = (s, dir) => Dedup.minhashLshPairs(docs(s, dir), thetaPct = 90)
+
+  val dedupMinhashSql: String = {
+    val seeds = 16
+    val bands = 8
+    val rows = seeds / bands
+    val cap = 10
+    val mh = (0 until seeds)
+      .map(i => s"list_min(list_transform(toks, t -> md5('$i:' || t)))")
+      .mkString("[", ", ", "]")
+    val bandKeys = (0 until bands)
+      .map { b =>
+        val parts = (0 until rows).map(r => s"mh[${b * rows + r + 1}]").mkString(" || '|' || ")
+        s"md5($parts)"
+      }
+      .mkString("[", ", ", "]")
+    val leads = (1 to cap)
+      .map(d =>
+        s"SELECT doc_id AS a, lead(doc_id, $d) OVER (PARTITION BY bandKey ORDER BY doc_id) AS b FROM banded"
+      )
+      .mkString(" UNION ALL ")
+    val star =
+      "SELECT min(doc_id) OVER (PARTITION BY bandKey) AS a, doc_id AS b FROM banded"
+    s"WITH $tsetCte, " +
+      s"sig AS (SELECT doc_id, $mh AS mh FROM tset), " +
+      s"banded AS (SELECT DISTINCT doc_id, unnest($bandKeys) AS bandKey FROM sig), " +
+      s"cand AS (SELECT DISTINCT a, b FROM ($leads UNION ALL $star) WHERE b IS NOT NULL AND a < b) " +
+      "SELECT c.a, c.b, " +
+      "CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter, " +
+      "CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS uni " +
+      "FROM cand c JOIN tset ta ON c.a = ta.doc_id JOIN tset tb ON c.b = tb.doc_id " +
+      "WHERE 100 * len(list_intersect(ta.toks, tb.toks)) >= 90 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))"
+  }
+
+  private val hexHigh = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
+
+  private val simhashCtes: String = {
+    val sums = (0 until Dedup.SimhashBits)
+      .map(j => s"CAST(sum(CASE WHEN substr(h, ${j + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS BIGINT) AS s$j")
+      .mkString(", ")
+    val shift = (0 until Dedup.SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    "tkx AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), " +
+      "hh AS (SELECT doc_id, md5(tok) AS h FROM tkx), " +
+      s"ss AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id), " +
+      s"sh AS (SELECT doc_id, CAST($shift AS BIGINT) AS simhash FROM ss)"
+  }
+
+  val dedupSimhash: Q = (s, dir) => Dedup.simhash(docs(s, dir))
+
+  val dedupSimhashSql: String =
+    s"WITH $simhashCtes SELECT doc_id, simhash FROM sh"
+
+  val dedupSimhashPairs: Q = (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+
+  val dedupSimhashPairsSql: String =
+    s"WITH $simhashCtes, " +
+      "shs AS (SELECT sh.doc_id, sh.simhash, d.source FROM sh JOIN documents d ON sh.doc_id = d.doc_id) " +
+      "SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+      "FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+
+  val embNearDup: Q = (s, dir) => Similarity.cosineNearDupPairs(emb(s, dir), thetaMilli = 150)
+
+  val embNearDupSql: String =
+    s"WITH $quantCte " +
+      s"SELECT a.vec_id AS a, b.vec_id AS b, " +
+      s"(1000 * ${listDot("a.v", "b.v")} * abs(${listDot("a.v", "b.v")})) // (${listNorm("a.v")} * ${listNorm("b.v")}) AS score_milli " +
+      "FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id " +
+      s"WHERE (1000 * ${listDot("a.v", "b.v")} * abs(${listDot("a.v", "b.v")})) // (${listNorm("a.v")} * ${listNorm("b.v")}) >= 150"
+
+  // ----- similarity search -----
+
+  val annTopK: Q = (s, dir) => Similarity.bruteTopK(emb(s, dir), nQueries = 20, k = 8)
+
+  val annTopKSql: String =
+    s"WITH $quantCte, " +
+      "scored AS (SELECT qs.vec_id AS q, c.vec_id AS n, " +
+      s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS score_milli " +
+      "FROM q qs JOIN q c ON qs.vec_id < 20 AND c.vec_id <> qs.vec_id), " +
+      "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
+      "SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 8"
+
+  val annBuckets: Q = (s, dir) => Similarity.buckets(emb(s, dir))
+
+  private val bucketCtes: String =
+    s"pl AS (SELECT j, d, CAST(((j * 31 + d * 17) % 7) - 3 AS BIGINT) AS w FROM (SELECT unnest(range(${Similarity.Planes})) AS j), (SELECT unnest(range(64)) AS d)), " +
+      "ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q), " +
+      "bits AS (SELECT vec_id, j, CAST(sum(x * w) AS BIGINT) AS dotj FROM ex JOIN pl ON pl.d = ex.d GROUP BY vec_id, j), " +
+      "bk AS (SELECT vec_id, CAST(sum(CASE WHEN dotj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)"
+
+  val annBucketsSql: String =
+    s"WITH $quantCte, $bucketCtes SELECT vec_id, bucket FROM bk"
+
+  val annLsh: Q = (s, dir) => Similarity.lshTopK(emb(s, dir), nQueries = 20, k = 8)
+
+  val annLshSql: String =
+    s"WITH $quantCte, $bucketCtes, " +
+      "qb AS (SELECT q.vec_id, q.v, bk.bucket FROM q JOIN bk ON q.vec_id = bk.vec_id), " +
+      "scored AS (SELECT qs.vec_id AS q, c.vec_id AS n, " +
+      s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS score_milli " +
+      "FROM qb qs JOIN qb c ON qs.bucket = c.bucket AND qs.vec_id < 20 AND c.vec_id <> qs.vec_id), " +
+      "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
+      "SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 8"
+
+  // ----- text analysis -----
+
+  val textLangId: Q = (s, dir) => TextAnalysis.langId(docs(s, dir))
+
+  val textLangIdSql: String = {
+    def cnt(lang: String): String = {
+      val set = TextAnalysis.markers(lang).map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($set))) AS BIGINT) AS c_$lang"
+    }
+    s"WITH $toksCte, c AS (SELECT doc_id, ${cnt("en")}, ${cnt("de")}, ${cnt("es")}, ${cnt("fr")} FROM tk) " +
+      "SELECT doc_id, c_en, c_de, c_es, c_fr, CASE " +
+      "WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en' " +
+      "WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de' " +
+      "WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es' " +
+      "WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr' " +
+      "ELSE 'und' END AS lang_pred FROM c"
+  }
+
+  val textQuality: Q = (s, dir) => TextAnalysis.quality(docs(s, dir))
+
+  val textQualitySql: String = {
+    val stopSet = TextAnalysis.markers("en").map(m => s"'$m'").mkString(", ")
+    s"WITH $toksCte, f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS tok_chars, " +
+      s"CAST(len(list_filter(toks, t -> t IN ($stopSet))) AS BIGINT) AS stop_hits " +
+      "FROM tk JOIN documents USING (doc_id) WHERE len(toks) > 0) " +
+      "SELECT doc_id, n_chars, n_tokens, (1000 * tok_chars) // n_tokens AS avg_tok_len_milli, " +
+      "(100 * stop_hits) // n_tokens AS stop_pct, " +
+      "least(1000, (1000 * stop_hits) // n_tokens + n_tokens) AS quality_milli FROM f"
+  }
+
+  val textTokenCounts: Q = (s, dir) => TextAnalysis.tokenCounts(docs(s, dir))
+
+  val textTokenCountsSql: String =
+    s"WITH $toksCte SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens, " +
+      "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens " +
+      "FROM tk JOIN documents USING (doc_id)"
+
+  val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
+
+  val textFingerprintsSql: String = {
+    val k = TextAnalysis.GramLen
+    val w = TextAnalysis.WinnowWindow
+    s"WITH g AS (SELECT doc_id, unnest(range(1, length(text) - ${k - 2})) AS pos, text FROM documents WHERE length(text) >= $k), " +
+      s"h AS (SELECT doc_id, pos, md5(substr(text, CAST(pos AS INT), $k)) AS h FROM g), " +
+      s"fp AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp FROM h) " +
+      s"SELECT DISTINCT doc_id, fp FROM fp WHERE pos >= $w"
+  }
+
+  // ----- multimodal plumbing -----
+
+  val multimodalMeta: Q = (s, dir) =>
+    Multimodal.decode(Multimodal.mediaTable(docs(s, dir))).toDF()
+
+  val multimodalMetaSql: String =
+    "SELECT doc_id, 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type, " +
+      "CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS checksum, " +
+      "CAST(320 + (doc_id % 5) * 160 AS BIGINT) AS width, " +
+      "CAST(240 + (doc_id % 3) * 120 AS BIGINT) AS height, " +
+      "CAST(strlen(text) // 10 AS BIGINT) AS n_frames FROM documents"
+
+  val multimodalFrames: Q = (s, dir) =>
+    Multimodal.sampleFrames(Multimodal.decode(Multimodal.mediaTable(docs(s, dir))))
+
+  val multimodalFramesSql: String =
+    "WITH m AS (SELECT doc_id, CAST(strlen(text) // 10 AS BIGINT) AS n_frames FROM documents) " +
+      "SELECT doc_id, CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx, " +
+      "CAST(unnest(range(0, n_frames, 7)) * 40 AS BIGINT) AS ts_milli FROM m WHERE n_frames > 0"
+
+  // ----- registry -----
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
+    "emb_neardup" -> embNearDup,
+    "ann_topk" -> annTopK,
+    "ann_buckets" -> annBuckets,
+    "ann_lsh" -> annLsh,
+    "text_langid" -> textLangId,
+    "text_quality" -> textQuality,
+    "text_token_counts" -> textTokenCounts,
+    "text_fingerprints" -> textFingerprints,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_frames" -> multimodalFrames
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
+    "emb_neardup" -> embNearDupSql,
+    "ann_topk" -> annTopKSql,
+    "ann_buckets" -> annBucketsSql,
+    "ann_lsh" -> annLshSql,
+    "text_langid" -> textLangIdSql,
+    "text_quality" -> textQualitySql,
+    "text_token_counts" -> textTokenCountsSql,
+    "text_fingerprints" -> textFingerprintsSql,
+    "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_frames" -> multimodalFramesSql
+  )
+}

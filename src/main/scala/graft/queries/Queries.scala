@@ -498,7 +498,7 @@ object Queries {
     "kg_components" -> kgComponents,
     "conv_flatten" -> convFlatten,
     "q1_agg" -> q1Agg
-  )
+  ) ++ OpsQueries.all
 
   val oracles: Map[String, String] = Map(
     "kg_mentions" -> kgMentionsSql,
@@ -524,5 +524,5 @@ object Queries {
     "kg_components" -> kgComponentsSql,
     "conv_flatten" -> convFlattenSql,
     "q1_agg" -> q1AggSql
-  )
+  ) ++ OpsQueries.oracles
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup finds planted duplicates") {
+    val planted = docs.limit(3).withColumn("doc_id", col("doc_id") + 1000000L)
+    val withDups = docs.unionByName(planted)
+    val dups = Dedup.exact(withDups).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((1000000L, 0L), (1000001L, 1L), (1000002L, 2L)))
+  }
+
+  test("minhash LSH: verified pairs only, and dedup-flag recall is high") {
+    // every emitted pair must genuinely clear the jaccard threshold
+    // (the verification step admits no false positives)
+    val lsh = Dedup.minhashLshPairs(docs, thetaPct = 90)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val truth = Dedup
+      .ngramJaccardPairs(docs.withColumn("source", lit("all")), thetaPct = 90)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(truth), s"false positives: ${(lsh -- truth).take(5)}")
+
+    // dedup semantics: a doc is dropped when ANY earlier near-dup
+    // partner is found. The bucket-window cap intentionally bounds pair
+    // enumeration (this corpus is pathological: ~9% of ALL pairs clear
+    // j>=0.9), so recall is measured on drop flags, not on the O(n^2)
+    // pair list.
+    val lshFlagged = lsh.map(_._2)
+    val truthFlagged = truth.map(_._2)
+    val recall = (lshFlagged & truthFlagged).size.toDouble / truthFlagged.size
+    assert(recall >= 0.9, s"dedup-flag recall $recall (${lshFlagged.size} of ${truthFlagged.size})")
+  }
+
+  test("simhash near-identical docs have close hashes") {
+    val a = "the fast key order sort table scan merge part window"
+    val b = a + " extra" // one token changed
+    val two = Seq((1L, a, "s"), (2L, b, "s")).toDF("doc_id", "text", "source")
+    val pairs = Dedup.simhashPairs(two, maxHamming = 4).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(2) <= 4)
+  }
+
+  test("brute-force ANN: self-similar vectors rank themselves perfectly") {
+    // plant an exact duplicate of vec 0 at id 900000: it must be vec 0's
+    // top neighbor with score_milli = 1000 (cosine 1)
+    val dup = emb.where(col("vec_id") === 0).withColumn("vec_id", lit(900000L))
+    val top = Similarity
+      .bruteTopK(emb.unionByName(dup), nQueries = 1, k = 3)
+      .collect()
+    assert(top.head.getLong(1) == 900000L, top.mkString(";"))
+    assert(top.head.getLong(2) == 1000L)
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates' quality") {
+    val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 8)
+      .select("q", "n").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, nQueries = 5, k = 8)
+      .select("q", "n").as[(Long, Long)].collect().toSet
+    // approximate: some overlap expected, no crash, deterministic
+    assert(lsh.nonEmpty)
+    val lsh2 = Similarity.lshTopK(emb, nQueries = 5, k = 8)
+      .select("q", "n").as[(Long, Long)].collect().toSet
+    assert(lsh == lsh2)
+  }
+
+  test("multimodal decode is batched and deterministic") {
+    val meta = Multimodal.decode(Multimodal.mediaTable(docs), batchSize = 7)
+    val m = meta.collect()
+    assert(m.length == docs.count())
+    val again = Multimodal.decode(Multimodal.mediaTable(docs), batchSize = 64).collect()
+    assert(m.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+    // frame sampling plumbing explodes deterministically
+    val frames = Multimodal.sampleFrames(meta)
+    assert(frames.count() > 0)
+    assert(frames.where(col("frame_idx") % 7 =!= 0).count() == 0)
+  }
+
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val twoDocs = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(twoDocs)
+    val f1 = fp.where(col("doc_id") === 1).select("fp").as[String].collect().toSet
+    val f2 = fp.where(col("doc_id") === 2).select("fp").as[String].collect().toSet
+    val overlap = (f1 & f2).size.toDouble / f1.size
+    assert(overlap >= 0.8, s"overlap $overlap")
+  }
+}
