@@ -457,6 +457,41 @@ object Queries {
   }
 
   // ---------------------------------------------------------------
+  // Events: the streaming transform applied as a batch frame (the same
+  // windowedStats body runs under readStream — StreamingSpec asserts
+  // batch/stream parity), plus per-user aggregates.
+  // ---------------------------------------------------------------
+
+  val eventsWindow: Q = (s, dir) =>
+    graft.streaming.EventsStream.windowedStats(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsWindowSql: String =
+    "SELECT date_trunc('minute', ts) AS w_start, event_type, " +
+      "CAST(count(*) AS BIGINT) AS n_events, " +
+      "CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_milli " +
+      "FROM events GROUP BY 1, 2"
+
+  val eventsUserStats: Q = (s, dir) =>
+    s.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("v_milli", expr("CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("v_milli").as("sum_milli"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"),
+        countDistinct("event_type").as("n_types")
+      )
+
+  val eventsUserStatsSql: String =
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+      "CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_milli, " +
+      "min(ts) AS first_ts, max(ts) AS last_ts, " +
+      "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types " +
+      "FROM events GROUP BY user_id"
+
+  // ---------------------------------------------------------------
   // Relational sanity check on the TPC-H-ish tables
   // ---------------------------------------------------------------
 
@@ -497,6 +532,8 @@ object Queries {
     "kg_cluster_rewrite" -> kgClusterRewrite,
     "kg_components" -> kgComponents,
     "conv_flatten" -> convFlatten,
+    "events_window" -> eventsWindow,
+    "events_user_stats" -> eventsUserStats,
     "q1_agg" -> q1Agg
   ) ++ OpsQueries.all
 
@@ -523,6 +560,8 @@ object Queries {
     "kg_cluster_rewrite" -> kgClusterRewriteSql,
     "kg_components" -> kgComponentsSql,
     "conv_flatten" -> convFlattenSql,
+    "events_window" -> eventsWindowSql,
+    "events_user_stats" -> eventsUserStatsSql,
     "q1_agg" -> q1AggSql
   ) ++ OpsQueries.oracles
 }

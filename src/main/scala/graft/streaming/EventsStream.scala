@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.Triple
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming operators (SURVEY.md §2.7) — its
+  * incremental analogue is the MCP memory loop: generate a small graph,
+  * aggregate into the persistent store, save (mcp/server.py:131-166).
+  * This module supplies the Spark-native streaming equivalents:
+  *
+  *   - [[windowedStats]]: tumbling-window event aggregation, written
+  *     once and applied identically to batch frames and readStream
+  *     frames (the transform is the contract; streaming-vs-batch parity
+  *     is asserted in tests);
+  *   - [[newTriples]]: the add_memories analogue — a stateful streaming
+  *     distinct over (subject, predicate, object) via
+  *     KeyValueGroupedDataset.flatMapGroupsWithState, emitting each
+  *     triple exactly once across the stream's lifetime (the incremental
+  *     MERGE-style dedup into the graph store).
+  */
+object EventsStream {
+
+  /** Tumbling 1-minute stats per event_type. Values are quantized
+    * per-row before summing (floor(v*1000+0.5)) so results are exact
+    * integers — batch, streaming, and the DuckDB oracle agree
+    * bit-for-bit.
+    */
+  def windowedStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("v_milli", expr("CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(
+        window(col("ts"), "1 minute").as("w"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("v_milli").as("sum_milli")
+      )
+      .select(
+        col("w.start").as("w_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_milli")
+      )
+
+  /** Watermarked variant for unbounded streams (late data bound 2 min);
+    * same aggregation body.
+    */
+  def windowedStatsStreaming(events: DataFrame): DataFrame =
+    windowedStats(events.withWatermark("ts", "2 minutes"))
+
+  /** Stateful streaming distinct: emits a triple the first time its
+    * (s, p, o) key is seen; state = one boolean per key, no timeout
+    * (graph memory is append-forever, like the MCP store).
+    */
+  def newTriples(triples: Dataset[Triple]): Dataset[Triple] = {
+    import triples.sparkSession.implicits._
+    triples
+      .groupByKey(t => (t.subject, t.predicate, t.obj))
+      .flatMapGroupsWithState[Boolean, Triple](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case ((s, p, o), rows, state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else if (rows.hasNext) {
+          state.update(true)
+          Iterator.single(Triple(s, p, o))
+        } else Iterator.empty
+      }
+  }
+}

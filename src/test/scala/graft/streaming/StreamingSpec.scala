@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestBase
+import graft.model.Triple
+
+final case class EventRow(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private val rows = Seq(
+    EventRow(ts(0, 10), "click", 1L, 1.5),
+    EventRow(ts(0, 40), "click", 2L, 2.25),
+    EventRow(ts(0, 50), "view", 1L, 0.5),
+    EventRow(ts(1, 5), "click", 3L, 3.0),
+    EventRow(ts(2, 0), "view", 2L, 1.0)
+  )
+
+  test("windowedStats: streaming (complete mode) equals batch on same data") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventsStream
+      .windowedStats(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("agg_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark
+        .table("agg_stream")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = EventsStream
+        .windowedStats(rows.toDF())
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.contains((ts(0, 0), "click", 2L, 3750L))) // 1500 + 2250
+    } finally q.stop()
+  }
+
+  test("newTriples: stateful streaming distinct emits each triple once") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[Triple]
+    val q = EventsStream
+      .newTriples(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("new_triples")
+      .outputMode("append")
+      .start()
+    try {
+      val t1 = Triple("Linda", "is mother of", "Josh")
+      val t2 = Triple("Ben", "is brother of", "Josh")
+      val t3 = Triple("Andrew", "is father of", "Josh")
+      ms.addData(t1, t2, t1) // duplicate within batch
+      q.processAllAvailable()
+      ms.addData(t1, t3) // duplicate across batches
+      q.processAllAvailable()
+      val out = spark.table("new_triples").as[Triple].collect()
+      assert(out.length == 3, out.mkString(";"))
+      assert(out.toSet == Set(t1, t2, t3))
+    } finally q.stop()
+  }
+
+  test("watermarked variant runs in append mode") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventsStream
+      .windowedStatsStreaming(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("agg_wm")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark past the first windows
+      ms.addData(EventRow(ts(9, 0), "click", 9L, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("agg_wm").collect()
+      assert(closed.nonEmpty, "watermark advance must close early windows")
+    } finally q.stop()
+  }
+}
