@@ -32,7 +32,9 @@ def main():
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
-        spark_dir = os.path.join(out_dir, name)
+        spark_dir = os.path.join(out_dir, name + ".parquet")
+        if not os.path.isdir(spark_dir):
+            spark_dir = os.path.join(out_dir, name)
         if not os.path.isdir(spark_dir):
             print(f"MISSING  {name}: no spark output dir")
             n_fail += 1
