@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // -Xms = -Xmx: the default initial heap (1/64 of RAM) makes G1 collect
+  // every few dozen ms at local[32] allocation rates instead of expanding,
+  // which serializes the whole pipeline behind young-GC pauses
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -67,8 +67,17 @@ object ClusterGraph {
       triples: DataFrame,
       cfg: ClusterConfig = ClusterConfig()
   ): Clustered = {
-    val entAssign = clusterItems(entities.select(col("entity").as("member")), cfg)
-    val predAssign = clusterItems(triples.select(col("predicate").as("member")), cfg)
+    // entity and predicate clustering are independent chains of many small
+    // jobs (candidate channels + CC iterations); submitting them from two
+    // driver threads lets the scheduler interleave those jobs, halving the
+    // serial small-job latency that otherwise caps scaling efficiency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val entF = Future(clusterItems(entities.select(col("entity").as("member")), cfg))
+    val predF = Future(clusterItems(triples.select(col("predicate").as("member")), cfg))
+    val entAssign = Await.result(entF, Duration.Inf)
+    val predAssign = Await.result(predF, Duration.Inf)
 
     def dict(assign: DataFrame, memberCol: String, repCol: String): DataFrame =
       broadcast(assign.select(col("member").as(memberCol), col("representative").as(repCol)))

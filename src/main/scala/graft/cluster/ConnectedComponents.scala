@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *   - each iteration is one shuffle (groupBy node, min(label)); partial
   *     aggregation (map-side combine) absorbs hub-node skew, so hot keys
   *     never concentrate raw rows on one reducer;
-  *   - `localCheckpoint` after every iteration truncates lineage
-  *     (iterative plans otherwise grow exponentially);
-  *   - convergence detected by an aggregate checksum (one tiny job) with
-  *     an O(diameter) iteration bound; surface-variant clusters have
-  *     single-digit diameters, so the loop is short in practice.
+  *   - every iteration is persisted and the previous one unpersisted:
+  *     cache substitution keeps the iterated plan shallow (no lineage
+  *     blowup) without retaining every round's blocks;
+  *   - convergence detected by an aggregate checksum whose action ALSO
+  *     materializes the round's cache — one job per iteration total —
+  *     with an O(diameter) iteration bound; surface-variant clusters
+  *     have single-digit diameters, so the loop is short in practice.
   */
 object ConnectedComponents {
 
@@ -30,16 +32,18 @@ object ConnectedComponents {
       .select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .persist()
 
     var labels = nodes
       .select(col("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .persist()
 
+    // order-independent, overflow-free label fingerprint; the action also
+    // materializes the df's cache — ONE job per iteration does both the
+    // propagation step and the convergence check
     def checksum(df: DataFrame): Long = {
-      // order-independent, overflow-free (ANSI mode) label fingerprint
       val r = df.agg(bit_xor(xxhash64(col("node"), col("label")))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
@@ -50,17 +54,22 @@ object ConnectedComponents {
       val nbr = und
         .join(labels, und("src") === labels("node"))
         .select(und("dst").as("node"), col("label"))
+      // caching each round keeps the iterated plan shallow too: the
+      // cache manager substitutes InMemoryRelation for the previous
+      // round's subtree, so analysis cost stays O(1) per iteration
       val next = nbr
         .union(labels.select("node", "label"))
         .groupBy("node")
         .agg(min("label").as("label"))
-        .localCheckpoint()
+        .persist()
       val sumNow = checksum(next)
       converged = sumNow == prevSum
       prevSum = sumNow
+      labels.unpersist(false)
       labels = next
       iter += 1
     }
+    und.unpersist(false)
     labels.withColumnRenamed("label", "component")
   }
 }

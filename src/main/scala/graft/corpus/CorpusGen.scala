@@ -149,6 +149,26 @@ object CorpusGen {
     spark.range(cfg.nDocs).mapPartitions(_.map(id => page(cfg, id)))
   }
 
+  /** Corpus pre-balanced by `repartitionByRange` on xxhash64(url) (the
+    * north-rule ingest re-balance). The range partitioner samples its key
+    * — so the shuffle key is computed from the id column alone and pages
+    * are rendered *after* the exchange; sampling never renders a page.
+    */
+  def pagesPartitioned(spark: SparkSession, cfg: Config, numPartitions: Int): Dataset[Page] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark
+      .range(cfg.nDocs)
+      .select(
+        col("id"),
+        format_string("https://example.test/doc/%08d", col("id")).as("url")
+      )
+      .repartitionByRange(numPartitions, xxhash64(col("url")))
+      .select(col("id"))
+      .as[Long]
+      .mapPartitions(_.map(id => page(cfg, id)))
+  }
+
   /** Distributed oracle: the generating triples of every en page
     * (base surfaces — what extraction must recover when variantRate=0).
     */

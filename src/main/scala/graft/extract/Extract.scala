@@ -70,11 +70,9 @@ object Extract {
     val isConv = cfg.isConversation
     chunks.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val texts = batch.map(_.text)
-        val ents = scorer.entities(texts, isConv)
-        val rels = scorer.relations(texts.zip(ents), isConv)
-        batch.lazyZip(ents).lazyZip(rels).map { (c, es, rs) =>
-          ChunkExtraction(c.url, c.chunkId, es, rs)
+        val results = scorer.extract(batch.map(_.text), isConv)
+        batch.lazyZip(results).map { (c, r) =>
+          ChunkExtraction(c.url, c.chunkId, r._1, r._2)
         }
       }
     }

@@ -32,6 +32,17 @@ trait Scorer extends Serializable {
       batch: Seq[(String, Seq[String])],
       isConversation: Boolean
   ): Seq[Seq[Triple]]
+
+  /** Combined per-batch extraction: (entities, valid triples) per chunk.
+    * Default composes the two calls exactly as the reference does;
+    * implementations that derive both from one parse should override
+    * (the hot path — called from `Extract.extractions`).
+    */
+  def extract(chunks: Seq[String], isConversation: Boolean): Seq[(Seq[String], Seq[Triple])] = {
+    val ents = entities(chunks, isConversation)
+    val rels = relations(chunks.zip(ents), isConversation)
+    ents.zip(rels)
+  }
 }
 
 /** Deterministic pattern scorer — the inverse of the corpus renderer
@@ -53,15 +64,38 @@ trait Scorer extends Serializable {
   */
 object PatternScorer extends Scorer {
 
-  private def stripPunct(tok: String): String =
-    tok.reverse.dropWhile(c => c == '.' || c == '!' || c == '?' || c == ',' || c == ';').reverse
+  private def stripPunct(tok: String): String = {
+    var e = tok.length
+    while (e > 0 && {
+        val c = tok.charAt(e - 1)
+        c == '.' || c == '!' || c == '?' || c == ',' || c == ';'
+      }) e -= 1
+    if (e == tok.length) tok else tok.substring(0, e)
+  }
 
   private def isCapitalized(tok: String): Boolean =
     tok.nonEmpty && Character.isUpperCase(tok.charAt(0))
 
+  /** Whitespace-tokenize without regex (the extraction hot path runs on
+    * every chunk of the corpus; a per-call Pattern.compile would dominate
+    * the profile and its garbage caps multi-core scaling).
+    */
+  private def whitespaceToks(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
+  }
+
   /** Entity runs and the lowercase gaps between them for one sentence. */
   private def parseSentence(sentence: String): (Seq[String], Seq[Triple]) = {
-    val toks = sentence.split("\\s+").filter(_.nonEmpty).map(stripPunct).filter(_.nonEmpty)
+    val toks = whitespaceToks(sentence).map(stripPunct).filter(_.nonEmpty)
     val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)] // (surface, start, end)
     var i = 0
     while (i < toks.length) {
@@ -118,5 +152,18 @@ object PatternScorer extends Scorer {
       // (src/kg_gen/steps/_2_get_relations.py:101-105)
       parseChunk(chunk, isConversation)._2
         .filter(t => entitySet.contains(t.subject) && entitySet.contains(t.obj))
+    }
+
+  /** Hot path: one parse per chunk (entities() + relations() would parse
+    * twice; results are identical because both derive from parseChunk).
+    */
+  override def extract(
+      chunks: Seq[String],
+      isConversation: Boolean
+  ): Seq[(Seq[String], Seq[Triple])] =
+    chunks.map { c =>
+      val (ents, rels) = parseChunk(c, isConversation)
+      val entitySet = ents.toSet
+      (ents, rels.filter(t => entitySet.contains(t.subject) && entitySet.contains(t.obj)))
     }
 }

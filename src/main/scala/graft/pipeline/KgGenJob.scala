@@ -71,54 +71,65 @@ object KgGenJob {
   def run(spark: SparkSession, cfg: JobConfig, scorer: Scorer = PatternScorer): Result = {
     import spark.implicits._
     val table = new SnapshotTable(spark, cfg.tableRoot)
+    val verbose = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
+    def timed[T](stage: String)(body: => T): T =
+      if (!verbose) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[stage] $stage%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
 
     // stage 1: ingest — corpus as the pages table, rebalanced by url hash
-    val pages = table.resumeOrCompute("pages", cfg.corpusFp) {
-      CorpusGen
-        .pages(spark, cfg.corpus)
-        .repartitionByRange(cfg.parallelism, xxhash64(col("url")))
-        .toDF()
-    }
+    val pages = timed("pages") { table.resumeOrCompute("pages", cfg.corpusFp) {
+      CorpusGen.pagesPartitioned(spark, cfg.corpus, cfg.parallelism).toDF()
+    } }
 
     // stage 2: clean + chunk
-    val chunks = table.resumeOrCompute("chunks", cfg.chunksFp) {
+    val chunks = timed("chunks") { table.resumeOrCompute("chunks", cfg.chunksFp) {
       Extract.chunks(pages.as[Page], cfg.extract).toDF()
-    }
+    } }
 
-    // stage 3: extraction (mentions + triple mentions with provenance)
-    val ex = Extract.extractions(chunks.as[graft.model.Chunk], scorer, cfg.extract)
-    val mentions = table.resumeOrCompute("mentions", cfg.extractFp) {
+    // stage 3: extraction — committed ONCE as its own snapshot (the
+    // scorer is the expensive stage; deriving mentions and triple
+    // mentions from the committed snapshot evaluates it exactly once)
+    val extracted = timed("extracted") { table.resumeOrCompute("extracted", cfg.extractFp) {
+      Extract.extractions(chunks.as[graft.model.Chunk], scorer, cfg.extract).toDF()
+    } }
+    val ex = extracted.as[graft.extract.ChunkExtraction]
+    val mentions = timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp) {
       Extract.mentions(ex)
-    }
-    val tripleMentions = table.resumeOrCompute("triple_mentions", cfg.extractFp) {
+    } }
+    val tripleMentions = timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp) {
       Extract.tripleMentions(ex)
-    }
+    } }
 
     // stage 4: aggregate to global graph tables (set semantics)
-    val entities = table.resumeOrCompute("entities", cfg.extractFp) {
+    val entities = timed("entities") { table.resumeOrCompute("entities", cfg.extractFp) {
       Extract.entityTable(mentions)
-    }
-    val triples = table.resumeOrCompute("triples", cfg.extractFp) {
+    } }
+    val triples = timed("triples") { table.resumeOrCompute("triples", cfg.extractFp) {
       Extract.tripleTable(tripleMentions)
-    }
+    } }
 
     // stage 5: cluster + rewrite, materialize canonical tables
-    val clustered = ClusterGraph.clusterGraph(entities, triples, cfg.cluster)
-    val entAssign = table.resumeOrCompute("entity_clusters", cfg.clusterFp) {
+    val clustered = timed("cluster_plan") { ClusterGraph.clusterGraph(entities, triples, cfg.cluster) }
+    val entAssign = timed("entity_clusters") { table.resumeOrCompute("entity_clusters", cfg.clusterFp) {
       clustered.entityAssignments
-    }
-    val edgeAssign = table.resumeOrCompute("edge_clusters", cfg.clusterFp) {
+    } }
+    val edgeAssign = timed("edge_clusters") { table.resumeOrCompute("edge_clusters", cfg.clusterFp) {
       clustered.edgeAssignments
-    }
-    val canonicalTriples = table.resumeOrCompute("canonical_triples", cfg.clusterFp) {
+    } }
+    val canonicalTriples = timed("canonical_triples") { table.resumeOrCompute("canonical_triples", cfg.clusterFp) {
       clustered.triples
-    }
-    val canonicalEntities = table.resumeOrCompute("canonical_entities", cfg.clusterFp) {
+    } }
+    val canonicalEntities = timed("canonical_entities") { table.resumeOrCompute("canonical_entities", cfg.clusterFp) {
       clustered.entities
-    }
-    val canonicalEdges = table.resumeOrCompute("canonical_edges", cfg.clusterFp) {
+    } }
+    val canonicalEdges = timed("canonical_edges") { table.resumeOrCompute("canonical_edges", cfg.clusterFp) {
       clustered.edges
-    }
+    } }
 
     Result(canonicalEntities, canonicalTriples, canonicalEdges, entAssign, edgeAssign)
   }

@@ -41,6 +41,26 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def metaPath(id: String): Path = Paths.get(root, "meta", id + ".json")
   private def hintPath: Path = Paths.get(root, "version-hint.txt")
 
+  /** (file, rows) per data file, from parquet footers (driver-side
+    * metadata read — O(files), not O(rows)).
+    */
+  private def footerRowCounts(dir: Path): Array[(String, Long)] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hdir = new HPath(dir.toString)
+    val fs = FileSystem.get(hdir.toUri, conf)
+    fs.listStatus(hdir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
+        try (s.getPath.toString, reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally reader.close()
+      }
+      .sortBy(_._1)
+  }
+
   def snapshotId(stage: String, fingerprint: String): String = {
     val h = java.security.MessageDigest
       .getInstance("MD5")
@@ -71,14 +91,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val dir = dataDir(id)
     df.write.mode("overwrite").parquet(dir.toString)
 
-    // per-file lineage: row count per committed data file + totals
+    // per-file lineage from parquet FOOTER metadata — no data re-read, no
+    // executor job (the same metadata-only manifest strategy Iceberg uses)
     val back = spark.read.parquet(dir.toString)
-    val perFile = back
-      .groupBy(input_file_name().as("file"))
-      .count()
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+    val perFile = footerRowCounts(dir)
     val totalRows = perFile.map(_._2).sum
 
     val meta: ObjectNode = mapper.createObjectNode()
