@@ -37,10 +37,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 200000L
-    val combos = Seq((2, 4), (8, 16), (8, 16))
+    val combos = Seq((4, 8), (1, 2))
     // warmup
     val w = session(32, 32)
-    run(w, nDocs / 10, 32)
+    run(w, nDocs, 32)
     w.stop()
     combos.foreach { case (cores, parts) =>
       val s = session(cores, parts)

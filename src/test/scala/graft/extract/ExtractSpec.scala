@@ -90,6 +90,20 @@ class ExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(Triple("Alice", "knows", "Bob")))
   }
 
+  test("PatternScorer.extract equals the entities+relations composition") {
+    // the single-parse fast path must be observationally identical to the
+    // reference-shaped two-call path it overrides
+    val texts = CorpusGen.pages(spark, CorpusGen.Config(nDocs = 60L, seed = 9L))
+      .collect().map(_.text).toSeq
+    for (isConv <- Seq(false, true)) {
+      val fast = PatternScorer.extract(texts, isConv)
+      val ents = PatternScorer.entities(texts, isConv)
+      val rels = PatternScorer.relations(texts.zip(ents), isConv)
+      assert(fast.map(_._1) == ents)
+      assert(fast.map(_._2) == rels)
+    }
+  }
+
   test("conversation mode: role filter, speaker entities, speaker relations") {
     // mirrors tests/test_basic.py:123-136 semantics with the deterministic scorer
     val convo = "user: What is the capital of France?\nassistant: The capital of France is Paris."
