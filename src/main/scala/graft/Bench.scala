@@ -88,18 +88,19 @@ object Bench {
     } finally deleteRecursively(root)
   }
 
-  /** Steady-state seconds at a parallelism level (JVM already warmed at
-    * full scale by the warmup run).
+  /** Best-of-2 steady-state seconds at a parallelism level (JVM already
+    * warmed at full scale; best-of guards against the sandbox's
+    * intermittent multi-x slow phases, which hit either level at random).
     */
   private def measure(cores: Int, nDocs: Long): (Double, Long) = {
     val s = session(cores)
-    try pipelineRun(s, nDocs)
+    try Seq(pipelineRun(s, nDocs), pipelineRun(s, nDocs)).minBy(_._1)
     finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
