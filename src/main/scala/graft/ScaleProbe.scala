@@ -1,12 +1,35 @@
 package graft
 
 import java.nio.file.Files
+import java.util.concurrent.atomic.LongAdder
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import graft.corpus.CorpusGen
 import graft.pipeline.KgGenJob
 
-/** Scratch experiment: isolate cores vs partition-count overhead. */
+/** Scratch experiment tool: pipeline wall time at cores/partitions combos,
+  * plus executor CPU-vs-wall accounting per run (SparkListener) — the
+  * difference is scheduler delay + GC + shuffle/IO stall, i.e. the
+  * non-scaling component that caps N->4N efficiency.
+  */
 object ScaleProbe {
+
+  private final class CpuListener extends SparkListener {
+    val cpuNs = new LongAdder
+    val runMs = new LongAdder
+    val gcMs = new LongAdder
+    val tasks = new LongAdder
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        cpuNs.add(m.executorCpuTime)
+        runMs.add(m.executorRunTime)
+        gcMs.add(m.jvmGCTime)
+        tasks.add(1)
+      }
+    }
+  }
+
   private def session(cores: Int, parts: Int): SparkSession = {
     val s = SparkSession
       .builder()
@@ -23,7 +46,9 @@ object ScaleProbe {
   }
 
   private def run(spark: SparkSession, nDocs: Long, parts: Int): Double = {
-    val root = Files.createTempDirectory(java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_TMP", "/tmp")), "probe").toString
+    val root = Files
+      .createTempDirectory(java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_TMP", "/tmp")), "probe")
+      .toString
     val cfg = KgGenJob.JobConfig(
       tableRoot = root,
       corpus = CorpusGen.Config(nDocs = nDocs),
@@ -37,16 +62,28 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 200000L
-    val combos = Seq((4, 8), (1, 2))
-    // warmup
-    val w = session(32, 32)
-    run(w, nDocs, 32)
+    val combos = Seq((8, 16), (2, 4), (8, 16), (2, 4))
+    // full-scale warmup pays the one-time at-scale JIT tax
+    val w = session(32, 64)
+    run(w, nDocs, 64)
     w.stop()
     combos.foreach { case (cores, parts) =>
       val s = session(cores, parts)
+      val listener = new CpuListener
+      s.sparkContext.addSparkListener(listener)
       val t = run(s, nDocs, parts)
+      s.sparkContext.removeSparkListener(listener)
       s.stop()
-      println(f"PROBE cores=$cores parts=$parts: $t%.2f s")
+      val cpuS = listener.cpuNs.sum() / 1e9
+      val runS = listener.runMs.sum() / 1e3
+      val gcS = listener.gcMs.sum() / 1e3
+      val wallCoreS = t * cores
+      println(
+        f"PROBE cores=$cores parts=$parts: wall $t%.2f s | task-run $runS%.1f s | " +
+          f"task-cpu $cpuS%.1f s | task-gc $gcS%.1f s | " +
+          f"stall(run-cpu) ${runS - cpuS}%.1f s | idle(wall*cores-run) ${wallCoreS - runS}%.1f core-s | " +
+          f"tasks ${listener.tasks.sum()}"
+      )
     }
   }
 }
