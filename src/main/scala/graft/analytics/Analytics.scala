@@ -77,22 +77,22 @@ object Analytics {
       col("obj"),
       concat_ws(" ", col("subject"), col("predicate"), col("obj")).as("s")
     )
-    val seedCol = broadcast(seeds.select(col("seed")))
-    val e1 = sentences.join(
-      seedCol,
-      col("subject") === col("seed") || col("obj") === col("seed"),
-      "left_semi"
-    )
+    // "incident to any node in `set`" as a UNION of two EQUI semi-joins,
+    // never an OR join condition: an OR disjunction is not an equi-join,
+    // so Catalyst would plan BroadcastNestedLoopJoin — O(edges × set)
+    // comparisons. Two hash semi-joins stay O(edges). No broadcast hint:
+    // a hub seed's frontier is unbounded, so the build side is AQE's
+    // runtime decision, not a compile-time promise.
+    def incident(set: DataFrame, k: String): DataFrame =
+      sentences
+        .join(set, sentences("subject") === set(k), "left_semi")
+        .union(sentences.join(set, sentences("obj") === set(k), "left_semi"))
+    val e1 = incident(seeds.select(col("seed")), "seed")
     val frontier = e1
       .select(col("subject").as("n"))
       .union(e1.select(col("obj").as("n")))
       .distinct()
-    val e2 = sentences
-      .join(
-        broadcast(frontier),
-        col("subject") === col("n") || col("obj") === col("n"),
-        "left_semi"
-      )
+    val e2 = incident(frontier, "n")
     e1.select("s")
       .union(e2.select("s"))
       .select(concat(col("s"), lit(".")).as("sentence"))

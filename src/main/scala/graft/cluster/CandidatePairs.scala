@@ -102,36 +102,39 @@ object CandidatePairs {
       .groupBy("norm")
       .agg(min("member").as("member"))
 
+    // one Window pass per channel: all leads of the same frame come out
+    // of a single Exchange+Sort+Window as an array of structs, exploded —
+    // round 1 union'd `window` separate passes, re-sorting each block
+    // `window` times (the clustering hot path's job-count bloat)
+    def leadNeighbors(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec, n: Int): DataFrame =
+      df.select(
+          col("member").as("aMember"),
+          col("norm").as("aNorm"),
+          // window exprs must live in a Project/Window node — build the
+          // lead array here, explode in the next select
+          array((1 to n).map(d =>
+            struct(
+              lead(col("norm"), d).over(w).as("bNorm"),
+              lead(col("member"), d).over(w).as("bMember")
+            )): _*).as("bs")
+        )
+        .select(col("aMember"), col("aNorm"), explode(col("bs")).as("b"))
+        .where(col("b.bNorm").isNotNull)
+        .select(col("aMember"), col("aNorm"), col("b.bMember").as("bMember"), col("b.bNorm").as("bNorm"))
+
     // 2. sorted neighborhood within 2-char prefix blocks
     val block = Window
       .partitionBy(substring(col("norm"), 1, 2))
       .orderBy(col("norm"), col("member"))
-    val neighborCand = (1 to cfg.neighborWindow)
-      .map { d =>
-        norms
-          .withColumn("bNorm", lead(col("norm"), d).over(block))
-          .withColumn("bMember", lead(col("member"), d).over(block))
-      }
-      .reduce(_ union _)
-      .where(col("bNorm").isNotNull)
-      .select(col("member").as("aMember"), col("norm").as("aNorm"),
-        col("bMember"), col("bNorm"))
+    val neighborCand = leadNeighbors(norms, block, cfg.neighborWindow)
 
     // 3. minhash band buckets over distinct norms, capped neighborhood
     val banded = norms.as[(String, String)].flatMap { case (norm, member) =>
       bandKeys(norm, cfg).map(k => (k, norm, member))
     }.toDF("bandKey", "norm", "member")
     val bucket = Window.partitionBy("bandKey").orderBy(col("norm"), col("member"))
-    val bandCand = (1 to cfg.bucketPairCap)
-      .map { d =>
-        banded
-          .withColumn("bNorm", lead(col("norm"), d).over(bucket))
-          .withColumn("bMember", lead(col("member"), d).over(bucket))
-      }
-      .reduce(_ union _)
-      .where(col("bNorm").isNotNull && col("bNorm") =!= col("norm"))
-      .select(col("member").as("aMember"), col("norm").as("aNorm"),
-        col("bMember"), col("bNorm"))
+    val bandCand = leadNeighbors(banded, bucket, cfg.bucketPairCap)
+      .where(col("bNorm") =!= col("aNorm"))
 
     // 4. synonym edges (tiny, driver-provided config)
     val synEdges: DataFrame = {

@@ -31,13 +31,19 @@ object Dedup {
 
   /** Exact duplicate assignment: (doc_id, dup_of = min doc_id with
     * byte-identical text), emitted only for true duplicates.
+    *
+    * Scale shape: the shuffle key is a 192-bit content fingerprint
+    * (xxhash64 ++ md5), ~40 bytes/row, never the document body — the
+    * round-1 groupBy(text)+join(text) carried every body through two
+    * shuffles. A 192-bit double-hash collision across even 10^12 docs
+    * has probability ~1e-34, strictly below any cluster's undetected
+    * bit-error rate, so hash-group equality IS exact dedup at web scale.
     */
   def exact(docs: DataFrame): DataFrame = {
-    val canon = docs
-      .groupBy("text")
-      .agg(min("doc_id").as("dup_of"))
+    val w = Window.partitionBy("k")
     docs
-      .join(canon, "text")
+      .select(col("doc_id"), struct(xxhash64(col("text")), md5(col("text"))).as("k"))
+      .withColumn("dup_of", min("doc_id").over(w))
       .where(col("doc_id") =!= col("dup_of"))
       .select("doc_id", "dup_of")
   }
@@ -45,13 +51,37 @@ object Dedup {
   /** Exact n-gram (token-set) Jaccard pairs within `source` blocks:
     * emits (a, b, inter, uni) for 100*inter >= thetaPct*uni. Integer
     * comparison — bit-identical across engines.
+    *
+    * Scale shape: PPJoin-style prefix filtering, NOT an all-pairs block
+    * join. Token sets are already globally sorted; a pair with
+    * Jaccard >= t has |inter| >= ceil(t*|x|) for both sides, and the
+    * standard prefix lemma then guarantees the two prefixes of length
+    * |x| - ceil(t*|x|) + 1 share a token. So an equi-join on
+    * (source, prefix token) generates a candidate superset with zero
+    * false negatives, and the exact intersect/union filter reproduces
+    * the all-pairs result bit-for-bit (the oracle keeps the plain
+    * all-pairs rule). Near-duplicate corpora make prefix buckets tiny —
+    * candidates stay ~linear instead of O(block^2).
     */
   def ngramJaccardPairs(docs: DataFrame, thetaPct: Int = 90): DataFrame = {
     val t = tokenSets(docs)
-    val a = t.select(col("source"), col("doc_id").as("a"), col("toks").as("atoks"))
-    val b = t.select(col("source"), col("doc_id").as("b"), col("toks").as("btoks"))
-    a.join(b, Seq("source"))
+    // ceil(thetaPct*|toks|/100) in exact integer math; empty token sets
+    // keep a '' sentinel prefix so degenerate empty-empty pairs (J = 0/0,
+    // accepted by the rule) still meet
+    val prefixExpr =
+      s"CASE WHEN size(toks) = 0 THEN array('') " +
+        s"ELSE slice(toks, 1, size(toks) - (($thetaPct * size(toks) + 99) div 100) + 1) END"
+    val pref = t.select(
+      col("source"),
+      col("doc_id"),
+      col("toks"),
+      explode(expr(prefixExpr)).as("ptok")
+    )
+    val a = pref.select(col("source"), col("ptok"), col("doc_id").as("a"), col("toks").as("atoks"))
+    val b = pref.select(col("source"), col("ptok"), col("doc_id").as("b"), col("toks").as("btoks"))
+    a.join(b, Seq("source", "ptok"))
       .where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
       .select(
         col("a"),
         col("b"),
@@ -89,16 +119,24 @@ object Dedup {
     val bandKeyCols = (0 until bands).map { bIdx =>
       md5(concat_ws("|", (0 until rows).map(r => col(s"mh${bIdx * rows + r}")): _*)).as("bandKey")
     }
-    val banded = bandKeyCols
-      .map(k => sig.select(col("doc_id"), k))
-      .reduce(_ union _)
+    // one scan emits all band keys (explode), and ONE window pass emits
+    // all `cap` neighbors as an array (every lead shares the same frame,
+    // so Catalyst plans a single Exchange+Sort+Window) — the round-1
+    // shape union'd `cap` separate window passes, re-sorting the banded
+    // table cap times
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bandKey"))
       .distinct()
     val w = Window.partitionBy("bandKey").orderBy("doc_id")
-    val windowCands = (1 to cap)
-      .map(d => banded.withColumn("b", lead(col("doc_id"), d).over(w)))
-      .reduce(_ union _)
+    val windowCands = banded
+      .select(
+        col("doc_id").as("a"),
+        // window exprs must live in a Project/Window node — materialize
+        // the lead array first, explode in the next select
+        array((1 to cap).map(d => lead(col("doc_id"), d).over(w)): _*).as("bs")
+      )
+      .select(col("a"), explode(col("bs")).as("b"))
       .where(col("b").isNotNull)
-      .select(col("doc_id").as("a"), col("b"))
     // star edges to the bucket minimum: O(bucket) extra candidates that
     // catch partners beyond the window cap
     val starCands = banded
@@ -145,16 +183,43 @@ object Dedup {
 
   /** SimHash near-duplicate pairs within source blocks: hamming distance
     * (popcount of xor) at most `maxHamming`.
+    *
+    * Scale shape: pigeonhole banding, NOT an all-pairs block join. The
+    * 16-bit hash splits into maxHamming+1 bands; flipping at most
+    * maxHamming bits leaves at least one band intact, so an equi-join on
+    * (source, band index, band value) generates a candidate superset with
+    * zero false negatives, and the exact popcount filter then reproduces
+    * the all-pairs result bit-for-bit (the oracle keeps the plain
+    * all-pairs rule). Candidates per band bucket are near-duplicates by
+    * construction — never a block-wide cartesian.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
-      .join(docs.select("doc_id", "source"), "doc_id")
-    val a = sh.select(col("source"), col("doc_id").as("a"), col("simhash").as("sa"))
-    val b = sh.select(col("source"), col("doc_id").as("b"), col("simhash").as("sb"))
-    a.join(b, Seq("source"))
+    require(maxHamming < SimhashBits, s"maxHamming must be < $SimhashBits")
+    // smallest divisor of SimhashBits with nBands >= maxHamming + 1 —
+    // more bands than pigeonhole needs stays lossless (only adds
+    // candidates), so non-divisor maxHamming+1 rounds up
+    val nBands = (1 to SimhashBits)
+      .filter(SimhashBits % _ == 0)
+      .find(_ >= maxHamming + 1)
+      .get
+    val bandBits = SimhashBits / nBands
+    val mask = (1 << bandBits) - 1
+    val sh = simhash(docs).join(docs.select("doc_id", "source"), "doc_id")
+    val banded = sh.select(
+      col("source"),
+      col("doc_id"),
+      col("simhash"),
+      posexplode(
+        array((0 until nBands).map(b => expr(s"(simhash >> ${b * bandBits}) & $mask")): _*)
+      ).as(Seq("band", "bval"))
+    )
+    val l = banded.select(col("source"), col("band"), col("bval"), col("doc_id").as("a"), col("simhash").as("sa"))
+    val r = banded.select(col("source"), col("band"), col("bval"), col("doc_id").as("b"), col("simhash").as("sb"))
+    l.join(r, Seq("source", "band", "bval"))
       .where(col("a") < col("b"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+      .distinct()
   }
 }

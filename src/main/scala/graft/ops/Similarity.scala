@@ -77,28 +77,31 @@ object Similarity {
   def planeWeightExpr(j: String, d: String): String =
     s"(($j * 31 + $d * 17) % 7) - 3"
 
-  /** Sign-bit LSH bucket per vector: bit j = [dot(v, r_j) > 0]. */
-  def buckets(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val q = quantized(embeddings)
-    val planes = (0 until Planes)
-      .flatMap(j => (0 until 64).map(d => (j, d)))
-      .toDF("j", "d")
-      .withColumn("w", expr(planeWeightExpr("j", "d")).cast("long"))
-    val bits = exploded(q)
-      .join(broadcast(planes), Seq("d"))
-      .groupBy("vec_id", "j")
-      .agg(sum(col("x") * col("w")).as("dotj"))
-      .withColumn("bit", when(col("dotj") > 0, expr("shiftleft(1L, j)")).otherwise(lit(0L)))
-    bits.groupBy("vec_id").agg(sum("bit").cast("long").as("bucket"))
-  }
+  /** Sign-bit LSH bucket per vector: bit j = [dot(v, r_j) > 0].
+    *
+    * All `Planes` hyperplane dot products are one nested higher-order
+    * array expression evaluated per row inside whole-stage codegen —
+    * zero shuffles, zero joins. (Round 1 posexploded to 64 rows/vector,
+    * joined a plane table and ran two shuffled groupBys for the same
+    * arithmetic.)
+    */
+  def bucketExpr(v: String): String =
+    s"aggregate(transform(sequence(0, ${Planes - 1}), j -> " +
+      s"CASE WHEN aggregate(zip_with($v, sequence(0, size($v) - 1), " +
+      s"(x, d) -> x * (${planeWeightExpr("j", "d")})), 0L, (a2, x2) -> a2 + x2) > 0 " +
+      "THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, b) -> acc + b)"
+
+  def buckets(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .select(col("vec_id"), expr(bucketExpr("v")).cast("long").as("bucket"))
 
   /** Bucketed ANN: like [[bruteTopK]] but each query only scans its own
     * sign-bit cell. Approximate (recall < 1) by design — the scale path.
     */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
-    val q = quantized(embeddings).join(buckets(embeddings), "vec_id")
+    // bucket is a per-row expression — attach it in the scan projection
+    // instead of self-joining a separate buckets() frame
+    val q = quantized(embeddings).withColumn("bucket", expr(bucketExpr("v")).cast("long"))
     val queries = q.where(col("vec_id") < nQueries)
     val corpus = q.select(col("vec_id").as("n"), col("bucket"), col("v").as("nv"))
     val pairs = broadcast(queries.select(col("vec_id").as("q"), col("bucket"), col("v").as("qv")))
@@ -115,14 +118,22 @@ object Similarity {
       .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
   }
 
-  /** Threshold near-duplicate pairs by embedding cosine (within label
-    * blocks): (a, b, score_milli) with score >= thetaMilli.
+  /** Threshold near-duplicate pairs by embedding cosine, restricted to
+    * (label, sign-bit bucket) blocks: (a, b, score_milli) with
+    * score >= thetaMilli.
+    *
+    * Scale shape: the self-join key includes the LSH bucket, so each
+    * label block is further cut ~2^Planes ways — near-duplicate pairs
+    * land in the same bucket with high probability, and candidate
+    * volume stays ~linear instead of O(label-block^2). Approximate by
+    * design (a declared recall tradeoff, like lshTopK); the oracle
+    * encodes the same bucket rule.
     */
   def cosineNearDupPairs(embeddings: DataFrame, thetaMilli: Int = 150): DataFrame = {
-    val q = quantized(embeddings)
-    val a = q.select(col("label"), col("vec_id").as("a"), col("v").as("av"))
-    val b = q.select(col("label"), col("vec_id").as("b"), col("v").as("bv"))
-    a.join(b, Seq("label"))
+    val q = quantized(embeddings).withColumn("bucket", expr(bucketExpr("v")).cast("long"))
+    val a = q.select(col("label"), col("bucket"), col("vec_id").as("a"), col("v").as("av"))
+    val b = q.select(col("label"), col("bucket"), col("vec_id").as("b"), col("v").as("bv"))
+    a.join(b, Seq("label", "bucket"))
       .where(col("a") < col("b"))
       .withColumn("dot", expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
       .withColumn("na", expr("aggregate(av, 0L, (acc, x) -> acc + x * x)"))

@@ -89,10 +89,17 @@ object TextAnalysis {
   val GramLen = 8
   val WinnowWindow = 4
 
-  /** Winnowing fingerprints: md5 of every 8-char gram, robust-window
-    * minimum over each 4-gram window, distinct per document. The
-    * standard containment-detection sketch (Schleimer et al.), here as
-    * explode + window-min — no UDF, no driver loop.
+  /** Hash width kept in the sort/shuffle: 8 hex chars (32 bits), not the
+    * full 32-char md5 — per-doc fingerprint counts only need enough
+    * entropy to pick window minima, and the narrower key cuts the
+    * explode's sort input ~4x (text_length × hash_width bytes per doc).
+    */
+  val HashHexLen = 8
+
+  /** Winnowing fingerprints: truncated md5 of every 8-char gram,
+    * robust-window minimum over each 4-gram window, distinct per
+    * document. The standard containment-detection sketch (Schleimer et
+    * al.), here as explode + window-min — no UDF, no driver loop.
     */
   def fingerprints(docs: DataFrame): DataFrame = {
     val grams = docs
@@ -100,7 +107,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         explode(
-          expr(s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> struct(i AS pos, md5(CAST(substr(text, i, $GramLen) AS BINARY)) AS h))")
+          expr(s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> struct(i AS pos, substr(md5(CAST(substr(text, i, $GramLen) AS BINARY)), 1, $HashHexLen) AS h))")
         ).as("g")
       )
       .select(col("doc_id"), col("g.pos"), col("g.h"))

@@ -118,11 +118,14 @@ object OpsQueries {
 
   val embNearDup: Q = (s, dir) => Similarity.cosineNearDupPairs(emb(s, dir), thetaMilli = 150)
 
-  val embNearDupSql: String =
-    s"WITH $quantCte " +
+  // same (label, sign-bit bucket) blocking rule as the Spark side — the
+  // bucket join is the declared scale path (bucketCtes defines bk below)
+  def embNearDupSql: String =
+    s"WITH $quantCte, $bucketCtes, " +
+      "qbk AS (SELECT q.vec_id, q.label, q.v, bk.bucket FROM q JOIN bk ON q.vec_id = bk.vec_id) " +
       s"SELECT a.vec_id AS a, b.vec_id AS b, " +
       s"(1000 * ${listDot("a.v", "b.v")} * abs(${listDot("a.v", "b.v")})) // (${listNorm("a.v")} * ${listNorm("b.v")}) AS score_milli " +
-      "FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id " +
+      "FROM qbk a JOIN qbk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
       s"WHERE (1000 * ${listDot("a.v", "b.v")} * abs(${listDot("a.v", "b.v")})) // (${listNorm("a.v")} * ${listNorm("b.v")}) >= 150"
 
   // ----- similarity search -----
@@ -203,8 +206,9 @@ object OpsQueries {
   val textFingerprintsSql: String = {
     val k = TextAnalysis.GramLen
     val w = TextAnalysis.WinnowWindow
+    val hw = TextAnalysis.HashHexLen
     s"WITH g AS (SELECT doc_id, unnest(range(1, length(text) - ${k - 2})) AS pos, text FROM documents WHERE length(text) >= $k), " +
-      s"h AS (SELECT doc_id, pos, md5(substr(text, CAST(pos AS INT), $k)) AS h FROM g), " +
+      s"h AS (SELECT doc_id, pos, substr(md5(substr(text, CAST(pos AS INT), $k)), 1, $hw) AS h FROM g), " +
       s"fp AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp FROM h) " +
       s"SELECT DISTINCT doc_id, fp FROM fp WHERE pos >= $w"
   }

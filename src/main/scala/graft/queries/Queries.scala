@@ -347,16 +347,24 @@ object Queries {
       "SELECT member, representative FROM assign"
 
   /** S3 sink shape — rep -> sorted member list (the dict-of-sets JSON
-    * form, long format internally; SURVEY §7.5 risk 6).
+    * form). The member list crosses the driver boundary as ONE
+    * pipe-joined string: the driver's pandas comparator cannot sort an
+    * array<string> column (round-1 crash, CORRECTNESS_r01.json
+    * kg_cluster_map), so every driver-facing column stays scalar. The
+    * JSON sink (GraphJson) still gets the real dict-of-sets shape.
     */
   val kgClusterMap: Q = (s, dir) =>
     assignDf(kgEntities(s, dir).select(col("entity").as("member")))
       .groupBy("representative")
-      .agg(sort_array(collect_list(col("member"))).as("members"))
+      .agg(
+        array_join(sort_array(collect_list(col("member"))), "|").as("members"),
+        count(lit(1)).as("n_members")
+      )
 
   val kgClusterMapSql: String =
     s"WITH toks_cte AS (${TokenRules.Sql.toksCte}), ${assignSql(entityItemsCte)} " +
-      "SELECT representative, list_sort(list(member)) AS members FROM assign GROUP BY representative"
+      "SELECT representative, array_to_string(list_sort(list(member)), '|') AS members, " +
+      "CAST(count(*) AS BIGINT) AS n_members FROM assign GROUP BY representative"
 
   /** C4 — relation rewrite onto representatives (subject/predicate/obj
     * lookups + set-dedup; _3_cluster_graph.py:294-317). Both entity and
