@@ -174,6 +174,52 @@ object Analytics {
       .limit(k)
   }
 
+  /** G2 (relations) — the reference embeds predicates alongside nodes
+    * (kg_gen.py:332-346 returns node AND relation embeddings); same
+    * trigram-TF rule over the distinct predicate surfaces.
+    */
+  def relationEmbeddings(triples: DataFrame): DataFrame =
+    nodeEmbeddings(triples.select(col("predicate").as("entity")).distinct())
+      .withColumnRenamed("entity", "predicate")
+
+  /** G7 — the assembled visualization view model
+    * (visualize_kg.py:30-258): one render record per entity — degrees
+    * (0 for isolated nodes), connected component, hash-seeded color, and
+    * a top-10-by-degree flag — everything the reference's HTML template
+    * consumes, as one exportable table. Colors are md5-seeded (the
+    * reference seeds per-name sha1; the *property* is a deterministic
+    * per-name color, which md5 gives both engines).
+    *
+    * Plan shape: one degree aggregation, one CC run, a broadcast top-10
+    * flag join — no global sort, no driver loop.
+    */
+  def vizModel(entities: DataFrame, triples: DataFrame): DataFrame = {
+    val deg = degrees(triples)
+    val edgesDf = triples.select(col("subject").as("src"), col("obj").as("dst"))
+    val nodes = entities.select(col("entity").as("node"))
+    val comp = graft.cluster.ConnectedComponents
+      .run(edgesDf, nodes)
+      .withColumnRenamed("node", "entity")
+    val top = deg
+      .select(col("entity"), col("degree"))
+      .orderBy(desc("degree"), asc("entity"))
+      .limit(10)
+      .select(col("entity"), lit(1L).as("is_top"))
+    entities
+      .join(deg, Seq("entity"), "left")
+      .join(comp, Seq("entity"), "left")
+      .join(broadcast(top), Seq("entity"), "left")
+      .select(
+        col("entity"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("component"), col("entity")).as("component"),
+        coalesce(col("is_top"), lit(0L)).as("is_top"),
+        concat(lit("#"), substring(md5(col("entity").cast("binary")), 1, 6)).as("color")
+      )
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

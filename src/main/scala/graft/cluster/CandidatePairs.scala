@@ -45,6 +45,16 @@ object CandidatePairs {
       neighborWindow: Int = 3,
       bucketPairCap: Int = 10,
       maxIterations: Int = 20,
+      /** Below this many distinct items, connected components runs as a
+        * driver-side union-find over the collected candidate edges
+        * instead of the iterative DataFrame loop — the same adaptive
+        * small-input principle as AQE's broadcast-join conversion. A
+        * surface-form dictionary of ≤100k strings is a few MB; the
+        * iterative loop's per-round job latency (driver scheduling, not
+        * data) would dominate it. Above the threshold the distributed
+        * fixpoint runs unchanged.
+        */
+      driverClusterThreshold: Int = 100000,
       synonymSets: Seq[Set[String]] = Nil
   )
 

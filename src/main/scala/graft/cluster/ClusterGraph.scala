@@ -26,23 +26,60 @@ object ClusterGraph {
     * keeps singleton clusters too — _3_cluster_graph.py:209-214).
     */
   def clusterItems(items: DataFrame, cfg: ClusterConfig = ClusterConfig()): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
     val distinctItems = items.select(col("member")).distinct()
     val pairEdges = CandidatePairs.edges(distinctItems, cfg)
-    val comp = ConnectedComponents.run(
-      pairEdges,
-      distinctItems.select(col("member").as("node")),
-      cfg.maxIterations
-    )
-    // representative: shortest surface, then lexicographic, per component
-    // ("prefer shorter names" — _3_cluster_graph.py:16-18).
-    // groupBy+join rather than a whole-partition Window: partial
-    // aggregation keeps giant components skew-safe.
-    val reps = comp
-      .groupBy("component")
-      .agg(min(struct(length(col("node")), col("node"))).as("rep"))
-    comp
-      .join(reps, "component")
-      .select(col("node").as("member"), col("rep.node").as("representative"))
+
+    // Adaptive small-input path (cfg.driverClusterThreshold): `take` is
+    // incremental — it stops as soon as threshold+1 distinct members are
+    // found, so at web scale this probe reads a partition or two, decides
+    // "big", and the distributed fixpoint below runs unchanged. When the
+    // dictionary IS small (a few MB of surface forms), a driver-side
+    // union-find over the collected candidate edges replaces ~2 jobs per
+    // CC iteration with zero — the iterative loop's cost there is driver
+    // scheduling latency, not data.
+    val probe = distinctItems.as[String].take(cfg.driverClusterThreshold + 1)
+    if (probe.length <= cfg.driverClusterThreshold) {
+      val members = probe
+      val parent = scala.collection.mutable.HashMap.from(members.map(m => m -> m))
+      def find(x: String): String = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairEdges.as[(String, String)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      // representative: shortest surface, then lexicographic, per
+      // component — identical rule to the distributed path below
+      val assignments = members
+        .groupBy(find)
+        .iterator
+        .flatMap { case (_, ms) =>
+          val rep = ms.minBy(m => (m.length, m))
+          ms.map(m => (m, rep))
+        }
+        .toSeq
+      assignments.toDF("member", "representative")
+    } else {
+      val comp = ConnectedComponents.run(
+        pairEdges,
+        distinctItems.select(col("member").as("node")),
+        cfg.maxIterations
+      )
+      // representative via groupBy+join rather than a whole-partition
+      // Window: partial aggregation keeps giant components skew-safe.
+      val reps = comp
+        .groupBy("component")
+        .agg(min(struct(length(col("node")), col("node"))).as("rep"))
+      comp
+        .join(reps, "component")
+        .select(col("node").as("member"), col("rep.node").as("representative"))
+    }
   }
 
   final case class Clustered(

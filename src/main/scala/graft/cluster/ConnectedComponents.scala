@@ -28,21 +28,49 @@ object ConnectedComponents {
     * @return (node, component) where component = min node label reachable
     */
   def run(edges: DataFrame, nodes: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // Hub-entity skew in the propagation join (all und rows with a hub
+    // src land in one sort-merge partition): handled by AQE's skew-join
+    // split — the engine-side equivalent of salting (it splits the skewed
+    // partition and replicates the matching build rows), applied only
+    // when a partition is actually skewed. Pinned HERE, not left to the
+    // caller's session, so every CC entry point gets it; restored after
+    // the loop.
+    val spark = edges.sparkSession
+    val pinned = Seq("spark.sql.adaptive.enabled" -> "true", "spark.sql.adaptive.skewJoin.enabled" -> "true")
+    val saved = pinned.map { case (k, _) => k -> scala.util.Try(spark.conf.get(k)).toOption }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try runInner(edges, nodes, maxIterations)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def runInner(edges: DataFrame, nodes: DataFrame, maxIterations: Int): DataFrame = {
     val und = edges
       .select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
 
+    // lazy localCheckpoint (not persist): cache substitution only happens
+    // at execution, AFTER analysis — a persisted loop still re-analyzes a
+    // plan that embeds the previous round's plan twice (join + union), so
+    // driver analysis cost and plan memory double per iteration.
+    // localCheckpoint TRUNCATES the logical plan at materialization, so
+    // every round's plan has constant depth; the checksum action below is
+    // the single job that materializes it. Superseded checkpoint blocks
+    // are released by the ContextCleaner when the old Dataset goes out of
+    // scope (the loop holds exactly one live round at a time).
     var labels = nodes
       .select(col("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint(false)
 
     // order-independent, overflow-free label fingerprint; the action also
-    // materializes the df's cache — ONE job per iteration does both the
-    // propagation step and the convergence check
+    // materializes the round's checkpoint — ONE job per iteration does
+    // both the propagation step and the convergence check
     def checksum(df: DataFrame): Long = {
       val r = df.agg(bit_xor(xxhash64(col("node"), col("label")))).head
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -54,18 +82,14 @@ object ConnectedComponents {
       val nbr = und
         .join(labels, und("src") === labels("node"))
         .select(und("dst").as("node"), col("label"))
-      // caching each round keeps the iterated plan shallow too: the
-      // cache manager substitutes InMemoryRelation for the previous
-      // round's subtree, so analysis cost stays O(1) per iteration
       val next = nbr
         .union(labels.select("node", "label"))
         .groupBy("node")
         .agg(min("label").as("label"))
-        .persist()
+        .localCheckpoint(false)
       val sumNow = checksum(next)
       converged = sumNow == prevSum
       prevSum = sumNow
-      labels.unpersist(false)
       labels = next
       iter += 1
     }

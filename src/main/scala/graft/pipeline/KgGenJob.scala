@@ -98,40 +98,57 @@ object KgGenJob {
       Extract.extractions(chunks.as[graft.model.Chunk], scorer, cfg.extract).toDF()
     } }
     val ex = extracted.as[graft.extract.ChunkExtraction]
-    val mentions = timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp) {
-      Extract.mentions(ex)
-    } }
-    val tripleMentions = timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp) {
-      Extract.tripleMentions(ex)
-    } }
 
-    // stage 4: aggregate to global graph tables (set semantics)
-    val entities = timed("entities") { table.resumeOrCompute("entities", cfg.extractFp) {
-      Extract.entityTable(mentions)
-    } }
-    val triples = timed("triples") { table.resumeOrCompute("triples", cfg.extractFp) {
-      Extract.tripleTable(tripleMentions)
-    } }
+    // stages 3b/4: the mentions->entities and triple_mentions->triples
+    // commit chains are independent dataflows off the same committed
+    // extraction snapshot — submit them from two driver threads so their
+    // write+read-back barriers overlap (concurrent jobs interleave in the
+    // scheduler; each commit barrier stops one chain, not the pipeline).
+    // Commit count is unchanged — only the serialization between commits
+    // goes away (it was a large share of the level-independent wall time
+    // that capped N->4N scaling efficiency in round 1).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val entityChain = Future {
+      val mentions = timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp) {
+        Extract.mentions(ex)
+      } }
+      timed("entities") { table.resumeOrCompute("entities", cfg.extractFp) {
+        Extract.entityTable(mentions)
+      } }
+    }
+    val tripleChain = Future {
+      val tripleMentions = timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp) {
+        Extract.tripleMentions(ex)
+      } }
+      timed("triples") { table.resumeOrCompute("triples", cfg.extractFp) {
+        Extract.tripleTable(tripleMentions)
+      } }
+    }
+    val entities = Await.result(entityChain, Duration.Inf)
+    val triples = Await.result(tripleChain, Duration.Inf)
 
-    // stage 5: cluster + rewrite, materialize canonical tables
+    // stage 5: cluster + rewrite, materialize canonical tables. The five
+    // outputs all hang off the checkpoint-materialized cluster
+    // assignments, so their commits are independent — one concurrent
+    // commit wave instead of five serial barriers.
     val clustered = timed("cluster_plan") { ClusterGraph.clusterGraph(entities, triples, cfg.cluster) }
-    val entAssign = timed("entity_clusters") { table.resumeOrCompute("entity_clusters", cfg.clusterFp) {
-      clustered.entityAssignments
-    } }
-    val edgeAssign = timed("edge_clusters") { table.resumeOrCompute("edge_clusters", cfg.clusterFp) {
-      clustered.edgeAssignments
-    } }
-    val canonicalTriples = timed("canonical_triples") { table.resumeOrCompute("canonical_triples", cfg.clusterFp) {
-      clustered.triples
-    } }
-    val canonicalEntities = timed("canonical_entities") { table.resumeOrCompute("canonical_entities", cfg.clusterFp) {
-      clustered.entities
-    } }
-    val canonicalEdges = timed("canonical_edges") { table.resumeOrCompute("canonical_edges", cfg.clusterFp) {
-      clustered.edges
-    } }
+    def commitF(stage: String, df: => DataFrame): Future[DataFrame] =
+      Future(timed(stage) { table.resumeOrCompute(stage, cfg.clusterFp)(df) })
+    val fEntAssign = commitF("entity_clusters", clustered.entityAssignments)
+    val fEdgeAssign = commitF("edge_clusters", clustered.edgeAssignments)
+    val fTriples = commitF("canonical_triples", clustered.triples)
+    val fEntities = commitF("canonical_entities", clustered.entities)
+    val fEdges = commitF("canonical_edges", clustered.edges)
 
-    Result(canonicalEntities, canonicalTriples, canonicalEdges, entAssign, edgeAssign)
+    Result(
+      Await.result(fEntities, Duration.Inf),
+      Await.result(fTriples, Duration.Inf),
+      Await.result(fEdges, Duration.Inf),
+      Await.result(fEntAssign, Duration.Inf),
+      Await.result(fEdgeAssign, Duration.Inf)
+    )
   }
 
   /** spark-submit entry: KgGenJob <tableRoot> [nDocs] [master]. */

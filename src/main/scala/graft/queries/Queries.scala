@@ -243,6 +243,48 @@ object Queries {
       s"ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}), " +
       embSqlCte + " SELECT entity, CAST(dim AS BIGINT) AS dim, cnt FROM emb"
 
+  /** G2 (relations) — predicate embeddings (kg_gen.py:332-346 embeds
+    * nodes AND relations). Same trigram rule, over distinct predicates;
+    * the oracle reuses the embedding CTE by naming the predicate set
+    * `ents`.
+    */
+  val kgEmbedRel: Q = (s, dir) =>
+    Analytics.relationEmbeddings(TokenRules.triples(docs(s, dir)))
+
+  val kgEmbedRelSql: String =
+    TokenRules.Sql.withTriples +
+      ", ents AS (SELECT DISTINCT predicate AS entity FROM tr), " +
+      embSqlCte +
+      " SELECT entity AS predicate, CAST(dim AS BIGINT) AS dim, cnt FROM emb"
+
+  /** G7 — assembled visualization view model (visualize_kg.py:30-258):
+    * per-entity degrees, component, md5-seeded color, top-10 flag.
+    */
+  val kgViz: Q = (s, dir) =>
+    Analytics.vizModel(kgEntities(s, dir), TokenRules.triples(docs(s, dir)))
+
+  val kgVizSql: String =
+    "WITH RECURSIVE toks_cte AS (" + TokenRules.Sql.toksCte + "), " +
+      "raw_cte AS (" + TokenRules.Sql.rawTriplesCte + "), " +
+      "tr AS (" + TokenRules.Sql.triplesCte + "), " +
+      "m AS (SELECT unnest(toks) AS entity FROM toks_cte), " +
+      s"ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}), " +
+      "e AS (SELECT subject AS src, obj AS dst FROM tr UNION SELECT obj, subject FROM tr), " +
+      "walk(node, label) AS (SELECT entity, entity FROM ents " +
+      "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node), " +
+      "compo AS (SELECT node AS entity, min(label) AS component FROM walk GROUP BY node), " +
+      "ep AS (SELECT subject AS entity, 1 AS o, 0 AS i FROM tr UNION ALL SELECT obj, 0, 1 FROM tr), " +
+      "deg AS (SELECT entity, CAST(sum(o) AS BIGINT) AS out_degree, CAST(sum(i) AS BIGINT) AS in_degree, " +
+      "CAST(sum(o + i) AS BIGINT) AS degree FROM ep GROUP BY entity), " +
+      "top AS (SELECT entity FROM deg ORDER BY degree DESC, entity LIMIT 10) " +
+      "SELECT ents.entity, coalesce(out_degree, 0) AS out_degree, coalesce(in_degree, 0) AS in_degree, " +
+      "coalesce(degree, 0) AS degree, coalesce(component, ents.entity) AS component, " +
+      "CAST(CASE WHEN top.entity IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_top, " +
+      "'#' || substr(md5(ents.entity), 1, 6) AS color " +
+      "FROM ents LEFT JOIN deg ON ents.entity = deg.entity " +
+      "LEFT JOIN compo ON ents.entity = compo.entity " +
+      "LEFT JOIN top ON ents.entity = top.entity"
+
   /** G3 — top-8 nodes by cosine to a fixed query, integer micro-score. */
   private val retrieveQuery = "stream data"
   val kgRetrieve: Q = (s, dir) =>
@@ -426,43 +468,33 @@ object Queries {
   // Ingest operators (SURVEY §2.1/§2.2): conversation flatten
   // ---------------------------------------------------------------
 
-  private val conversation: Seq[(Int, String, String)] = Seq(
-    (0, "user", "What is the capital of France?"),
-    (1, "assistant", "The capital of France is Paris."),
-    (2, "system", "You are a helpful assistant."),
-    (3, "user", "Thanks!"),
-    (4, "tool", "noop"),
-    (5, "assistant", "You're welcome.")
-  )
-
-  /** S1/T1 — conversation ingest: keep user/assistant roles, flatten to
-    * "role: content" lines joined by newline in message order
-    * (src/kg_gen/kg_gen.py:176-195). Order is made explicit via the seq
-    * column (Python relies on list order).
+  /** S1/T1 — table-scale conversation ingest
+    * (graft.sources.Conversations): a messages table flattened per
+    * conversation (src/kg_gen/kg_gen.py:176-195 does one conversation per
+    * call; here every conversation flattens in one groupBy). The driver
+    * testdata has no messages table, so both engines derive the identical
+    * deterministic messages view from `documents` (role/seq/content are
+    * pure functions of doc_id and text) — the operator under test is the
+    * role-filter + ordered flatten, fed from the sf dir.
     */
-  val convFlatten: Q = (s, _) => {
-    import s.implicits._
-    conversation
-      .toDF("seq", "role", "content")
-      .where(col("role").isin("user", "assistant"))
-      .select(
-        struct(col("seq"), concat(col("role"), lit(": "), col("content")).as("line")).as("m")
-      )
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(col("m"))), m => m.getField("line")),
-          "\n"
-        ).as("flattened")
-      )
+  private val msgRoleCase =
+    "CASE WHEN doc_id % 7 = 3 THEN 'system' WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END"
+
+  val convFlatten: Q = (s, dir) => {
+    val msgs = docs(s, dir).select(
+      (col("doc_id") % 50).as("conversation_id"),
+      col("doc_id").as("seq"),
+      expr(msgRoleCase).as("role"),
+      substring(col("text"), 1, 40).as("content")
+    )
+    graft.sources.Conversations.flatten(msgs)
   }
 
-  val convFlattenSql: String = {
-    val values = conversation
-      .map { case (i, r, c) => s"($i, '$r', '${c.replace("'", "''")}')" }
-      .mkString(", ")
-    s"SELECT string_agg(role || ': ' || content, chr(10) ORDER BY seq) AS flattened " +
-      s"FROM (VALUES $values) AS t(seq, role, content) WHERE role IN ('user', 'assistant')"
-  }
+  val convFlattenSql: String =
+    s"WITH msgs AS (SELECT doc_id % 50 AS conversation_id, doc_id AS seq, $msgRoleCase AS role, " +
+      "substr(text, 1, 40) AS content FROM documents) " +
+      "SELECT conversation_id, string_agg(role || ': ' || content, chr(10) ORDER BY seq) AS flattened " +
+      "FROM msgs WHERE role IN ('user', 'assistant') GROUP BY conversation_id"
 
   // ---------------------------------------------------------------
   // Events: the streaming transform applied as a batch frame (the same
@@ -532,6 +564,8 @@ object Queries {
     "kg_2hop" -> kg2Hop,
     "kg_substring" -> kgSubstring,
     "kg_embed" -> kgEmbed,
+    "kg_embed_rel" -> kgEmbedRel,
+    "kg_viz" -> kgViz,
     "kg_retrieve" -> kgRetrieve,
     "kg_retrieve_context" -> kgRetrieveContext,
     "kg_normalize" -> kgNormalize,
@@ -560,6 +594,8 @@ object Queries {
     "kg_2hop" -> kg2HopSql,
     "kg_substring" -> kgSubstringSql,
     "kg_embed" -> kgEmbedSql,
+    "kg_embed_rel" -> kgEmbedRelSql,
+    "kg_viz" -> kgVizSql,
     "kg_retrieve" -> kgRetrieveSql,
     "kg_retrieve_context" -> kgRetrieveContextSql,
     "kg_normalize" -> kgNormalizeSql,

@@ -51,14 +51,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     val hdir = new HPath(dir.toString)
     val fs = FileSystem.get(hdir.toUri, conf)
-    fs.listStatus(hdir)
+    // footer opens run concurrently: a commit wave touches dozens of
+    // files per stage and these driver-side opens were a measurable
+    // serial tax on the pipeline's scaling efficiency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val files = fs
+      .listStatus(hdir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
+      .toSeq
+    val reads = files.map { s =>
+      Future {
         val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
         try (s.getPath.toString, reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
         finally reader.close()
       }
-      .sortBy(_._1)
+    }
+    Await.result(Future.sequence(reads), Duration.Inf).toArray.sortBy(_._1)
   }
 
   def snapshotId(stage: String, fingerprint: String): String = {
@@ -92,11 +102,28 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     df.write.mode("overwrite").parquet(dir.toString)
 
     // per-file lineage from parquet FOOTER metadata — no data re-read, no
-    // executor job (the same metadata-only manifest strategy Iceberg uses)
-    val back = spark.read.parquet(dir.toString)
+    // executor job (the same metadata-only manifest strategy Iceberg
+    // uses). The read-back reuses the known schema: no inference pass.
+    val back = spark.read.schema(df.schema).parquet(dir.toString)
     val perFile = footerRowCounts(dir)
     val totalRows = perFile.map(_._2).sum
 
+    // commits may run concurrently from several driver threads (KgGenJob
+    // submits independent chains in parallel): serialize the metadata +
+    // version-hint section so parent pointers and the hint swap stay
+    // consistent (the data write above is per-snapshot-directory and
+    // needs no lock)
+    this.synchronized { commitMeta(id, stage, fingerprint, perFile, totalRows) }
+    back
+  }
+
+  private def commitMeta(
+      id: String,
+      stage: String,
+      fingerprint: String,
+      perFile: Array[(String, Long)],
+      totalRows: Long
+  ): Unit = {
     val meta: ObjectNode = mapper.createObjectNode()
     meta.put("snapshotId", id)
     meta.put("stage", stage)
@@ -123,7 +150,6 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, id.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, hintPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    back
   }
 
   /** The resumable-stage primitive: reuse the committed snapshot if this

@@ -66,4 +66,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val ctx = Analytics.retrieve(ents, tr, "alpha", 1).as[String].head()
     assert(ctx == "alpha r beta. beta r gamma.")
   }
+
+  test("relationEmbeddings embeds distinct predicate surfaces like nodes") {
+    val tr = triplesDf(("a", "stream", "b"), ("c", "stream", "d"), ("a", "xy", "b"))
+    val rel = Analytics.relationEmbeddings(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
+    // 'xy' is shorter than a trigram -> no rows; 'stream' matches the
+    // node-embedding rule exactly
+    assert(rel.forall(_._1 == "stream"))
+    val asMap = rel.map { case (_, d, c) => d -> c }.toMap
+    assert(asMap == Analytics.embedQuery("stream"))
+  }
+
+  test("vizModel assembles degrees, components, color and top flag per entity") {
+    val ents = Seq("a", "b", "c", "iso").toDF("entity")
+    val tr = triplesDf(("a", "r", "b"), ("a", "r", "c"))
+    val rows = Analytics.vizModel(ents, tr).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5), r.getString(6))))
+      .toMap
+    assert(rows.keySet == Set("a", "b", "c", "iso"))
+    assert(rows("a")._1 == 2 && rows("a")._3 == 2) // out_degree, degree
+    assert(rows("iso") == ((0L, 0L, 0L, "iso", 0L, rows("iso")._6))) // isolated: own component
+    assert(rows("b")._4 == "a" && rows("c")._4 == "a") // min-label component
+    assert(rows.values.forall(v => v._6.matches("#[0-9a-f]{6}")))
+    // only 3 connected entities -> all of them are top-10, iso has degree 0
+    assert(rows("a")._5 == 1 && rows("iso")._5 == 0)
+  }
 }
