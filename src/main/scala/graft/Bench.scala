@@ -210,12 +210,25 @@ object Bench {
       // runs hardest; the minimum of three runs approaches the
       // steal-free value
       val (s4n, n4n, runs4n, steals4n) =
-        spawnLevel(c4n, benchDocs, 3).getOrElse(measureInProcess(c4n, benchDocs))
+        spawnLevel(c4n, benchDocs, 4).getOrElse(measureInProcess(c4n, benchDocs))
       val (sn, nn, runsN, stealsN) =
-        spawnLevel(scaleN, benchDocs, 3).getOrElse(measureInProcess(scaleN, benchDocs))
+        spawnLevel(scaleN, benchDocs, 4).getOrElse(measureInProcess(scaleN, benchDocs))
       val tp4n = n4n / s4n
       val tpn = nn / sn
       val eff = (tp4n / tpn) / 4.0
+      // steal-adjusted: per run, the clean-time estimate is
+      // wall × used/(used+steal) — a CPU-bound run inflates by exactly
+      // the stolen share of its cycles. Raw numbers stay primary; the
+      // adjusted efficiency is reported (with per-run steal disclosed
+      // above) because host steal hits the 4N level systematically
+      // harder and would otherwise masquerade as poor dataflow scaling.
+      def adjBest(runs: Seq[Double], steals: Seq[Double]): Double =
+        if (steals.length != runs.length || runs.isEmpty) runs.min
+        else runs.zip(steals).map { case (r, st) => r * (1.0 - st / 100.0) }.min
+      val effAdj =
+        if (runs4n.nonEmpty && runsN.nonEmpty)
+          (adjBest(runsN, stealsN) / adjBest(runs4n, steals4n)) / 4.0
+        else eff
       kggenJson =
         s"""{"docs":$benchDocs,"triples":$n4n,"n_cores":$scaleN,""" +
           s""""sec_localN":${fmt(sn, 2)},"sec_local4N":${fmt(s4n, 2)},""" +
@@ -225,7 +238,8 @@ object Bench {
           s""""steal_pct_local4N":[${steals4n.map(fmt(_, 1)).mkString(",")}],""" +
           s""""triples_per_sec_localN":${fmt(tpn, 1)},"triples_per_sec_local4N":${fmt(tp4n, 1)},""" +
           s""""scaling_efficiency":${fmt(eff)},""" +
-          s""""methodology":"per-level child JVM (ActiveProcessorCount=cores, heap=4GiB/core), warmup+best-of-3, runs gated on host-steal<3% windows"}"""
+          s""""scaling_efficiency_steal_adjusted":${fmt(effAdj)},""" +
+          s""""methodology":"per-level child JVM (ActiveProcessorCount=cores, heap=4GiB/core); warmup then runs gated on host-steal<3% windows, early-stop on a clean (<2% steal) run; adjusted eff uses wall*used/(used+steal) per run"}"""
     } else spark32.stop()
 
     val qs = results
@@ -288,12 +302,18 @@ object BenchChild {
     val spark = Bench.session(cores)
     try {
       Bench.pipelineRun(spark, nDocs) // warmup: JIT steady state
-      val runs = (1 to measuredRuns).map { _ =>
+      // up to `measuredRuns` runs, stopping early once a clean run
+      // (steal < 2%) lands — a warm steady-state run needs no averaging,
+      // and the time saved is budget for waiting out storm phases
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double)]
+      var done = false
+      while (!done && runs.length < measuredRuns) {
         awaitQuiet(maxWaitSec = 150)
         val s0 = if (Files.exists(Paths.get("/proc/stat"))) Some(cpuSample()) else None
         val r = Bench.pipelineRun(spark, nDocs)
         val steal = s0.map(a => stealShare(a, cpuSample())).getOrElse(0.0)
-        (r._1, r._2, steal)
+        runs += ((r._1, r._2, steal))
+        done = steal < 0.02
       }
       val triples = runs.head._2
       def f(d: Double, dig: Int) = String.format(Locale.ROOT, s"%.${dig}f", Double.box(d))

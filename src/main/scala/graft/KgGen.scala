@@ -35,14 +35,18 @@ final class KgGen(
 ) {
 
   /** generate: text -> Graph (reference: kg_gen.py:149-268). Optional
-    * clustering mirrors `generate(cluster=True)` (kg_gen.py:244-245).
+    * clustering mirrors `generate(cluster=True)` (kg_gen.py:244-245);
+    * `context` mirrors `generate(context=...)` — the domain hint that
+    * steers relation extraction (kg_gen.py:149-174), here the
+    * deterministic [[graft.extract.ContextScorer]] gate.
     */
   def generate(
       text: String,
       cluster: Boolean = false,
-      clusterConfig: ClusterConfig = ClusterConfig()
+      clusterConfig: ClusterConfig = ClusterConfig(),
+      context: String = ""
   ): Graph = {
-    val g = generateRaw(text, isConversation = false)
+    val g = generateRaw(text, isConversation = false, context)
     if (cluster) this.cluster(g, clusterConfig) else g
   }
 
@@ -63,7 +67,9 @@ final class KgGen(
     if (cluster) this.cluster(g, clusterConfig) else g
   }
 
-  private def generateRaw(text: String, isConversation: Boolean): Graph = {
+  private def generateRaw(text: String, isConversation: Boolean, context: String = ""): Graph = {
+    val effectiveScorer =
+      if (context.nonEmpty) graft.extract.ContextScorer(scorer, context) else scorer
     import spark.implicits._
     val page = Page(
       url = "inline://text/0",
@@ -84,7 +90,7 @@ final class KgGen(
         .zipWithIndex
         .map { case (t, i) => graft.model.Chunk(p.url, i, t) }
     }
-    val ex = Extract.extractions(chunks, scorer, cfg)
+    val ex = Extract.extractions(chunks, effectiveScorer, cfg)
     val tm = Extract.tripleMentions(ex)
     val triples = Extract.tripleTable(tm)
     Extract.toGraph(Extract.entityTable(Extract.mentions(ex)), triples, Extract.edgeTable(triples))

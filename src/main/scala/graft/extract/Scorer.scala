@@ -45,6 +45,40 @@ trait Scorer extends Serializable {
   }
 }
 
+/** Context-steered scorer — the deterministic analogue of the
+  * reference's `generate(context=...)` domain hint
+  * (src/kg_gen/kg_gen.py:149-174 threads `context` into the relation
+  * prompts, src/kg_gen/steps/_2_get_relations.py:6-39). An LLM is
+  * *biased* by the hint; a deterministic engine needs a rule, so here
+  * the hint is a token set that gates relations: a triple survives only
+  * when its predicate shares a token with the context. Entities are
+  * untouched (the reference's entity prompt takes the context too but
+  * its tests only constrain relation output). Composes over any inner
+  * scorer — steering is orthogonal to how scoring happens.
+  */
+final case class ContextScorer(inner: Scorer, context: String) extends Scorer {
+  private val ctxToks: Set[String] =
+    context.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+
+  private def keep(t: Triple): Boolean =
+    ctxToks.isEmpty || t.predicate.toLowerCase.split(" ").exists(ctxToks.contains)
+
+  override def entities(chunks: Seq[String], isConversation: Boolean): Seq[Seq[String]] =
+    inner.entities(chunks, isConversation)
+
+  override def relations(
+      batch: Seq[(String, Seq[String])],
+      isConversation: Boolean
+  ): Seq[Seq[Triple]] =
+    inner.relations(batch, isConversation).map(_.filter(keep))
+
+  override def extract(
+      chunks: Seq[String],
+      isConversation: Boolean
+  ): Seq[(Seq[String], Seq[Triple])] =
+    inner.extract(chunks, isConversation).map { case (e, r) => (e, r.filter(keep)) }
+}
+
 /** Deterministic pattern scorer — the inverse of the corpus renderer
   * (SURVEY.md §7.5 risk 2: the corpus is rendered *from* known graphs, so
   * extraction P/R measures pipeline correctness, not language

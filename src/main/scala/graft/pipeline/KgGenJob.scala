@@ -110,24 +110,33 @@ object KgGenJob {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val entityChain = Future {
-      val mentions = timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp) {
-        Extract.mentions(ex)
-      } }
+    // all four tables are independent projections of the SAME committed
+    // extraction snapshot (entities = distinct of the mentions dataflow,
+    // not of the mentions *files*), so all four commits are leaves of
+    // one concurrent wave — the serial chain is 3 barriers (pages →
+    // chunks → extracted), one wave here, one cluster wave below
+    val fMentions = Future {
+      timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp)(Extract.mentions(ex)) }
+    }
+    val fTripleMentions = Future {
+      timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp)(Extract.tripleMentions(ex)) }
+    }
+    val fEntities = Future {
       timed("entities") { table.resumeOrCompute("entities", cfg.extractFp) {
-        Extract.entityTable(mentions)
+        // ≡ entityTable(mentions(ex)): the per-chunk dropDuplicates is
+        // subsumed by the global distinct, so skip it
+        ex.toDF().select(explode(col("entities")).as("entity")).distinct()
       } }
     }
-    val tripleChain = Future {
-      val tripleMentions = timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp) {
-        Extract.tripleMentions(ex)
-      } }
+    val fTriples = Future {
       timed("triples") { table.resumeOrCompute("triples", cfg.extractFp) {
-        Extract.tripleTable(tripleMentions)
+        Extract.tripleTable(Extract.tripleMentions(ex))
       } }
     }
-    val entities = Await.result(entityChain, Duration.Inf)
-    val triples = Await.result(tripleChain, Duration.Inf)
+    Await.result(fMentions, Duration.Inf)
+    Await.result(fTripleMentions, Duration.Inf)
+    val entities = Await.result(fEntities, Duration.Inf)
+    val triples = Await.result(fTriples, Duration.Inf)
 
     // stage 5: cluster + rewrite, materialize canonical tables. The five
     // outputs all hang off the checkpoint-materialized cluster
@@ -138,14 +147,14 @@ object KgGenJob {
       Future(timed(stage) { table.resumeOrCompute(stage, cfg.clusterFp)(df) })
     val fEntAssign = commitF("entity_clusters", clustered.entityAssignments)
     val fEdgeAssign = commitF("edge_clusters", clustered.edgeAssignments)
-    val fTriples = commitF("canonical_triples", clustered.triples)
-    val fEntities = commitF("canonical_entities", clustered.entities)
-    val fEdges = commitF("canonical_edges", clustered.edges)
+    val fCanonTriples = commitF("canonical_triples", clustered.triples)
+    val fCanonEntities = commitF("canonical_entities", clustered.entities)
+    val fCanonEdges = commitF("canonical_edges", clustered.edges)
 
     Result(
-      Await.result(fEntities, Duration.Inf),
-      Await.result(fTriples, Duration.Inf),
-      Await.result(fEdges, Duration.Inf),
+      Await.result(fCanonEntities, Duration.Inf),
+      Await.result(fCanonTriples, Duration.Inf),
+      Await.result(fCanonEdges, Duration.Inf),
       Await.result(fEntAssign, Duration.Inf),
       Await.result(fEdgeAssign, Duration.Inf)
     )

@@ -82,4 +82,17 @@ class KgGenSpec extends AnyFunSuite with SparkTestBase {
   test("empty input yields the empty graph") {
     assert(kg.generate("") == Graph.empty)
   }
+
+  test("context steers relation extraction (generate(context=...) analogue)") {
+    val text = "Linda is mother of Joshua. Linda works with Ben."
+    val all = kg.generate(text)
+    assert(all.relations.map(_._2) == Set("is mother of", "works with"))
+    // a family-domain hint gates relations to predicates sharing a token
+    val steered = kg.generate(text, context = "family mother father")
+    assert(steered.relations == Set(("Linda", "is mother of", "Joshua")))
+    // entities are NOT gated — the hint steers relations only
+    assert(steered.entities == all.entities)
+    // empty context = no steering
+    assert(kg.generate(text, context = "") == all)
+  }
 }
