@@ -119,8 +119,29 @@ object Bench {
     // 4 GiB/core (production-executor-like), floor 8: heap per core is
     // constant across levels so neither level is artificially GC-bound
     val heapGb = math.max(8, cores * 4)
+    // HARD-cap the child to exactly `cores` CPUs of bandwidth, the way a
+    // cgroup caps a real executor. ActiveProcessorCount alone only sizes
+    // thread pools — GC/IO/driver threads still ran on extra physical
+    // cores, which let the small level use ~1.5x its nominal cores and
+    // systematically understated scaling efficiency (measured: every
+    // stage "scaled" only ~2.2x from 2->8 without a cap). Preferred
+    // mechanism: a cfs-quota cgroup (bandwidth cap, threads migrate
+    // freely so host-steal damage averages out); fallback: taskset
+    // pinning (exact core set, but steal on a pinned vCPU concentrates).
+    val cgroup: Option[Path] = try {
+      val dir = Paths.get(s"/sys/fs/cgroup/cpu/graftbench$cores")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("cpu.cfs_period_us"), "100000")
+      Files.writeString(dir.resolve("cpu.cfs_quota_us"), (100000L * cores).toString)
+      Some(dir)
+    } catch { case _: Exception => None }
+    val taskset = Paths.get("/usr/bin/taskset")
+    val pin: Seq[String] =
+      if (cgroup.isEmpty && Files.isExecutable(taskset))
+        Seq(taskset.toString, "-c", s"0-${cores - 1}")
+      else Nil
     val cmd: Seq[String] =
-      Seq(
+      pin ++ Seq(
         javaBin,
         s"-Xms${heapGb}g",
         s"-Xmx${heapGb}g",
@@ -135,6 +156,10 @@ object Bench {
       sys.env.get("SPARK_GRAFT_TMP").foreach(v => pb.environment().put("SPARK_GRAFT_TMP", v))
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
+      cgroup.foreach { dir =>
+        try Files.writeString(dir.resolve("cgroup.procs"), proc.pid().toString)
+        catch { case e: Exception => System.err.println(s"[bench] cgroup attach failed: ${e.getMessage}") }
+      }
       val out = new String(proc.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       val rc = proc.waitFor()
       val line = out.linesIterator.find(_.startsWith("BENCHCHILD ")).map(_.stripPrefix("BENCHCHILD "))

@@ -110,33 +110,30 @@ object KgGenJob {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    // all four tables are independent projections of the SAME committed
-    // extraction snapshot (entities = distinct of the mentions dataflow,
-    // not of the mentions *files*), so all four commits are leaves of
-    // one concurrent wave — the serial chain is 3 barriers (pages →
-    // chunks → extracted), one wave here, one cluster wave below
-    val fMentions = Future {
-      timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp)(Extract.mentions(ex)) }
-    }
-    val fTripleMentions = Future {
-      timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp)(Extract.tripleMentions(ex)) }
-    }
-    val fEntities = Future {
+    // two independent chains off the committed extraction snapshot, run
+    // concurrently: each chain commits its heavy provenance table once
+    // (one scan+explode of the nested extraction columns) and derives
+    // the cheap global set from THAT committed (already-deduplicated)
+    // output — never a second scan of the extraction snapshot. Four
+    // serial barriers become two concurrent waves; total work unchanged.
+    val entityChain = Future {
+      val mentions = timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp) {
+        Extract.mentions(ex)
+      } }
       timed("entities") { table.resumeOrCompute("entities", cfg.extractFp) {
-        // ≡ entityTable(mentions(ex)): the per-chunk dropDuplicates is
-        // subsumed by the global distinct, so skip it
-        ex.toDF().select(explode(col("entities")).as("entity")).distinct()
+        Extract.entityTable(mentions)
       } }
     }
-    val fTriples = Future {
+    val tripleChain = Future {
+      val tripleMentions = timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp) {
+        Extract.tripleMentions(ex)
+      } }
       timed("triples") { table.resumeOrCompute("triples", cfg.extractFp) {
-        Extract.tripleTable(Extract.tripleMentions(ex))
+        Extract.tripleTable(tripleMentions)
       } }
     }
-    Await.result(fMentions, Duration.Inf)
-    Await.result(fTripleMentions, Duration.Inf)
-    val entities = Await.result(fEntities, Duration.Inf)
-    val triples = Await.result(fTriples, Duration.Inf)
+    val entities = Await.result(entityChain, Duration.Inf)
+    val triples = Await.result(tripleChain, Duration.Inf)
 
     // stage 5: cluster + rewrite, materialize canonical tables. The five
     // outputs all hang off the checkpoint-materialized cluster
