@@ -9,7 +9,20 @@ import graft.pipeline.KgGenJob
 
 /** Per-round benchmark main (driver contract + BASELINE.json north_rule).
   *
-  * Emits ONE JSON line:
+  * INCREMENTAL OUTPUT (round-3 fix — round 2's single end-of-run println
+  * lost everything to a driver timeout): the query-phase JSON line is
+  * printed the moment phase 1 finishes (with `"kggen":null`), and the
+  * complete line (same shape, kggen filled) is printed again when the
+  * scaling phase lands. A kill at ANY point leaves the latest fully-
+  * parseable line on stdout.
+  *
+  * WALL BUDGET: `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500) bounds the
+  * whole run. The scaling phase sizes itself from the remaining budget —
+  * measured-run count and steal-quiet waits shrink as budget shrinks, and
+  * a child JVM that overruns its share is killed (its level falls back to
+  * an in-process measurement only if nothing was measured).
+  *
+  * Emits JSON lines of one shape:
   *   - `queries`: per-query best-of-2 wall seconds for every SparkEntry
   *     query over SPARK_GRAFT_SF_DIR at local[32] (-1 sentinel + `failed`
   *     list for queries that error — failures never masquerade as times);
@@ -20,26 +33,33 @@ import graft.pipeline.KgGenJob
   *
   * Scaling methodology (why the numbers model N vs 4N *executors*):
   * each level runs in its OWN child JVM with resources proportional to
-  * the level — `-XX:ActiveProcessorCount=cores` (GC worker threads, JIT
-  * compiler threads, and default thread pools all size from it) and heap
-  * = 2 GiB/core. Going from N to 4N executors on a real cluster
-  * multiplies EVERY per-executor resource — cores, GC capacity, heap,
-  * memory bandwidth — not just Spark task slots. Round 1 measured both
-  * levels inside one shared 32-thread JVM, which handed the small level a
-  * 32-thread collector (inflating tpN) and charged the large level for
-  * shared-heap contention (deflating tp4N): both biases UNDERSTATE the
-  * dataflow's true scaling. Per-level JVMs remove both. Within each
-  * child: one warmup run (JIT steady state — long-running cluster jobs
-  * operate warm), then best-of-2 measured runs (guards the sandbox's
-  * intermittent multi-x slow phases). Work dirs on tmpfs (/dev/shm) keep
-  * disk-writeback stalls out of the dataflow measurement.
+  * the level — CPU bandwidth hard-capped to exactly `cores` (cgroup
+  * cfs-quota, else taskset), `-XX:ActiveProcessorCount=cores`, heap =
+  * 4 GiB/core (constant per core across levels). Going from N to 4N
+  * executors on a real cluster multiplies EVERY per-executor resource,
+  * not just task slots; a shared 32-thread JVM hands the small level
+  * free GC/IO cores and charges the large level for contention, both of
+  * which understate true dataflow scaling. PARTITION COUNT IS THE SAME
+  * AT BOTH LEVELS: on a real cluster the partitioning of a fixed input
+  * is a property of the data (maxPartitionBytes, AQE coalesce), not of
+  * the cluster size — 4N executors run the same tasks 4× wider. Round 2
+  * scaled partitions with the level, which charged the 4N level ~2.8×
+  * the per-task fixed cost (measured: 218 vs 79 tasks, +63% task-CPU for
+  * identical work) and understated efficiency. Work dirs on tmpfs
+  * (/dev/shm) keep disk-writeback stalls out of the measurement.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-  * SPARK_GRAFT_BENCH_DOCS (corpus size for the scaling runs),
-  * SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_TMP (work dir; default
-  * /dev/shm when present), SPARK_GRAFT_SKIP_SCALING=1 (queries only).
+  * SPARK_GRAFT_BENCH_DOCS (default 1M), SPARK_GRAFT_SCALE_N (default 2),
+  * SPARK_GRAFT_BENCH_BUDGET_SEC (default 1500), SPARK_GRAFT_TMP (work
+  * dir; default /dev/shm when present), SPARK_GRAFT_SKIP_SCALING=1
+  * (queries only), SPARK_GRAFT_SKIP_QUERIES=1 (scaling only).
   */
 object Bench {
+
+  /** Level-independent partition count for the scaling pipeline runs
+    * (see methodology above).
+    */
+  val ScalePartitions = 32
 
   private[graft] def tmpBase: Path = {
     val p = sys.env.get("SPARK_GRAFT_TMP").map(Paths.get(_)).getOrElse {
@@ -50,12 +70,12 @@ object Bench {
     p
   }
 
-  private[graft] def session(cores: Int): SparkSession = {
+  private[graft] def session(cores: Int, shufflePartitions: Option[Int] = None): SparkSession = {
     val s = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cores * 2).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -72,6 +92,7 @@ object Bench {
 
   /** One full pipeline run on a fresh snapshot root (no resume reuse);
     * returns (seconds, canonicalTriples). The root is deleted afterwards.
+    * Partitioning is level-independent (see methodology).
     */
   private[graft] def pipelineRun(spark: SparkSession, nDocs: Long): (Double, Long) = {
     val root = Files.createTempDirectory(tmpBase, "graft-bench")
@@ -79,7 +100,7 @@ object Bench {
       val cfg = KgGenJob.JobConfig(
         tableRoot = root.toString,
         corpus = CorpusGen.Config(nDocs = nDocs),
-        parallelism = spark.sparkContext.defaultParallelism * 2
+        parallelism = ScalePartitions
       )
       val t0 = System.nanoTime()
       val res = KgGenJob.run(spark, cfg)
@@ -105,26 +126,36 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** One measured level: best wall seconds, triples, all runs, per-run
+    * steal shares (empty when unmeasured), and which mode actually ran.
+    */
+  private final case class LevelResult(
+      best: Double,
+      triples: Long,
+      runs: Seq[Double],
+      steals: Seq[Double],
+      mode: String
+  )
+
   /** Run one parallelism level in a fresh child JVM whose resources scale
     * with the level (see methodology in the object Scaladoc). Returns
-    * (bestSeconds, triples, allRunSeconds) or None if spawning is not
-    * possible in this harness (caller falls back to in-process).
+    * None if spawning is not possible or the child produced nothing
+    * before its deadline (caller falls back to in-process).
     */
-  private def spawnLevel(cores: Int, nDocs: Long, measuredRuns: Int): Option[(Double, Long, Seq[Double], Seq[Double])] = {
+  private def spawnLevel(cores: Int, nDocs: Long, measuredRuns: Int, quietWaitSec: Int, deadlineSec: Int): Option[LevelResult] = {
     val cp = sys.props.getOrElse("java.class.path", "")
     // forked sbt `run` carries the full application classpath; a bare
     // sbt-launcher classpath cannot host BenchChild
     if (!cp.split(':').exists(e => e.contains("classes") || e.contains("kggenspark"))) return None
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
-    // 4 GiB/core (production-executor-like), floor 8: heap per core is
-    // constant across levels so neither level is artificially GC-bound
+    // 4 GiB/core (production-executor-like), floor 8 GiB: heap per core
+    // is constant across levels so neither level is artificially GC-bound
     val heapGb = math.max(8, cores * 4)
     // HARD-cap the child to exactly `cores` CPUs of bandwidth, the way a
     // cgroup caps a real executor. ActiveProcessorCount alone only sizes
     // thread pools — GC/IO/driver threads still ran on extra physical
     // cores, which let the small level use ~1.5x its nominal cores and
-    // systematically understated scaling efficiency (measured: every
-    // stage "scaled" only ~2.2x from 2->8 without a cap). Preferred
+    // systematically understated scaling efficiency. Preferred
     // mechanism: a cfs-quota cgroup (bandwidth cap, threads migrate
     // freely so host-steal damage averages out); fallback: taskset
     // pinning (exact core set, but steal on a pinned vCPU concentrates).
@@ -149,7 +180,8 @@ object Bench {
       ) ++ jdk17AddOpens ++ Seq(
         "-Dspark.ui.enabled=false",
         "-cp", cp,
-        "graft.BenchChild", cores.toString, nDocs.toString, measuredRuns.toString
+        "graft.BenchChild", cores.toString, nDocs.toString, measuredRuns.toString,
+        quietWaitSec.toString, deadlineSec.toString
       )
     try {
       val pb = new ProcessBuilder(cmd: _*)
@@ -160,18 +192,32 @@ object Bench {
         try Files.writeString(dir.resolve("cgroup.procs"), proc.pid().toString)
         catch { case e: Exception => System.err.println(s"[bench] cgroup attach failed: ${e.getMessage}") }
       }
+      // parent-side watchdog: a child that overruns its deadline (plus
+      // slack for session startup/teardown) is killed rather than
+      // allowed to eat the whole driver budget
+      val finished = proc.waitFor(deadlineSec + 120L, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        System.err.println(s"[bench] child local[$cores] exceeded deadline ${deadlineSec}s — killing")
+        proc.destroyForcibly()
+        proc.waitFor()
+      }
       val out = new String(proc.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      val rc = proc.waitFor()
-      val line = out.linesIterator.find(_.startsWith("BENCHCHILD ")).map(_.stripPrefix("BENCHCHILD "))
+      val rc = proc.exitValue()
+      // the child prints a cumulative line after EVERY measured run, so
+      // even a deadline-killed child yields its completed measurements —
+      // take the last line (rc != 0 is recorded in the mode)
+      val line = out.linesIterator.filter(_.startsWith("BENCHCHILD ")).toSeq.lastOption
+        .map(_.stripPrefix("BENCHCHILD "))
       line match {
-        case Some(l) if rc == 0 =>
+        case Some(l) =>
           // format: cores=<n> triples=<n> runs=<s1>,... steals=<p1>,...
           val kv = l.trim.split(' ').map { t => val Array(k, v) = t.split('='); k -> v }.toMap
           val runs = kv("runs").split(',').map(_.toDouble).toSeq
           val steals = kv.get("steals").map(_.split(',').map(_.toDouble).toSeq).getOrElse(Nil)
-          Some((runs.min, kv("triples").toLong, runs, steals))
-        case _ =>
-          System.err.println(s"[bench] child local[$cores] failed rc=$rc")
+          val mode = if (rc == 0) "child-jvm" else "child-jvm-partial"
+          Some(LevelResult(runs.min, kv("triples").toLong, runs, steals, mode))
+        case None =>
+          System.err.println(s"[bench] child local[$cores] produced no measurement, rc=$rc")
           None
       }
     } catch {
@@ -181,25 +227,29 @@ object Bench {
     }
   }
 
-  /** In-process fallback (round-1 methodology) when child JVMs cannot be
-    * spawned: best-of-2 at the level inside this JVM.
+  /** In-process fallback when child JVMs cannot be spawned: best-of-2 at
+    * the level inside this JVM (no CPU cap, no steal data — recorded as
+    * mode "in-process").
     */
-  private def measureInProcess(cores: Int, nDocs: Long): (Double, Long, Seq[Double], Seq[Double]) = {
-    val s = session(cores)
+  private def measureInProcess(cores: Int, nDocs: Long): LevelResult = {
+    val s = session(cores, Some(ScalePartitions))
     try {
       val runs = Seq(pipelineRun(s, nDocs), pipelineRun(s, nDocs))
       val best = runs.minBy(_._1)
-      (best._1, best._2, runs.map(_._1), Nil)
+      LevelResult(best._1, best._2, runs.map(_._1), Nil, "in-process")
     } finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // 2M docs: the fixed driver-side component (commit barriers, job
-    // scheduling) amortizes over a larger perfectly-parallel phase, which
-    // is exactly the regime a 100 TB run lives in
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
+    // 1M docs: fits the driver budget with headroom (round 2's 2M default
+    // timed out the whole bench); the fixed driver-side component still
+    // amortizes over ~60s-scale runs
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1") // dev iteration knob
 
@@ -215,7 +265,10 @@ object Bench {
         try { fn(spark32, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); None }
       }
-      val t = (once(), once()) match {
+      // best-of-2 while the budget is comfortable; single-run once the
+      // query phase has eaten a third of the total budget
+      val second = elapsedSec < budgetSec / 3.0
+      val t = (once(), if (second) once() else None) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case (Some(a), None)    => a
         case (None, Some(b))    => b
@@ -225,71 +278,84 @@ object Bench {
     }
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
 
-    // --- phase 2: kg-gen pipeline throughput, one child JVM per level ---
-    var kggenJson = "null"
-    if (!skipScaling) {
-      spark32.stop()
-      val c4n = scaleN * 4
-      // best-of-3: this sandbox has intermittent host-steal phases (up to
-      // ~40% of used CPU for minutes at a time) that hit high-parallelism
-      // runs hardest; the minimum of three runs approaches the
-      // steal-free value
-      val (s4n, n4n, runs4n, steals4n) =
-        spawnLevel(c4n, benchDocs, 4).getOrElse(measureInProcess(c4n, benchDocs))
-      val (sn, nn, runsN, stealsN) =
-        spawnLevel(scaleN, benchDocs, 4).getOrElse(measureInProcess(scaleN, benchDocs))
-      val tp4n = n4n / s4n
-      val tpn = nn / sn
-      val eff = (tp4n / tpn) / 4.0
-      // steal-adjusted: per run, the clean-time estimate is
-      // wall × used/(used+steal) — a CPU-bound run inflates by exactly
-      // the stolen share of its cycles. Raw numbers stay primary; the
-      // adjusted efficiency is reported (with per-run steal disclosed
-      // above) because host steal hits the 4N level systematically
-      // harder and would otherwise masquerade as poor dataflow scaling.
-      def adjBest(runs: Seq[Double], steals: Seq[Double]): Double =
-        if (steals.length != runs.length || runs.isEmpty) runs.min
-        else runs.zip(steals).map { case (r, st) => r * (1.0 - st / 100.0) }.min
-      val effAdj =
-        if (runs4n.nonEmpty && runsN.nonEmpty)
-          (adjBest(runsN, stealsN) / adjBest(runs4n, steals4n)) / 4.0
-        else eff
-      kggenJson =
-        s"""{"docs":$benchDocs,"triples":$n4n,"n_cores":$scaleN,""" +
-          s""""sec_localN":${fmt(sn, 2)},"sec_local4N":${fmt(s4n, 2)},""" +
-          s""""runs_localN":[${runsN.map(fmt(_, 2)).mkString(",")}],""" +
-          s""""runs_local4N":[${runs4n.map(fmt(_, 2)).mkString(",")}],""" +
-          s""""steal_pct_localN":[${stealsN.map(fmt(_, 1)).mkString(",")}],""" +
-          s""""steal_pct_local4N":[${steals4n.map(fmt(_, 1)).mkString(",")}],""" +
-          s""""triples_per_sec_localN":${fmt(tpn, 1)},"triples_per_sec_local4N":${fmt(tp4n, 1)},""" +
-          s""""scaling_efficiency":${fmt(eff)},""" +
-          s""""scaling_efficiency_steal_adjusted":${fmt(effAdj)},""" +
-          s""""methodology":"per-level child JVM (ActiveProcessorCount=cores, heap=4GiB/core); warmup then runs gated on host-steal<3% windows, early-stop on a clean (<2% steal) run; adjusted eff uses wall*used/(used+steal) per run"}"""
-    } else spark32.stop()
-
     val qs = results
       .map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(
+    def emit(kggenJson: String): Unit = println(
       s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","kggen":$kggenJson}"""
     )
+    // flush phase-1 results NOW: a timeout during the scaling phase must
+    // not lose the finished query phase (round-2 failure mode)
+    if (!skipQueries) emit("null")
+
+    // --- phase 2: kg-gen pipeline throughput, one child JVM per level ---
+    if (!skipScaling) {
+      spark32.stop()
+      val c4n = scaleN * 4
+      // per-level plan from remaining budget: a level needs roughly
+      // (warmup + runs) × runSec wall; estimated from the slower (N)
+      // level at ~90s per 1M docs per 2 cores
+      def levelPlan(): (Int, Int, Int) = {
+        val remaining = (budgetSec - elapsedSec).toInt
+        val perLevel = remaining / 2
+        if (perLevel > 600) (3, 60, perLevel)
+        else if (perLevel > 300) (2, 30, perLevel)
+        else (1, 0, math.max(perLevel, 180))
+      }
+      def measure(cores: Int): LevelResult = {
+        val (runs, quiet, deadline) = levelPlan()
+        spawnLevel(cores, benchDocs, runs, quiet, deadline)
+          .getOrElse(measureInProcess(cores, benchDocs))
+      }
+      val r4n = measure(c4n)
+      val rn = measure(scaleN)
+      val tp4n = r4n.triples / r4n.best
+      val tpn = rn.triples / rn.best
+      val eff = (tp4n / tpn) / 4.0
+      // steal-adjusted: per run, the clean-time estimate is
+      // wall × used/(used+steal) — a CPU-bound run inflates by at most
+      // the stolen share of its cycles, so the adjustment is an
+      // UPPER-BOUND estimate. Raw numbers stay primary; the adjusted
+      // efficiency is emitted only when both levels carry steal samples.
+      def adjBest(runs: Seq[Double], steals: Seq[Double]): Double =
+        runs.zip(steals).map { case (r, st) => r * (1.0 - st / 100.0) }.min
+      val effAdjJson =
+        if (r4n.steals.length == r4n.runs.length && rn.steals.length == rn.runs.length &&
+          r4n.runs.nonEmpty && rn.runs.nonEmpty)
+          s""""scaling_efficiency_steal_adjusted_upper_bound":${fmt(adjBest(rn.runs, rn.steals) / adjBest(r4n.runs, r4n.steals) / 4.0)},"""
+        else ""
+      val kggenJson =
+        s"""{"docs":$benchDocs,"triples":${r4n.triples},"n_cores":$scaleN,""" +
+          s""""sec_localN":${fmt(rn.best, 2)},"sec_local4N":${fmt(r4n.best, 2)},""" +
+          s""""runs_localN":[${rn.runs.map(fmt(_, 2)).mkString(",")}],""" +
+          s""""runs_local4N":[${r4n.runs.map(fmt(_, 2)).mkString(",")}],""" +
+          s""""steal_pct_localN":[${rn.steals.map(fmt(_, 1)).mkString(",")}],""" +
+          s""""steal_pct_local4N":[${r4n.steals.map(fmt(_, 1)).mkString(",")}],""" +
+          s""""mode_localN":"${rn.mode}","mode_local4N":"${r4n.mode}",""" +
+          s""""triples_per_sec_localN":${fmt(tpn, 1)},"triples_per_sec_local4N":${fmt(tp4n, 1)},""" +
+          s""""scaling_efficiency":${fmt(eff)},""" +
+          effAdjJson +
+          s""""methodology":"per-level child JVM when mode=child-jvm (cgroup/taskset CPU cap, ActiveProcessorCount=cores, heap=4GiB/core, warmup run, steal-gated measured runs); identical partitioning ($ScalePartitions) at both levels; budget=${budgetSec}s"}"""
+      emit(kggenJson)
+    } else spark32.stop()
   }
 }
 
 /** Child-JVM entry for one scaling level: local[cores] session in a JVM
-  * sized to the level (the parent sets -XX:ActiveProcessorCount and the
-  * heap). Runs one warmup + `measuredRuns` measured pipeline runs and
-  * prints one machine-readable line.
+  * sized to the level (the parent sets the CPU cap, ActiveProcessorCount
+  * and the heap). Runs one warmup + up to `measuredRuns` measured
+  * pipeline runs (early-stop on a clean run, hard-stop past the
+  * deadline) and prints one machine-readable line.
   *
   * Host-steal gating: this sandbox VM shares a host that intermittently
   * steals up to ~40% of used CPU for minutes at a time, and steal hits
   * high-parallelism runs hardest (a 2-thread run barely notices what
   * cripples an 8-thread run) — which would bias the N-vs-4N comparison
-  * against 4N. Each measured run therefore waits (bounded) for a quiet
-  * window, and the realized steal share is measured across each run and
-  * reported next to its wall time, so every number carries its own
-  * weather report.
+  * against 4N. Each measured run waits (bounded by the budget-derived
+  * quietWaitSec) for a quiet window, and the realized steal share is
+  * measured across each run and reported next to its wall time, so every
+  * number carries its own weather report.
   */
 object BenchChild {
 
@@ -310,7 +376,7 @@ object BenchChild {
 
   /** Wait (up to maxWaitSec) for a window with steal below 3%. */
   private def awaitQuiet(maxWaitSec: Int): Unit = {
-    if (!Files.exists(Paths.get("/proc/stat"))) return
+    if (maxWaitSec <= 0 || !Files.exists(Paths.get("/proc/stat"))) return
     val deadline = System.nanoTime() + maxWaitSec * 1000000000L
     var quiet = false
     while (!quiet && System.nanoTime() < deadline) {
@@ -321,30 +387,38 @@ object BenchChild {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val cores = args(0).toInt
     val nDocs = args(1).toLong
     val measuredRuns = args(2).toInt
-    val spark = Bench.session(cores)
+    val quietWaitSec = if (args.length > 3) args(3).toInt else 60
+    val deadlineSec = if (args.length > 4) args(4).toInt else Int.MaxValue
+    def withinDeadline: Boolean = (System.nanoTime() - t0) / 1e9 < deadlineSec
+    val spark = Bench.session(cores, Some(Bench.ScalePartitions))
     try {
       Bench.pipelineRun(spark, nDocs) // warmup: JIT steady state
       // up to `measuredRuns` runs, stopping early once a clean run
       // (steal < 2%) lands — a warm steady-state run needs no averaging,
       // and the time saved is budget for waiting out storm phases
       val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double)]
+      def f(d: Double, dig: Int) = String.format(Locale.ROOT, s"%.${dig}f", Double.box(d))
+      def emit(): Unit = {
+        val secs = runs.map(r => f(r._1, 3)).mkString(",")
+        val steals = runs.map(r => f(r._3 * 100, 1)).mkString(",")
+        println(s"BENCHCHILD cores=$cores triples=${runs.head._2} runs=$secs steals=$steals")
+      }
       var done = false
-      while (!done && runs.length < measuredRuns) {
-        awaitQuiet(maxWaitSec = 150)
+      while (!done && runs.length < measuredRuns && (runs.isEmpty || withinDeadline)) {
+        awaitQuiet(quietWaitSec)
         val s0 = if (Files.exists(Paths.get("/proc/stat"))) Some(cpuSample()) else None
         val r = Bench.pipelineRun(spark, nDocs)
         val steal = s0.map(a => stealShare(a, cpuSample())).getOrElse(0.0)
         runs += ((r._1, r._2, steal))
+        // cumulative line after every run: a deadline-kill by the parent
+        // loses at most the in-flight run, never completed ones
+        emit()
         done = steal < 0.02
       }
-      val triples = runs.head._2
-      def f(d: Double, dig: Int) = String.format(Locale.ROOT, s"%.${dig}f", Double.box(d))
-      val secs = runs.map(r => f(r._1, 3)).mkString(",")
-      val steals = runs.map(r => f(r._3 * 100, 1)).mkString(",")
-      println(s"BENCHCHILD cores=$cores triples=$triples runs=$secs steals=$steals")
     } finally spark.stop()
   }
 }

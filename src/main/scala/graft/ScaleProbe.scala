@@ -62,7 +62,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 200000L
-    val combos = Seq((8, 16), (2, 4), (8, 16), (2, 4))
+    // partition count is level-independent (Bench methodology): a fixed
+    // input's partitioning is a property of the data, not the cluster
+    val combos = Seq((8, 32), (2, 32), (8, 32), (2, 32))
     // full-scale warmup pays the one-time at-scale JIT tax
     val w = session(32, 64)
     run(w, nDocs, 64)

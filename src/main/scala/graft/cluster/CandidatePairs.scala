@@ -81,6 +81,68 @@ object CandidatePairs {
       Normalize.prefixMatch(aNorm, bNorm, cfg.prefixRatio) ||
       cfg.synonymSets.exists(s => s.contains(aSurf) && s.contains(bSurf))
 
+  /** Driver-side twin of [[edges]] for the adaptive small-dictionary
+    * path: identical channels, blocking keys, orderings, and acceptance
+    * rule, evaluated in plain Scala over an already-collected member set.
+    * The distributed path's per-channel Spark jobs (probe + windows +
+    * minhash flatMap + verify) are pure driver-scheduling latency when
+    * the dictionary is a few thousand surfaces — this removes them
+    * entirely (the jobs, not the semantics: results match [[edges]]
+    * pair-for-pair, which the sbt parity test asserts).
+    */
+  def edgesLocal(members: Seq[String], cfg: ClusterConfig = ClusterConfig()): Seq[(String, String)] = {
+    val distinctMembers = members.distinct
+    val withNorm = distinctMembers.map(m => (m, Normalize(m)))
+
+    // 1. exact-norm star edges: member -> group root (min by (len, member))
+    val byNorm = withNorm.groupBy(_._2)
+    val exact = byNorm.iterator.flatMap { case (_, ms) =>
+      val root = ms.map(_._1).minBy(m => (m.length, m))
+      ms.map(_._1).filter(_ != root).map(m => (m, root))
+    }.toSeq
+
+    // distinct norms carry one witness surface (their min member)
+    val norms = byNorm.map { case (n, ms) => (ms.map(_._1).min, n) }.toSeq
+
+    // neighbors under a (norm, member) sort within a keyed block —
+    // the driver twin of the leadNeighbors window pass
+    def neighbors(keyed: Seq[(String, (String, String))], n: Int): Seq[((String, String), (String, String))] =
+      keyed.groupBy(_._1).iterator.flatMap { case (_, block) =>
+        val sorted = block.map(_._2).sortBy { case (member, norm) => (norm, member) }
+        sorted.indices.flatMap { i =>
+          (1 to n).flatMap { d =>
+            if (i + d < sorted.length) Some((sorted(i), sorted(i + d))) else None
+          }
+        }
+      }.toSeq
+
+    // 2. sorted neighborhood within 2-char prefix blocks of the norm
+    val neighborCand = neighbors(
+      norms.map { case (m, n) => (n.take(2), (m, n)) },
+      cfg.neighborWindow
+    )
+
+    // 3. minhash band buckets over distinct norms, capped neighborhood
+    val bandCand = neighbors(
+      norms.flatMap { case (m, n) => bandKeys(n, cfg).map(k => (k, (m, n))) },
+      cfg.bucketPairCap
+    ).filter { case ((_, aNorm), (_, bNorm)) => aNorm != bNorm }
+
+    val acc = accepts(cfg) _
+    val verified = (neighborCand ++ bandCand).collect {
+      case ((aM, aN), (bM, bN)) if acc(aN, bN, aM, bM) => (aM, bM)
+    }
+
+    // 4. synonym edges over members actually present
+    val present = distinctMembers.toSet
+    val synEdges = cfg.synonymSets.flatMap { s =>
+      val sorted = s.toSeq.sorted
+      sorted.drop(1).map(m => (m, sorted.head))
+    }.filter { case (a, b) => present(a) && present(b) }
+
+    (exact ++ verified ++ synEdges).distinct
+  }
+
   /** items: one string column `member` (distinct). Returns accepted edges
     * (src, dst) over member surfaces.
     */

@@ -29,16 +29,16 @@ object ClusterGraph {
     val spark = items.sparkSession
     import spark.implicits._
     val distinctItems = items.select(col("member")).distinct()
-    val pairEdges = CandidatePairs.edges(distinctItems, cfg)
 
     // Adaptive small-input path (cfg.driverClusterThreshold): `take` is
     // incremental — it stops as soon as threshold+1 distinct members are
     // found, so at web scale this probe reads a partition or two, decides
     // "big", and the distributed fixpoint below runs unchanged. When the
-    // dictionary IS small (a few MB of surface forms), a driver-side
-    // union-find over the collected candidate edges replaces ~2 jobs per
-    // CC iteration with zero — the iterative loop's cost there is driver
-    // scheduling latency, not data.
+    // dictionary IS small (a few MB of surface forms), candidate edges
+    // AND the union-find run driver-side (CandidatePairs.edgesLocal, the
+    // channel-identical twin): the whole cluster phase is then ONE Spark
+    // job (the probe) instead of ~10 — at this size the distributed
+    // path's cost is driver scheduling latency, not data.
     val probe = distinctItems.as[String].take(cfg.driverClusterThreshold + 1)
     if (probe.length <= cfg.driverClusterThreshold) {
       val members = probe
@@ -50,7 +50,7 @@ object ClusterGraph {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairEdges.as[(String, String)].collect().foreach { case (a, b) =>
+      CandidatePairs.edgesLocal(members.toSeq, cfg).foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(ra) = rb
       }
@@ -67,7 +67,7 @@ object ClusterGraph {
       assignments.toDF("member", "representative")
     } else {
       val comp = ConnectedComponents.run(
-        pairEdges,
+        CandidatePairs.edges(distinctItems, cfg),
         distinctItems.select(col("member").as("node")),
         cfg.maxIterations
       )
@@ -116,8 +116,14 @@ object ClusterGraph {
     val entAssign = Await.result(entF, Duration.Inf)
     val predAssign = Await.result(predF, Duration.Inf)
 
+    // size-gated broadcast (round-2 advice): the hint fires only when the
+    // dictionary is provably small (driver-clustered LocalRelation);
+    // otherwise AQE decides from observed sizes — a forced broadcast of a
+    // billion-row dictionary at the design scale would be an OOM
     def dict(assign: DataFrame, memberCol: String, repCol: String): DataFrame =
-      broadcast(assign.select(col("member").as(memberCol), col("representative").as(repCol)))
+      graft.util.PlanHints.maybeBroadcast(
+        assign.select(col("member").as(memberCol), col("representative").as(repCol))
+      )
 
     val rewritten = triples
       .join(dict(entAssign, "sMember", "sRep"), col("subject") === col("sMember"), "left")
@@ -184,7 +190,9 @@ object ClusterGraph {
     val entAssign = clusterItems(ents.select(col("entity").as("member")), cfg)
 
     def dict(assign: DataFrame, memberCol: String, repCol: String): DataFrame =
-      broadcast(assign.select(col("member").as(memberCol), col("representative").as(repCol)))
+      graft.util.PlanHints.maybeBroadcast(
+        assign.select(col("member").as(memberCol), col("representative").as(repCol))
+      )
 
     val rewritten = tris
       .join(dict(entAssign, "sMember", "sRep"), col("subject") === col("sMember"), "left")

@@ -27,24 +27,20 @@ object ConnectedComponents {
     * @param nodes one column `node`; isolated nodes keep their own label
     * @return (node, component) where component = min node label reachable
     */
-  def run(edges: DataFrame, nodes: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // Hub-entity skew in the propagation join (all und rows with a hub
-    // src land in one sort-merge partition): handled by AQE's skew-join
-    // split — the engine-side equivalent of salting (it splits the skewed
-    // partition and replicates the matching build rows), applied only
-    // when a partition is actually skewed. Pinned HERE, not left to the
-    // caller's session, so every CC entry point gets it; restored after
-    // the loop.
-    val spark = edges.sparkSession
-    val pinned = Seq("spark.sql.adaptive.enabled" -> "true", "spark.sql.adaptive.skewJoin.enabled" -> "true")
-    val saved = pinned.map { case (k, _) => k -> scala.util.Try(spark.conf.get(k)).toOption }
-    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
-    try runInner(edges, nodes, maxIterations)
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
+  /** Hub-entity skew in the propagation join (all und rows with a hub
+    * src land in one sort-merge partition) is handled by AQE's skew-join
+    * split — the engine-side equivalent of salting (it splits the skewed
+    * partition and replicates the matching build rows), applied only
+    * when a partition is actually skewed. AQE + skew-join are REQUIRED
+    * session configs (KgGenJob.session and Bench.session set them; both
+    * default ON in Spark 4) — round 2 pinned them here via mutable
+    * session conf with save/restore, but concurrent CC runs from two
+    * driver threads (ClusterGraph runs entity and predicate clustering
+    * in parallel) can interleave set/restore and flip the conf mid-run
+    * for the sibling, so the mutation is gone (round-2 advice).
+    */
+  def run(edges: DataFrame, nodes: DataFrame, maxIterations: Int = 20): DataFrame =
+    runInner(edges, nodes, maxIterations)
 
   private def runInner(edges: DataFrame, nodes: DataFrame, maxIterations: Int): DataFrame = {
     val und = edges
@@ -53,20 +49,30 @@ object ConnectedComponents {
       .distinct()
       .persist()
 
-    // lazy localCheckpoint (not persist): cache substitution only happens
+    // lazy checkpoint (not persist): cache substitution only happens
     // at execution, AFTER analysis — a persisted loop still re-analyzes a
     // plan that embeds the previous round's plan twice (join + union), so
     // driver analysis cost and plan memory double per iteration.
-    // localCheckpoint TRUNCATES the logical plan at materialization, so
+    // Checkpointing TRUNCATES the logical plan at materialization, so
     // every round's plan has constant depth; the checksum action below is
-    // the single job that materializes it. Superseded checkpoint blocks
-    // are released by the ContextCleaner when the old Dataset goes out of
-    // scope (the loop holds exactly one live round at a time).
-    var labels = nodes
-      .select(col("node"))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(false)
+    // the single job that materializes it. Materialization strategy
+    // (round-2 advice): when the caller set a RELIABLE checkpoint dir
+    // (spark.sparkContext.setCheckpointDir — the right choice on a real
+    // multi-executor cluster, where localCheckpoint's unreplicated
+    // executor-local blocks make the job unrecoverable on executor
+    // loss), use reliable checkpoints; otherwise (local/bench)
+    // localCheckpoint. Superseded rounds are released by the
+    // ContextCleaner when the old Dataset goes out of scope (the loop
+    // holds exactly one live round at a time).
+    val reliable = nodes.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    var labels = materialize(
+      nodes
+        .select(col("node"))
+        .distinct()
+        .withColumn("label", col("node"))
+    )
 
     // order-independent, overflow-free label fingerprint; the action also
     // materializes the round's checkpoint — ONE job per iteration does
@@ -82,11 +88,12 @@ object ConnectedComponents {
       val nbr = und
         .join(labels, und("src") === labels("node"))
         .select(und("dst").as("node"), col("label"))
-      val next = nbr
-        .union(labels.select("node", "label"))
-        .groupBy("node")
-        .agg(min("label").as("label"))
-        .localCheckpoint(false)
+      val next = materialize(
+        nbr
+          .union(labels.select("node", "label"))
+          .groupBy("node")
+          .agg(min("label").as("label"))
+      )
       val sumNow = checksum(next)
       converged = sumNow == prevSum
       prevSum = sumNow

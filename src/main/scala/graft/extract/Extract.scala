@@ -98,6 +98,13 @@ object Extract {
   def entityTable(mentions: DataFrame): DataFrame =
     mentions.select("entity").distinct()
 
+  /** Global entity set directly off extractions — one explode + global
+    * distinct, skipping the per-chunk provenance dedup (same set as
+    * `entityTable(mentions(ex))`; the lean-pipeline derivation).
+    */
+  def entitySet(ex: Dataset[ChunkExtraction]): DataFrame =
+    ex.select(explode(col("entities")).as("entity")).distinct()
+
   /** Global triple set (E4 union + distinct). */
   def tripleTable(tripleMentions: DataFrame): DataFrame =
     tripleMentions.select("subject", "predicate", "obj").distinct()

@@ -64,13 +64,58 @@ object Dedup {
     * candidates stay ~linear instead of O(block^2).
     */
   def ngramJaccardPairs(docs: DataFrame, thetaPct: Int = 90): DataFrame = {
-    val t = tokenSets(docs)
-    // ceil(thetaPct*|toks|/100) in exact integer math; empty token sets
-    // keep a '' sentinel prefix so degenerate empty-empty pairs (J = 0/0,
-    // accepted by the rule) still meet
+    val t = jaccardCandidates(docs, thetaPct)
+      .select(
+        col("a"),
+        col("b"),
+        size(array_intersect(col("atoks"), col("btoks"))).cast("long").as("inter"),
+        size(array_union(col("atoks"), col("btoks"))).cast("long").as("uni")
+      )
+      .where(lit(100) * col("inter") >= lit(thetaPct) * col("uni"))
+    t
+  }
+
+  /** Candidate pairs for [[ngramJaccardPairs]] (exposed for the bounded-
+    * candidate-count test): PPJoin prefix equi-join with the global token
+    * order ASCENDING DOCUMENT FREQUENCY (ties by token). The prefix lemma
+    * holds for any global total order, but bucket sizes stay small only
+    * when prefixes prefer RARE tokens — a lexicographic order puts
+    * stopword-heavy vocabularies' hottest tokens into every prefix and
+    * melts the equi-join buckets (classic PPJoin orders by ascending df
+    * for exactly this reason). The exact intersect/union verify above is
+    * order-independent, so the final result is provably unchanged.
+    */
+  private[graft] def jaccardCandidates(docs: DataFrame, thetaPct: Int = 90): DataFrame = {
+    val t0 = tokenSets(docs)
+    // global document frequency of each token, then each doc's token
+    // array re-sorted by (df, token): one aggregation + one equi-join +
+    // one re-collect — all shuffle keys are single tokens / doc ids,
+    // never bodies
+    val df = t0
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+    val ordered = t0
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(df, "tok")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)").as("ftoks"))
+    // left join: docs with empty token sets vanish under explode but must
+    // keep their '' sentinel prefix (empty-empty pairs, J = 0/0, are
+    // accepted by the rule)
+    val t = t0
+      .join(ordered, Seq("doc_id"), "left")
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("toks"),
+        coalesce(col("ftoks"), array().cast("array<string>")).as("ftoks")
+      )
+    // ceil(thetaPct*|toks|/100) in exact integer math over the
+    // frequency-ordered array
     val prefixExpr =
-      s"CASE WHEN size(toks) = 0 THEN array('') " +
-        s"ELSE slice(toks, 1, size(toks) - (($thetaPct * size(toks) + 99) div 100) + 1) END"
+      s"CASE WHEN size(ftoks) = 0 THEN array('') " +
+        s"ELSE slice(ftoks, 1, size(ftoks) - (($thetaPct * size(ftoks) + 99) div 100) + 1) END"
     val pref = t.select(
       col("source"),
       col("doc_id"),
@@ -82,13 +127,7 @@ object Dedup {
     a.join(b, Seq("source", "ptok"))
       .where(col("a") < col("b"))
       .dropDuplicates("a", "b")
-      .select(
-        col("a"),
-        col("b"),
-        size(array_intersect(col("atoks"), col("btoks"))).cast("long").as("inter"),
-        size(array_union(col("atoks"), col("btoks"))).cast("long").as("uni")
-      )
-      .where(lit(100) * col("inter") >= lit(thetaPct) * col("uni"))
+      .select(col("a"), col("b"), col("atoks"), col("btoks"))
   }
 
   /** md5-order MinHash signature column: per seed i, the minimum of

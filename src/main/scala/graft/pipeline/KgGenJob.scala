@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.analytics.Analytics
 import graft.cluster.CandidatePairs.ClusterConfig
 import graft.cluster.ClusterGraph
 import graft.corpus.CorpusGen
@@ -10,18 +11,32 @@ import graft.model.Page
 import graft.store.SnapshotTable
 
 /** The end-to-end kg-gen job: clean -> chunk -> extract -> aggregate ->
-  * cluster -> materialize, every stage committed as a resumable snapshot
-  * (SURVEY.md §3.1-§3.3, §7.2 build order step 6).
+  * cluster -> materialize (SURVEY.md §3.1-§3.3, §7.2 build order step 6).
+  *
+  * Commit strategy (round-3 rework, driven by measured stage walls): the
+  * durable contract is the EXTRACTION snapshot (the expensive stage — at
+  * real scale it holds the LLM/scorer outputs that must never be paid
+  * twice) plus the FIVE canonical outputs. Everything between is a cheap
+  * narrow derivation of the extraction snapshot, and committing it
+  * (pages, chunks, mentions, triple_mentions — round 2's 13-barrier
+  * chain) doubled the pipeline's write volume while adding pure
+  * level-independent wall time: the provenance wave alone was ~27 s of a
+  * 39 s local[8] run at 1 M docs. Those commits are now opt-in
+  * (`commitProvenance = true`) for audits that want per-chunk lineage
+  * tables on disk; resumability is unchanged — a crash after extraction
+  * resumes from the extraction snapshot and recomputes only narrow
+  * derivations (per-partition lineage and counters live in the snapshot
+  * manifests as before).
   *
   * Scale wiring (north-star requirements, live even in local runs):
   *   - explicit `repartitionByRange` on xxhash64(url) after ingest: a
   *     uniform, order-free re-balance so chunk extraction load never
   *     follows crawl locality;
   *   - AQE + skew-join enabled in the session (see [[KgGenJob.session]]);
-  *   - the canonical dictionaries inside ClusterGraph are broadcast;
-  *   - every stage anchors downstream lineage at its committed snapshot,
-  *     so a restart resumes from the last commit (per-partition lineage
-  *     and counters live in the snapshot manifests).
+  *   - the canonical dictionaries inside ClusterGraph are broadcast when
+  *     provably small, AQE-decided otherwise (size-gated hint);
+  *   - every committed stage anchors downstream lineage at its snapshot,
+  *     so a restart resumes from the last commit.
   */
 object KgGenJob {
 
@@ -30,7 +45,18 @@ object KgGenJob {
       corpus: CorpusGen.Config = CorpusGen.Config(),
       extract: Extract.Config = Extract.Config(),
       cluster: ClusterConfig = ClusterConfig(),
-      parallelism: Int = 32
+      parallelism: Int = 32,
+      /** Also commit pages/chunks/mentions/triple_mentions/entities/
+        * triples as their own snapshots (full per-stage provenance; the
+        * round-2 commit chain). Off by default — see object scaladoc.
+        */
+      commitProvenance: Boolean = false,
+      /** Commit node/predicate embedding feature tables off the
+        * canonical outputs (S5 — the reference caches embedding
+        * matrices on disk: experiments/wikiqa/utils/
+        * cluster_and_deduplication.py:61-126).
+        */
+      commitEmbeddings: Boolean = false
   ) {
     /** Stage fingerprints chain: a stage's identity includes everything
       * upstream that shapes its output.
@@ -81,64 +107,65 @@ object KgGenJob {
         r
       }
 
-    // stage 1: ingest — corpus as the pages table, rebalanced by url hash
-    val pages = timed("pages") { table.resumeOrCompute("pages", cfg.corpusFp) {
-      CorpusGen.pagesPartitioned(spark, cfg.corpus, cfg.parallelism).toDF()
-    } }
-
-    // stage 2: clean + chunk
-    val chunks = timed("chunks") { table.resumeOrCompute("chunks", cfg.chunksFp) {
-      Extract.chunks(pages.as[Page], cfg.extract).toDF()
-    } }
-
-    // stage 3: extraction — committed ONCE as its own snapshot (the
-    // scorer is the expensive stage; deriving mentions and triple
-    // mentions from the committed snapshot evaluates it exactly once)
-    val extracted = timed("extracted") { table.resumeOrCompute("extracted", cfg.extractFp) {
-      Extract.extractions(chunks.as[graft.model.Chunk], scorer, cfg.extract).toDF()
-    } }
-    val ex = extracted.as[graft.extract.ChunkExtraction]
-
-    // stages 3b/4: the mentions->entities and triple_mentions->triples
-    // commit chains are independent dataflows off the same committed
-    // extraction snapshot — submit them from two driver threads so their
-    // write+read-back barriers overlap (concurrent jobs interleave in the
-    // scheduler; each commit barrier stops one chain, not the pipeline).
-    // Commit count is unchanged — only the serialization between commits
-    // goes away (it was a large share of the level-independent wall time
-    // that capped N->4N scaling efficiency in round 1).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    // two independent chains off the committed extraction snapshot, run
-    // concurrently: each chain commits its heavy provenance table once
-    // (one scan+explode of the nested extraction columns) and derives
-    // the cheap global set from THAT committed (already-deduplicated)
-    // output — never a second scan of the extraction snapshot. Four
-    // serial barriers become two concurrent waves; total work unchanged.
-    val entityChain = Future {
-      val mentions = timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp) {
-        Extract.mentions(ex)
-      } }
-      timed("entities") { table.resumeOrCompute("entities", cfg.extractFp) {
-        Extract.entityTable(mentions)
-      } }
-    }
-    val tripleChain = Future {
-      val tripleMentions = timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp) {
-        Extract.tripleMentions(ex)
-      } }
-      timed("triples") { table.resumeOrCompute("triples", cfg.extractFp) {
-        Extract.tripleTable(tripleMentions)
-      } }
-    }
-    val entities = Await.result(entityChain, Duration.Inf)
-    val triples = Await.result(tripleChain, Duration.Inf)
 
-    // stage 5: cluster + rewrite, materialize canonical tables. The five
-    // outputs all hang off the checkpoint-materialized cluster
-    // assignments, so their commits are independent — one concurrent
-    // commit wave instead of five serial barriers.
+    // stage 1: ingest -> clean -> chunk -> score. Lean default: ONE fused
+    // narrow dataflow committed once (the scorer snapshot); opt-in
+    // provenance mode commits each step separately.
+    val extracted: DataFrame =
+      if (cfg.commitProvenance) {
+        val pages = timed("pages") { table.resumeOrCompute("pages", cfg.corpusFp) {
+          CorpusGen.pagesPartitioned(spark, cfg.corpus, cfg.parallelism).toDF()
+        } }
+        val chunks = timed("chunks") { table.resumeOrCompute("chunks", cfg.chunksFp) {
+          Extract.chunks(pages.as[Page], cfg.extract).toDF()
+        } }
+        timed("extracted") { table.resumeOrCompute("extracted", cfg.extractFp) {
+          Extract.extractions(chunks.as[graft.model.Chunk], scorer, cfg.extract).toDF()
+        } }
+      } else {
+        timed("extracted") { table.resumeOrCompute("extracted", cfg.extractFp) {
+          val pages = CorpusGen.pagesPartitioned(spark, cfg.corpus, cfg.parallelism)
+          Extract.extractions(Extract.chunks(pages, cfg.extract), scorer, cfg.extract).toDF()
+        } }
+      }
+    val ex = extracted.as[graft.extract.ChunkExtraction]
+
+    // stage 2: global entity/triple sets off the committed extraction
+    // snapshot. Lean default: narrow explode+distinct derivations, no
+    // intermediate snapshots (triples cached in memory for its two
+    // downstream uses). Provenance mode: the round-2 commit chains, two
+    // driver threads so the write barriers overlap.
+    val (entities: DataFrame, triples: DataFrame, cached: Option[DataFrame]) =
+      if (cfg.commitProvenance) {
+        val entityChain = Future {
+          val mentions = timed("mentions") { table.resumeOrCompute("mentions", cfg.extractFp) {
+            Extract.mentions(ex)
+          } }
+          timed("entities") { table.resumeOrCompute("entities", cfg.extractFp) {
+            Extract.entityTable(mentions)
+          } }
+        }
+        val tripleChain = Future {
+          val tripleMentions = timed("triple_mentions") { table.resumeOrCompute("triple_mentions", cfg.extractFp) {
+            Extract.tripleMentions(ex)
+          } }
+          timed("triples") { table.resumeOrCompute("triples", cfg.extractFp) {
+            Extract.tripleTable(tripleMentions)
+          } }
+        }
+        (Await.result(entityChain, Duration.Inf), Await.result(tripleChain, Duration.Inf), None)
+      } else {
+        val tri = Extract.tripleTable(Extract.tripleMentions(ex)).persist()
+        (Extract.entitySet(ex), tri, Some(tri))
+      }
+
+    // stage 3: cluster + rewrite, materialize canonical tables. The five
+    // outputs all hang off the cluster assignments, so their commits are
+    // independent — one concurrent commit wave instead of five serial
+    // barriers.
     val clustered = timed("cluster_plan") { ClusterGraph.clusterGraph(entities, triples, cfg.cluster) }
     def commitF(stage: String, df: => DataFrame): Future[DataFrame] =
       Future(timed(stage) { table.resumeOrCompute(stage, cfg.clusterFp)(df) })
@@ -148,13 +175,32 @@ object KgGenJob {
     val fCanonEntities = commitF("canonical_entities", clustered.entities)
     val fCanonEdges = commitF("canonical_edges", clustered.edges)
 
-    Result(
+    val result = Result(
       Await.result(fCanonEntities, Duration.Inf),
       Await.result(fCanonTriples, Duration.Inf),
       Await.result(fCanonEdges, Duration.Inf),
       Await.result(fEntAssign, Duration.Inf),
       Await.result(fEdgeAssign, Duration.Inf)
     )
+    cached.foreach(_.unpersist(false))
+
+    // stage 4 (opt-in): embedding feature tables off the canonical graph
+    // — committed + resumable like any stage (S5)
+    if (cfg.commitEmbeddings) {
+      val fNodeEmb = commitF("node_embeddings", Analytics.nodeEmbeddings(result.entities))
+      val fPredEmb = commitF("predicate_embeddings", Analytics.relationEmbeddings(result.triples))
+      Await.result(fNodeEmb, Duration.Inf)
+      Await.result(fPredEmb, Duration.Inf)
+    }
+    result
+  }
+
+  /** Committed embedding feature tables (node, predicate) for a job that
+    * ran with `commitEmbeddings = true` — the S5 read surface.
+    */
+  def embeddingTables(spark: SparkSession, cfg: JobConfig): (DataFrame, DataFrame) = {
+    val table = new SnapshotTable(spark, cfg.tableRoot)
+    (table.read("node_embeddings", cfg.clusterFp), table.read("predicate_embeddings", cfg.clusterFp))
   }
 
   /** spark-submit entry: KgGenJob <tableRoot> [nDocs] [master]. */

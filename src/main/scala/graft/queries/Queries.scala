@@ -370,7 +370,10 @@ object Queries {
     val reps = n.groupBy("norm")
       .agg(min(struct(length(col("member")), col("member"))).as("r"))
       .select(col("norm"), col("r.member").as("representative"))
-    n.join(broadcast(reps), "norm").select("member", "representative")
+    // size-gated hint: reps is bounded by the distinct-norm count here
+    // (sf-scale query) but unbounded at the design point — let the gate
+    // decide (AQE converts at runtime when no hint fires)
+    n.join(graft.util.PlanHints.maybeBroadcast(reps), "norm").select("member", "representative")
   }
 
   /** C1+C3 — entity cluster assignment (exact normalized-key variant; the
@@ -416,11 +419,12 @@ object Queries {
     val tr = TokenRules.triples(docs(s, dir))
     val entAssign = assignDf(kgEntities(s, dir).select(col("entity").as("member")))
     val predAssign = assignDf(tr.select(col("predicate").as("member")))
-    tr.join(broadcast(entAssign.select(col("member").as("sM"), col("representative").as("sR"))),
+    def bc(df: DataFrame): DataFrame = graft.util.PlanHints.maybeBroadcast(df)
+    tr.join(bc(entAssign.select(col("member").as("sM"), col("representative").as("sR"))),
         col("subject") === col("sM"))
-      .join(broadcast(predAssign.select(col("member").as("pM"), col("representative").as("pR"))),
+      .join(bc(predAssign.select(col("member").as("pM"), col("representative").as("pR"))),
         col("predicate") === col("pM"))
-      .join(broadcast(entAssign.select(col("member").as("oM"), col("representative").as("oR"))),
+      .join(bc(entAssign.select(col("member").as("oM"), col("representative").as("oR"))),
         col("obj") === col("oM"))
       .select(col("sR").as("subject"), col("pR").as("predicate"), col("oR").as("obj"))
       .distinct()

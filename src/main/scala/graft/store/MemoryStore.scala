@@ -2,60 +2,96 @@ package graft.store
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import scala.jdk.CollectionConverters._
+import graft.analytics.Analytics
 
 /** Incremental memory merge — the table-scale re-expression of the
   * reference's MCP `add_memories` loop (reference: mcp/server.py:131-166:
   * generate a graph from new text, aggregate it into the persistent
-  * store's graph, save). Each merge commits a NEW versioned snapshot of
-  * the three graph tables (entities, triples, edges) into a
-  * [[SnapshotTable]]; versions are linked by snapshot parents, so the
-  * store keeps the same resumability/lineage guarantees as the pipeline
-  * stages.
+  * store's graph, save). Merge = set union, exactly the reference's
+  * `aggregate` semantics (src/kg_gen/kg_gen.py:291-304).
   *
-  * Merge = set union, exactly the reference's `aggregate` semantics
-  * (src/kg_gen/kg_gen.py:291-304), implemented as APPEND + anti-join
-  * dedup rather than union+distinct: the committed state is already
-  * distinct, so only the (small) incoming delta is deduplicated against
-  * it — one left-anti join per table, broadcastable when the delta is
-  * small, never a re-shuffle of the accumulated store. (Under a real
-  * Iceberg catalog this is MERGE INTO WHEN NOT MATCHED THEN INSERT; the
-  * snapshot layer rewrites data files copy-on-write, which is what
-  * Iceberg's COW mode does too.)
+  * Storage is O(delta) per merge, the way Iceberg's
+  * MERGE INTO ... WHEN NOT MATCHED THEN INSERT actually lands: each
+  * version commits ONLY the new rows (incoming anti-join committed) as
+  * fresh data files, and a per-version manifest lists the version's file
+  * set as `parent dirs + this delta dir`. `read` unions the manifest's
+  * dir list — the accumulated store is never rewritten, so a 100 TB
+  * memory store pays per-merge cost proportional to the delta (plus one
+  * read-side scan for the anti-join dedup, which any exact set-union
+  * must pay). `compact()` folds the chain back into single data dirs
+  * when the manifest grows long.
   *
-  * Associativity (tested): merging graphs g1 then g2 yields byte-identical
+  * Delta snapshots are content-addressed: the stage fingerprint folds in
+  * an order-insensitive xxhash64 of the delta rows, so a crash mid-merge
+  * followed by a retry with a DIFFERENT delta can never silently reuse
+  * the stale half-committed snapshot — a different delta hashes to a
+  * different snapshot id. Identical retries resume for free.
+  *
+  * Associativity (tested): merging graphs g1 then g2 yields identical
   * tables to merging aggregate(g1, g2) once — set union is associative
-  * and every commit re-sorts nothing (row order inside files is
-  * irrelevant; comparisons sort).
+  * and row order inside files is irrelevant (comparisons sort).
   */
 final class MemoryStore(spark: SparkSession, root: String) {
 
   private val table = new SnapshotTable(spark, root)
+  private val mapper = new ObjectMapper()
   private def versionPath = Paths.get(root, "memory-version.txt")
+  private def manifestPath(v: Int) = Paths.get(root, "memory-meta", s"v$v.json")
+
+  /** (table stage name, key columns). All-string schemas per the
+    * reference data model (SURVEY.md §1.1: strings are the only scalar).
+    */
+  private val tableKeys: Seq[(String, Seq[String])] = Seq(
+    "memory_entities" -> Seq("entity"),
+    "memory_triples" -> Seq("subject", "predicate", "obj"),
+    "memory_edges" -> Seq("predicate")
+  )
 
   def version: Int =
     if (Files.exists(versionPath))
       new String(Files.readAllBytes(versionPath), StandardCharsets.UTF_8).trim.toInt
     else 0
 
-  private def fp(v: Int): String = s"memory-v$v"
+  private def schemaFor(keys: Seq[String]): StructType =
+    StructType(keys.map(c => StructField(c, StringType)))
 
-  private def emptyDf(cols: String*): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(cols.map(c => StructField(c, StringType)))
-    )
+  /** Data dirs composing table `name` at version `v` (manifest lookup). */
+  private[store] def dirsFor(v: Int, name: String): Seq[String] = {
+    val node = mapper.readTree(Files.readAllBytes(manifestPath(v)))
+    node.get("tables").get(name).get("dirs").elements().asScala.map(_.asText()).toSeq
   }
 
-  def entities: DataFrame =
-    if (version == 0) emptyDf("entity") else table.read("memory_entities", fp(version))
-  def triples: DataFrame =
-    if (version == 0) emptyDf("subject", "predicate", "obj")
-    else table.read("memory_triples", fp(version))
-  def edges: DataFrame =
-    if (version == 0) emptyDf("predicate") else table.read("memory_edges", fp(version))
+  private def emptyDf(keys: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schemaFor(keys)
+    )
+
+  private def readTable(name: String, keys: Seq[String]): DataFrame = {
+    val v = version
+    if (v == 0) emptyDf(keys)
+    else spark.read.schema(schemaFor(keys)).parquet(dirsFor(v, name): _*)
+  }
+
+  def entities: DataFrame = readTable("memory_entities", Seq("entity"))
+  def triples: DataFrame = readTable("memory_triples", Seq("subject", "predicate", "obj"))
+  def edges: DataFrame = readTable("memory_edges", Seq("predicate"))
+
+  /** Order-insensitive content fingerprint of a (distinct-row) DataFrame:
+    * xor of per-row xxhash64 over all columns. One small aggregate job.
+    */
+  private def contentFp(df: DataFrame): String = {
+    val cols = df.columns.map(col).toSeq
+    val r = df.agg(bit_xor(xxhash64(cols: _*))).head
+    val h = if (r.isNullAt(0)) 0L else r.getLong(0)
+    java.lang.Long.toHexString(h)
+  }
 
   /** Merge a new graph into the committed store; returns the new version.
     * Inputs: entities(entity), triples(subject, predicate, obj),
@@ -69,26 +105,117 @@ final class MemoryStore(spark: SparkSession, root: String) {
     val v = version
     val nextV = v + 1
 
-    def mergeInto(stage: String, committed: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
-      val delta = incoming.select(keys.map(col): _*).distinct()
-      val appended =
-        if (v == 0) delta
-        else committed.unionByName(delta.join(committed, keys, "left_anti"))
-      table.resumeOrCompute(stage, fp(nextV))(appended)
+    def commitDelta(name: String, keys: Seq[String], incoming: DataFrame): (String, String) = {
+      val projected = incoming.select(keys.map(col): _*).distinct()
+      val delta =
+        if (v == 0) projected
+        else projected.join(spark.read.schema(schemaFor(keys)).parquet(dirsFor(v, name): _*), keys, "left_anti")
+      // persist: the anti-join against the accumulated store runs once —
+      // the fingerprint action caches the (small) delta, the commit write
+      // replays it from cache
+      delta.persist()
+      try {
+        val fp = s"v$nextV-${contentFp(delta)}"
+        table.resumeOrCompute(name + "_delta", fp)(delta)
+        (table.snapshotId(name + "_delta", fp), fp)
+      } finally delta.unpersist()
     }
 
     val edgeDelta = newEdges.getOrElse(newTriples.select(col("predicate")))
-    mergeInto("memory_entities", entities, newEntities, Seq("entity"))
-    mergeInto("memory_triples", triples, newTriples, Seq("subject", "predicate", "obj"))
-    mergeInto("memory_edges", edges, edgeDelta, Seq("predicate"))
+    val committed = Seq(
+      ("memory_entities", Seq("entity"), newEntities),
+      ("memory_triples", Seq("subject", "predicate", "obj"), newTriples),
+      ("memory_edges", Seq("predicate"), edgeDelta)
+    ).map { case (name, keys, incoming) =>
+      val (snapId, fp) = commitDelta(name, keys, incoming)
+      val parentDirs = if (v == 0) Nil else dirsFor(v, name)
+      (name, parentDirs :+ Paths.get(root, "data", snapId).toString, fp)
+    }
 
-    // commit point: the version counter flips only after all three
-    // tables committed — a crash mid-merge resumes idempotently (the
-    // per-stage fingerprints make re-running the same merge a no-op)
-    val tmp = Paths.get(root, s".memory-version.$nextV.tmp")
-    Files.createDirectories(tmp.getParent)
-    Files.write(tmp, nextV.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, versionPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writeManifest(nextV, committed)
+    flipVersion(nextV)
     nextV
   }
+
+  /** Fold the version chain into single data dirs (one per table) as a
+    * new version — the occasional maintenance pass that keeps `read`'s
+    * file-list (and open cost) bounded as merges accumulate.
+    */
+  def compact(): Int = {
+    val v = version
+    if (v == 0) return 0
+    val nextV = v + 1
+    val committed = tableKeys.map { case (name, keys) =>
+      val full = readTable(name, keys)
+      full.persist()
+      try {
+        val fp = s"v$nextV-compact-${contentFp(full)}"
+        table.resumeOrCompute(name + "_delta", fp)(full)
+        (name, Seq(Paths.get(root, "data", table.snapshotId(name + "_delta", fp)).toString), fp)
+      } finally full.unpersist()
+    }
+    writeManifest(nextV, committed)
+    flipVersion(nextV)
+    nextV
+  }
+
+  private def writeManifest(v: Int, tables: Seq[(String, Seq[String], String)]): Unit = {
+    val m: ObjectNode = mapper.createObjectNode()
+    m.put("version", v)
+    val ts = mapper.createObjectNode()
+    tables.foreach { case (name, dirs, fp) =>
+      val t = mapper.createObjectNode()
+      t.put("fingerprint", fp)
+      val arr = mapper.createArrayNode()
+      dirs.foreach(arr.add)
+      t.set[ObjectNode]("dirs", arr)
+      ts.set[ObjectNode](name, t)
+    }
+    m.set[ObjectNode]("tables", ts)
+    val p = manifestPath(v)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".v$v.json.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Commit point: the version counter flips only after all three tables
+    * and the manifest landed — a crash mid-merge resumes idempotently
+    * (identical retries hit the content-addressed snapshots; divergent
+    * retries land in fresh snapshot dirs and the stale half-commit is
+    * never referenced by any manifest).
+    */
+  private def flipVersion(v: Int): Unit = {
+    val tmp = Paths.get(root, s".memory-version.$v.tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, versionPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // --- store-level retrieval surface (reference: mcp/server.py:169-258:
+  // retrieve_relevant_memories / get_memory_stats compose retrieval over
+  // the persistent store, not over an in-flight graph) ---
+
+  /** Relevant-memory retrieval over the committed store: trigram-overlap
+    * node matches seeded into 2-hop context sentences, joined into one
+    * context string (Analytics.retrieve over the store tables).
+    */
+  def retrieve(query: String, k: Int = 3): DataFrame =
+    Analytics.retrieve(entities, triples, query, k)
+
+  /** Substring entity match over the committed store
+    * (mcp/server.py memory search's exact-match arm).
+    */
+  def searchEntities(query: String, k: Int = 10): DataFrame =
+    Analytics.substringEntities(entities, query, k)
+
+  /** Store summary stats: entity/triple/edge counts at the current
+    * version (mcp/server.py:get_memory_stats).
+    */
+  def stats: Map[String, Long] = Map(
+    "version" -> version.toLong,
+    "entities" -> entities.count(),
+    "triples" -> triples.count(),
+    "edges" -> edges.count()
+  )
 }

@@ -226,4 +226,24 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     )
     assert(cluster(g) == cluster(g))
   }
+
+  test("edgesLocal matches the distributed edges pair-for-pair") {
+    import spark.implicits._
+    // a surface set exercising all four channels: exact-norm groups
+    // (case/plural), prefix-neighborhood variants, minhash-band
+    // near-identicals, synonyms, and confusable non-matches that must
+    // NOT edge (antonyms, leading-syllable-different names)
+    val base = (0 until 120).map(graft.corpus.CorpusGen.entityName)
+    val members = (base ++ base.take(40).flatMap(graft.corpus.CorpusGen.variants) ++
+      Seq("happy", "unhappy", "subel dunmore", "vebel dunmore", "vet", "veterinarian")).distinct
+    val cfg = ClusterConfig(synonymSets = Seq(Set("vet", "veterinarian")))
+    val local = CandidatePairs.edgesLocal(members, cfg).toSet
+    val dist = CandidatePairs
+      .edges(members.toDF("member"), cfg)
+      .as[(String, String)]
+      .collect()
+      .toSet
+    assert(local == dist, s"local-only: ${(local -- dist).take(5)}; dist-only: ${(dist -- local).take(5)}")
+    assert(local.nonEmpty)
+  }
 }

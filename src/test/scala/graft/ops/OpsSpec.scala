@@ -39,6 +39,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"dedup-flag recall $recall (${lshFlagged.size} of ${truthFlagged.size})")
   }
 
+  test("jaccard prefix filter: stopword-skewed vocab keeps candidates bounded") {
+    // 200 docs, each {common stopword, unique rare token}: under a
+    // lexicographic global order every prefix would be ["the"] (one hot
+    // bucket, 200*199/2 candidate pairs); ascending-df order puts the
+    // unique token first, so prefixes never collide
+    val skewed = (0 until 200)
+      .map(i => (i.toLong, f"the zz$i%03d", "s"))
+      .toDF("doc_id", "text", "source")
+    val cands = Dedup.jaccardCandidates(skewed, thetaPct = 90)
+    assert(cands.count() == 0L)
+    // and the verified result is unchanged vs the brute-force rule: no
+    // pair here has J >= 0.9 (each pair shares 1 of 3 union tokens)
+    assert(Dedup.ngramJaccardPairs(skewed, thetaPct = 90).count() == 0L)
+    // positive control: true near-dups still meet through rare-token
+    // prefixes despite the shared stopword
+    val withDup = skewed.unionByName(Seq((9999L, f"the zz${7}%03d", "s")).toDF("doc_id", "text", "source"))
+    val dupPairs = Dedup.ngramJaccardPairs(withDup, thetaPct = 90)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(dupPairs == Set((7L, 9999L)))
+  }
+
   test("simhash near-identical docs have close hashes") {
     val a = "the fast key order sort table scan merge part window"
     val b = a + " extra" // one token changed

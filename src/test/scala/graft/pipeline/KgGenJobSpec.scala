@@ -41,6 +41,53 @@ class KgGenJobSpec extends AnyFunSuite with SparkTestBase {
     assert(ents1 == ents2)
   }
 
+  test("lean and provenance commit modes produce identical canonical tables") {
+    import spark.implicits._
+    val corpus = CorpusGen.Config(nDocs = 120L, seed = 7L, variantRate = 0.2)
+    def canon(cfg: KgGenJob.JobConfig): (Set[String], Set[(String, String, String)], Set[String]) = {
+      val r = KgGenJob.run(spark, cfg)
+      (
+        r.entities.as[String].collect().toSet,
+        r.triples.as[Triple].collect().map(t => (t.subject, t.predicate, t.obj)).toSet,
+        r.edges.as[String].collect().toSet
+      )
+    }
+    val lean = canon(KgGenJob.JobConfig(Files.createTempDirectory("graft-lean").toString, corpus = corpus))
+    val prov = canon(
+      KgGenJob.JobConfig(
+        Files.createTempDirectory("graft-prov").toString,
+        corpus = corpus,
+        commitProvenance = true
+      )
+    )
+    assert(lean == prov)
+    assert(lean._2.nonEmpty)
+  }
+
+  test("embedding feature stage commits, resumes, and reads back (S5)") {
+    val root = Files.createTempDirectory("graft-emb").toString
+    val cfg = KgGenJob.JobConfig(
+      tableRoot = root,
+      corpus = CorpusGen.Config(nDocs = 60L, seed = 5L),
+      commitEmbeddings = true
+    )
+    KgGenJob.run(spark, cfg)
+    val table = new graft.store.SnapshotTable(spark, root)
+    assert(table.exists("node_embeddings", cfg.clusterFp))
+    assert(table.exists("predicate_embeddings", cfg.clusterFp))
+    val (nodeEmb, predEmb) = KgGenJob.embeddingTables(spark, cfg)
+    assert(nodeEmb.count() > 0 && predEmb.count() > 0)
+
+    // resume: file set untouched by a second run (snapshot hit, no
+    // recompute), content identical
+    val dir = java.nio.file.Paths.get(root, "data", table.snapshotId("node_embeddings", cfg.clusterFp))
+    import scala.jdk.CollectionConverters._
+    def state = Files.list(dir).iterator().asScala.map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    val before = state
+    KgGenJob.run(spark, cfg)
+    assert(state == before)
+  }
+
   test("changed config yields new snapshots without disturbing old ones") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-job2").toString
