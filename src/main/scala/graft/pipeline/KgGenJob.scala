@@ -167,8 +167,14 @@ object KgGenJob {
     // independent — one concurrent commit wave instead of five serial
     // barriers.
     val clustered = timed("cluster_plan") { ClusterGraph.clusterGraph(entities, triples, cfg.cluster) }
+    // provably-small outputs (driver-clustered LocalRelation lineage)
+    // write one file instead of a shuffle-partition fan of near-empty
+    // files — fewer task launches, footer opens and commit renames, all
+    // of which are level-independent wall time
+    def shrink(df: DataFrame): DataFrame =
+      if (graft.util.PlanHints.isDriverLocal(df)) df.coalesce(1) else df
     def commitF(stage: String, df: => DataFrame): Future[DataFrame] =
-      Future(timed(stage) { table.resumeOrCompute(stage, cfg.clusterFp)(df) })
+      Future(timed(stage) { table.resumeOrCompute(stage, cfg.clusterFp)(shrink(df)) })
     val fEntAssign = commitF("entity_clusters", clustered.entityAssignments)
     val fEdgeAssign = commitF("edge_clusters", clustered.edgeAssignments)
     val fCanonTriples = commitF("canonical_triples", clustered.triples)

@@ -99,13 +99,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   def commit(df: DataFrame, stage: String, fingerprint: String): DataFrame = {
     val id = snapshotId(stage, fingerprint)
     val dir = dataDir(id)
-    df.write.mode("overwrite").parquet(dir.toString)
+    val verbose = sys.env.contains("SPARK_GRAFT_COMMIT_TIMING")
+    def sub[T](step: String)(body: => T): T =
+      if (!verbose) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[commit] $stage%-18s $step%-8s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        r
+      }
+    sub("write") { df.write.mode("overwrite").parquet(dir.toString) }
 
     // per-file lineage from parquet FOOTER metadata — no data re-read, no
     // executor job (the same metadata-only manifest strategy Iceberg
     // uses). The read-back reuses the known schema: no inference pass.
-    val back = spark.read.schema(df.schema).parquet(dir.toString)
-    val perFile = footerRowCounts(dir)
+    val back = sub("readback") { spark.read.schema(df.schema).parquet(dir.toString) }
+    val perFile = sub("footers") { footerRowCounts(dir) }
     val totalRows = perFile.map(_._2).sum
 
     // commits may run concurrently from several driver threads (KgGenJob

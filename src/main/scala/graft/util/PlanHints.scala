@@ -23,13 +23,17 @@ object PlanHints {
     * dictionary can be billions of rows, where an unconditional
     * compile-time `broadcast()` is an executor OOM, not a plan choice.
     */
-  def maybeBroadcast(df: DataFrame, knownRows: Option[Long] = None): DataFrame = {
-    lazy val localOnly = {
-      val leaves = df.queryExecution.analyzed.collectLeaves()
-      leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation])
-    }
-    if (knownRows.exists(_ <= BroadcastMaxRows) || (knownRows.isEmpty && localOnly))
+  /** True when every leaf of the analyzed plan is a driver-local
+    * LocalRelation — the frame is provably bounded by data the driver
+    * already holds.
+    */
+  def isDriverLocal(df: DataFrame): Boolean = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation])
+  }
+
+  def maybeBroadcast(df: DataFrame, knownRows: Option[Long] = None): DataFrame =
+    if (knownRows.exists(_ <= BroadcastMaxRows) || (knownRows.isEmpty && isDriverLocal(df)))
       broadcast(df)
     else df
-  }
 }

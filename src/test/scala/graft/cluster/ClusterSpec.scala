@@ -227,6 +227,21 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     assert(cluster(g) == cluster(g))
   }
 
+  test("driver and distributed clusterItems paths assign identically") {
+    import spark.implicits._
+    val members = ((0 until 80).map(graft.corpus.CorpusGen.entityName) ++
+      (0 until 30).flatMap(i => graft.corpus.CorpusGen.variants(graft.corpus.CorpusGen.entityName(i)))).distinct
+    val items = members.toDF("member")
+    def assigns(cfg: CandidatePairs.ClusterConfig) =
+      ClusterGraph.clusterItems(items, cfg).as[(String, String)].collect().toSet
+    // threshold 0 forces the CC fixpoint + groupBy-reps branch; default
+    // takes the driver union-find branch — same members, same clusters
+    val viaDriver = assigns(CandidatePairs.ClusterConfig())
+    val viaDistributed = assigns(CandidatePairs.ClusterConfig(driverClusterThreshold = 0))
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver.map(_._1) == members.toSet)
+  }
+
   test("edgesLocal matches the distributed edges pair-for-pair") {
     import spark.implicits._
     // a surface set exercising all four channels: exact-norm groups
