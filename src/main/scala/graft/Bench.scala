@@ -80,6 +80,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // default 64m advisory folds a ~60MB distinct's reduce side into
+      // ONE post-shuffle partition — a serial stage that idles every
+      // core but one (measured: 2.7s of a 19.6s cluster phase at 8
+      // cores); 16m keeps mid-size reduces wide at every level
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.local.dir", tmpBase.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -169,8 +174,14 @@ object Bench {
     // 59,469 periods throttled) and ran 217 s vs 19.7 s under taskset
     // for the identical workload, inverting the N-vs-4N comparison.
     val taskset = Paths.get("/usr/bin/taskset")
+    // pin to the HIGHEST-numbered cores: cores 0-1 carry ~3x the
+    // background OS/interrupt load of the upper cores on this box
+    // (/proc/stat per-cpu user time), and the small level pinned there
+    // was measurably noisier (140 s vs 104 s back-to-back runs)
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    val lo = math.max(0, nCpus - cores)
     val pin: Seq[String] =
-      if (Files.isExecutable(taskset)) Seq(taskset.toString, "-c", s"0-${cores - 1}")
+      if (Files.isExecutable(taskset)) Seq(taskset.toString, "-c", s"$lo-${nCpus - 1}")
       else Nil
     val cgroup: Option[Path] =
       if (pin.nonEmpty) None

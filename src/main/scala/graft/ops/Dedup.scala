@@ -88,45 +88,54 @@ object Dedup {
   private[graft] def jaccardCandidates(docs: DataFrame, thetaPct: Int = 90): DataFrame = {
     val t0 = tokenSets(docs)
     // global document frequency of each token, then each doc's token
-    // array re-sorted by (df, token): one aggregation + one equi-join +
-    // one re-collect — all shuffle keys are single tokens / doc ids,
-    // never bodies
-    val df = t0
-      .select(explode(col("toks")).as("tok"))
+    // array re-sorted by (df, token). ONE outer explode feeds both the
+    // df aggregate (map-side combined groupBy — skew-safe for
+    // stopwords, unlike a count-over-window that sorts a hot token's
+    // whole partition) and the re-collect; explode_outer keeps
+    // empty-token docs as a null-tok row (filtered back out of ftoks),
+    // so no second scan for the empty-doc sliver. All shuffle keys are
+    // single tokens / doc ids, never bodies.
+    val ex = t0.select(col("source"), col("doc_id"), explode_outer(col("toks")).as("tok"))
+    val df = ex
+      .where(col("tok").isNotNull)
       .groupBy("tok")
       .agg(count(lit(1)).as("df"))
-    val ordered = t0
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(df, "tok")
-      .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)").as("ftoks"))
-    // left join: docs with empty token sets vanish under explode but must
-    // keep their '' sentinel prefix (empty-empty pairs, J = 0/0, are
-    // accepted by the rule)
-    val t = t0
-      .join(ordered, Seq("doc_id"), "left")
-      .select(
-        col("source"),
-        col("doc_id"),
-        col("toks"),
-        coalesce(col("ftoks"), array().cast("array<string>")).as("ftoks")
+    val ordered = ex
+      .join(df, Seq("tok"), "left")
+      .groupBy("doc_id", "source")
+      .agg(
+        expr(
+          "transform(filter(array_sort(collect_list(struct(df, tok))), s -> s.tok IS NOT NULL), s -> s.tok)"
+        ).as("ftoks")
       )
     // ceil(thetaPct*|toks|/100) in exact integer math over the
-    // frequency-ordered array
+    // frequency-ordered array; empty docs keep a '' sentinel prefix
+    // (empty-empty pairs, J = 0/0, are accepted by the rule)
     val prefixExpr =
       s"CASE WHEN size(ftoks) = 0 THEN array('') " +
         s"ELSE slice(ftoks, 1, size(ftoks) - (($thetaPct * size(ftoks) + 99) div 100) + 1) END"
-    val pref = t.select(
+    // candidate generation is SLIM — (source, ptok, doc_id) only; the
+    // token arrays join back AFTER the pair-level dedup, so no shuffle
+    // in the candidate path ever carries an array (the round-2 shape
+    // dragged both docs' full token sets through the self-join AND the
+    // dropDuplicates exchange)
+    val pref = ordered.select(
       col("source"),
       col("doc_id"),
-      col("toks"),
       explode(expr(prefixExpr)).as("ptok")
     )
-    val a = pref.select(col("source"), col("ptok"), col("doc_id").as("a"), col("toks").as("atoks"))
-    val b = pref.select(col("source"), col("ptok"), col("doc_id").as("b"), col("toks").as("btoks"))
-    a.join(b, Seq("source", "ptok"))
+    val a = pref.select(col("source"), col("ptok"), col("doc_id").as("a"))
+    val b = pref.select(col("source"), col("ptok"), col("doc_id").as("b"))
+    val cands = a
+      .join(b, Seq("source", "ptok"))
       .where(col("a") < col("b"))
       .dropDuplicates("a", "b")
+    // the exact verify needs only the sorted token SET — the cheap
+    // tokenize-only frame, not the frequency-ordered one
+    val slim = t0.select(col("doc_id"), col("toks"))
+    cands
+      .join(slim.select(col("doc_id").as("a"), col("toks").as("atoks")), "a")
+      .join(slim.select(col("doc_id").as("b"), col("toks").as("btoks")), "b")
       .select(col("a"), col("b"), col("atoks"), col("btoks"))
   }
 
