@@ -39,10 +39,23 @@ object ConnectedComponents {
     * in parallel) can interleave set/restore and flip the conf mid-run
     * for the sibling, so the mutation is gone (round-2 advice).
     */
-  def run(edges: DataFrame, nodes: DataFrame, maxIterations: Int = 20): DataFrame =
-    runInner(edges, nodes, maxIterations)
+  /** @param saltFactor explicit salted-key handling for hub-entity skew
+    *   in the propagation join (the north-rule mechanism): when > 1, the
+    *   bounded `labels` side is replicated `saltFactor`× with a salt
+    *   column and each edge row picks the deterministic salt
+    *   `xxhash64(dst) % saltFactor`, so a hub node's millions of edge
+    *   rows spread over `saltFactor` reducers instead of one. Results
+    *   are provably identical (every edge row still meets exactly one
+    *   replica of its src label). Default 1 = unsalted: AQE's skew-join
+    *   split (enabled in every session this library builds) handles the
+    *   same skew adaptively without the constant-factor replication
+    *   cost, so explicit salt is for clusters where AQE is unavailable
+    *   or pinned off.
+    */
+  def run(edges: DataFrame, nodes: DataFrame, maxIterations: Int = 20, saltFactor: Int = 1): DataFrame =
+    runInner(edges, nodes, maxIterations, saltFactor)
 
-  private def runInner(edges: DataFrame, nodes: DataFrame, maxIterations: Int): DataFrame = {
+  private def runInner(edges: DataFrame, nodes: DataFrame, maxIterations: Int, saltFactor: Int): DataFrame = {
     val und = edges
       .select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -85,9 +98,25 @@ object ConnectedComponents {
     var iter = 0
     var prevSum = checksum(labels)
     while (!converged && iter < maxIterations) {
-      val nbr = und
-        .join(labels, und("src") === labels("node"))
-        .select(und("dst").as("node"), col("label"))
+      val nbr =
+        if (saltFactor > 1) {
+          // explicit salting: replicate each label row saltFactor times;
+          // an edge row joins the single replica selected by a
+          // deterministic hash of its dst, splitting any hub src's rows
+          // across saltFactor reducers
+          val salted = labels.withColumn(
+            "salt",
+            explode(array((0 until saltFactor).map(i => lit(i)): _*))
+          )
+          val saltedUnd = und.withColumn("esalt", pmod(xxhash64(col("dst")), lit(saltFactor)).cast("int"))
+          saltedUnd
+            .join(salted, saltedUnd("src") === salted("node") && saltedUnd("esalt") === salted("salt"))
+            .select(saltedUnd("dst").as("node"), col("label"))
+        } else {
+          und
+            .join(labels, und("src") === labels("node"))
+            .select(und("dst").as("node"), col("label"))
+        }
       val next = materialize(
         nbr
           .union(labels.select("node", "label"))

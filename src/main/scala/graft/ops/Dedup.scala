@@ -206,6 +206,36 @@ object Dedup {
       .where(lit(100) * col("inter") >= lit(thetaPct) * col("uni"))
   }
 
+  /** Duplicate-CLUSTER assignment — the dedup endgame at corpus scale:
+    * connected components over the verified MinHash-LSH pair graph, so
+    * transitive near-duplicate chains (a~b, b~c) collapse into one
+    * cluster even when a~c itself misses the threshold. Emits
+    * (doc_id, dup_group = min doc_id of the cluster) for every doc in a
+    * multi-doc cluster; the kept representative is the row with
+    * doc_id == dup_group, and docs in no pair are implicitly their own
+    * singleton clusters (not emitted). The reference's per-cluster dedup
+    * collapses duplicates inside k-means clusters the same way
+    * (experiments/wikiqa/utils/cluster_and_deduplication.py:207-259);
+    * here the cluster relation is the LSH pair graph itself and the
+    * fixpoint is the scalable min-label propagation.
+    */
+  def minhashGroups(
+      docs: DataFrame,
+      thetaPct: Int = 90,
+      seeds: Int = 16,
+      bands: Int = 8,
+      cap: Int = 10
+  ): DataFrame = {
+    val pairs = minhashLshPairs(docs, thetaPct, seeds, bands, cap).select(col("a"), col("b"))
+    val nodes = pairs
+      .select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .distinct()
+    graft.cluster.ConnectedComponents
+      .run(pairs.select(col("a").as("src"), col("b").as("dst")), nodes)
+      .select(col("node").as("doc_id"), col("component").as("dup_group"))
+  }
+
   val SimhashBits = 16
 
   /** 16-bit SimHash per document over the token multiset. Bit j of a

@@ -55,7 +55,10 @@ object OpsQueries {
 
   val dedupMinhash: Q = (s, dir) => Dedup.minhashLshPairs(docs(s, dir), thetaPct = 90)
 
-  val dedupMinhashSql: String = {
+  /** CTE chain ending in `mhp(a, b, inter, uni)` — the verified
+    * MinHash-LSH pair set; shared by the pair and group oracles.
+    */
+  private val minhashPairCtes: String = {
     val seeds = 16
     val bands = 8
     val rows = seeds / bands
@@ -76,16 +79,32 @@ object OpsQueries {
       .mkString(" UNION ALL ")
     val star =
       "SELECT min(doc_id) OVER (PARTITION BY bandKey) AS a, doc_id AS b FROM banded"
-    s"WITH $tsetCte, " +
+    s"$tsetCte, " +
       s"sig AS (SELECT doc_id, $mh AS mh FROM tset), " +
       s"banded AS (SELECT DISTINCT doc_id, unnest($bandKeys) AS bandKey FROM sig), " +
-      s"cand AS (SELECT DISTINCT a, b FROM ($leads UNION ALL $star) WHERE b IS NOT NULL AND a < b) " +
-      "SELECT c.a, c.b, " +
+      s"cand AS (SELECT DISTINCT a, b FROM ($leads UNION ALL $star) WHERE b IS NOT NULL AND a < b), " +
+      "mhp AS (SELECT c.a, c.b, " +
       "CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter, " +
       "CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS uni " +
       "FROM cand c JOIN tset ta ON c.a = ta.doc_id JOIN tset tb ON c.b = tb.doc_id " +
-      "WHERE 100 * len(list_intersect(ta.toks, tb.toks)) >= 90 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))"
+      "WHERE 100 * len(list_intersect(ta.toks, tb.toks)) >= 90 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))))"
   }
+
+  val dedupMinhashSql: String =
+    s"WITH $minhashPairCtes SELECT a, b, inter, uni FROM mhp"
+
+  val dedupGroups: Q = (s, dir) => Dedup.minhashGroups(docs(s, dir), thetaPct = 90)
+
+  /** Recursive min-label walk over the verified pair graph — identical
+    * fixpoint to the Spark connected-components loop.
+    */
+  val dedupGroupsSql: String =
+    s"WITH RECURSIVE $minhashPairCtes, " +
+      "e AS (SELECT a AS src, b AS dst FROM mhp UNION SELECT b, a FROM mhp), " +
+      "gnodes AS (SELECT DISTINCT src AS node FROM e), " +
+      "walk(node, label) AS (SELECT node, node FROM gnodes " +
+      "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node) " +
+      "SELECT node AS doc_id, min(label) AS dup_group FROM walk GROUP BY node"
 
   private val hexHigh = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
 
@@ -239,6 +258,7 @@ object OpsQueries {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_groups" -> dedupGroups,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "emb_neardup" -> embNearDup,
@@ -257,6 +277,7 @@ object OpsQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_groups" -> dedupGroupsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "emb_neardup" -> embNearDupSql,

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import graft.extract.{Extract, PatternScorer, Scorer}
+import graft.model.{Page, Triple}
+
+/** Streaming KG construction — the batch generate() dataflow applied to
+  * an unbounded page stream (the reference's incremental analogue is the
+  * MCP add_memories loop, mcp/server.py:131-166: each new text batch
+  * extends the persistent graph with its new triples).
+  *
+  * The extraction stages ([[Extract.chunks]], [[Extract.extractions]])
+  * are NARROW transforms (flatMap / mapPartitions), so they run
+  * unchanged per micro-batch; global set semantics — each (s, p, o)
+  * appears exactly once across the stream's whole lifetime — comes from
+  * [[EventsStream.newTriples]]'s flatMapGroupsWithState state store
+  * rather than a batch-wide distinct (which streaming cannot express).
+  * State is one boolean per distinct triple, partitioned by the triple
+  * key: the streaming equivalent of the batch pipeline's final
+  * HashAggregate, with the same shuffle key.
+  *
+  * Batch/stream parity (sbt-tested): feeding the same pages in any
+  * micro-batch split yields exactly the batch pipeline's triple set.
+  */
+object KgStream {
+
+  /** pages stream -> stream of first-occurrence canonical-form triples.
+    * Works on batch Datasets too (parity tests run both).
+    */
+  def triples(
+      pages: Dataset[Page],
+      scorer: Scorer = PatternScorer,
+      cfg: Extract.Config = Extract.Config()
+  ): Dataset[Triple] = {
+    import pages.sparkSession.implicits._
+    val ex = Extract.extractions(Extract.chunks(pages, cfg), scorer, cfg)
+    val valid = Extract.tripleMentions(ex)
+      .select("subject", "predicate", "obj")
+      .as[Triple]
+    EventsStream.newTriples(valid)
+  }
+}

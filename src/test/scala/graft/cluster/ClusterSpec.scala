@@ -261,4 +261,28 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     assert(local == dist, s"local-only: ${(local -- dist).take(5)}; dist-only: ${(dist -- local).take(5)}")
     assert(local.nonEmpty)
   }
+
+  test("connected components: salted propagation equals unsalted on a hub graph") {
+    import spark.implicits._
+    // star hub (h -> s0..s199) + a chain + isolated nodes: the hub's
+    // edge rows all share src=h, the exact skew the salt spreads
+    val hubEdges = (0 until 200).map(i => ("hub", s"s$i"))
+    val chain = Seq(("c0", "c1"), ("c1", "c2"), ("c2", "c3"))
+    val edges = (hubEdges ++ chain).toDF("src", "dst")
+    val nodes = (hubEdges.flatMap(e => Seq(e._1, e._2)) ++
+      chain.flatMap(e => Seq(e._1, e._2)) ++ Seq("lone")).distinct.toDF("node")
+    def result(salt: Int): Set[(String, String)] =
+      ConnectedComponents
+        .run(edges, nodes, saltFactor = salt)
+        .as[(String, String)]
+        .collect()
+        .toSet
+    val unsalted = result(1)
+    assert(result(4) == unsalted)
+    // sanity on the fixpoint itself
+    val byComponent = unsalted.groupBy(_._2)
+    assert(byComponent.exists(_._2.size == 201), "hub star must form one 201-node component")
+    assert(unsalted.contains(("lone", "lone")))
+    assert(byComponent.exists(c => c._2.map(_._1) == Set("c0", "c1", "c2", "c3")))
+  }
 }

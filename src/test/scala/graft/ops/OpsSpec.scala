@@ -103,6 +103,37 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.where(col("frame_idx") % 7 =!= 0).count() == 0)
   }
 
+  test("minhash groups: distributed CC equals driver union-find over the same pairs") {
+    // independent driver-side union-find over the emitted pair list —
+    // verifies the CC composition (transitive chains collapse, group id
+    // = min member) without re-deriving the pair rule
+    val pairs = Dedup.minhashLshPairs(docs, thetaPct = 90)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-duplicates")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val members = parent.keys.toSeq
+    val expected = members
+      .groupBy(find)
+      .values
+      .flatMap { ms => val root = ms.min; ms.map(_ -> root) }
+      .toMap
+    val got = Dedup.minhashGroups(docs, thetaPct = 90)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected, s"diff: ${(got.toSet diff expected.toSet).take(5)}")
+    // transitivity: every doc's group is the min doc_id of its cluster
+    got.groupBy(_._2).foreach { case (g, ms) => assert(ms.keys.min == g) }
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val twoDocs = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")

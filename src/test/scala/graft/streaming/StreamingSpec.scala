@@ -75,6 +75,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("KgStream: streaming KG extraction equals batch across micro-batch splits") {
+    implicit val sql = spark.sqlContext
+    val cfg = graft.corpus.CorpusGen.Config(nDocs = 40)
+    val pages = (0L until 40L).map(graft.corpus.CorpusGen.page(cfg, _))
+    val ms = MemoryStream[graft.model.Page]
+    val q = KgStream
+      .triples(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("kg_stream")
+      .outputMode("append")
+      .start()
+    try {
+      // same corpus fed in two micro-batches, with an overlap re-feed:
+      // the triple set must equal the batch pipeline's and carry no
+      // duplicates (state store = global distinct)
+      ms.addData(pages.take(25): _*)
+      q.processAllAvailable()
+      ms.addData(pages.drop(15): _*) // 10 pages re-fed
+      q.processAllAvailable()
+      val streamed = spark.table("kg_stream").as[Triple].collect()
+      val batch = KgStream.triples(pages.toDS()).collect().toSet
+      assert(streamed.toSet == batch)
+      assert(streamed.length == batch.size, "append stream must emit each triple once")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermarked variant runs in append mode") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[EventRow]
