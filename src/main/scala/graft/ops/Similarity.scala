@@ -118,6 +118,118 @@ object Similarity {
       .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** IVF ANN with TRAINED centroids — the scale path beyond fixed
+    * hyperplanes: a deterministic hash-seeded sample of `nCells` vectors
+    * is refined by one Lloyd iteration (assign-all → integer-mean
+    * update), every vector is indexed by its nearest trained centroid,
+    * and each query probes only its `nProbe` nearest cells.
+    *
+    * Determinism/exactness: seeds are the `nCells` rows minimizing
+    * (md5(vec_id), vec_id); distances are integer squared-euclidean in
+    * centi-units; centroid means use exact floor division
+    * ((s - mod(s, c)) / c with mathematical mod, identical in both
+    * engines regardless of their integer-division convention); argmin
+    * ties break by cell id. The DuckDB oracle replays the identical
+    * training, so results are bit-identical — the approximation is in
+    * the DECLARED probe rule, not in engine drift.
+    *
+    * Scale shape: training is two tiny driver syncs (the seed sample and
+    * the 16×dim component sums — k-means always syncs centroids per
+    * round) around fully-distributed per-row expressions; the index
+    * assignment is a zero-shuffle scan projection, and the query join is
+    * broadcast-queries × cell-pruned corpus, exactly [[lshTopK]]'s
+    * shape with learned cells instead of sign bits.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      nCells: Int = 16,
+      nProbe: Int = 6,
+      nQueries: Int = 20,
+      k: Int = 8,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val q = quantized(embeddings)
+
+    // --- train: deterministic seed sample ---
+    val seedRows = q
+      .select(col("vec_id"), col("v"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id")
+      .limit(nCells)
+      .collect()
+    val seedCvs: Seq[Seq[Long]] = seedRows.map(_.getSeq[Long](1).toSeq).toSeq
+
+    def centroidsLit(cvs: Seq[Seq[Long]]): String =
+      cvs.zipWithIndex
+        .map { case (cv, i) =>
+          s"named_struct('cell', CAST($i AS BIGINT), 'cv', array(${cv.mkString("L, ")}L))"
+        }
+        .mkString("array(", ", ", ")")
+
+    def d2Expr(v: String, cv: String): String =
+      s"aggregate(zip_with($v, $cv, (x, c) -> (x - c) * (x - c)), 0L, (a, e) -> a + e)"
+
+    // (d2, cell) structs sorted ascending — argmin with cell tiebreak
+    def rankedCellsExpr(cvs: Seq[Seq[Long]], v: String): String =
+      s"array_sort(transform(${centroidsLit(cvs)}, s -> " +
+        s"named_struct('d2', ${d2Expr(v, "s.cv")}, 'cell', s.cell)))"
+
+    def assignExpr(cvs: Seq[Seq[Long]], v: String): String =
+      s"element_at(${rankedCellsExpr(cvs, v)}, 1).cell"
+
+    // --- Lloyd iterations: distributed component sums, driver mean sync
+    // (k-means always syncs centroids per round; the per-round driver
+    // payload is nCells×dim longs regardless of corpus size) ---
+    val trained: Seq[Seq[Long]] = (1 to lloydIters).foldLeft(seedCvs) { (cvs, _) =>
+      val sums = q
+        .withColumn("cell", expr(assignExpr(cvs, "v")))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum("x").as("s"), count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cvs.zipWithIndex.map { case (prev, cell) =>
+        prev.indices.map { d =>
+          sums.get((cell, d)) match {
+            case Some((s, c)) => (s - (((s % c) + c) % c)) / c // exact floor mean
+            case None         => prev(d) // empty cell keeps its centroid
+          }
+        }
+      }
+    }
+
+    // --- index: every vector's nearest trained centroid (scan projection) ---
+    val indexed = q.select(
+      col("vec_id").as("n"),
+      col("v").as("nv"),
+      expr(assignExpr(trained, "v")).as("cell")
+    )
+
+    // --- query: probe the nProbe nearest cells ---
+    val queries = q
+      .where(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("q"),
+        col("v").as("qv"),
+        explode(
+          expr(s"transform(slice(${rankedCellsExpr(trained, "v")}, 1, $nProbe), p -> p.cell)")
+        ).as("cell")
+      )
+    val pairs = broadcast(queries)
+      .join(indexed, Seq("cell"))
+      .where(col("q") =!= col("n"))
+      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("nn", expr("aggregate(nv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
+    val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Threshold near-duplicate pairs by embedding cosine, restricted to
     * (label, sign-bit bucket) blocks: (a, b, score_milli) with
     * score >= thetaMilli.

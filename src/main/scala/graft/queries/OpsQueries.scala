@@ -181,6 +181,51 @@ object OpsQueries {
       "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
       "SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 8"
 
+  val annIvf: Q = (s, dir) => Similarity.ivfTopK(emb(s, dir))
+
+  /** Replays ivfTopK's deterministic training verbatim: md5-seeded
+    * sample, one Lloyd iteration with exact floor-mean centroids, argmin
+    * assignment with cell tiebreak, nProbe-cell probe, same integer
+    * cosine ranking as the other ANN oracles.
+    */
+  val annIvfSql: String = {
+    val nCells = 16
+    val nProbe = 6
+    val nQueries = 20
+    val k = 8
+    val lloydIters = 2
+    def d2(v: String, cv: String): String =
+      s"list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+    // one Lloyd round: assign to cents{i-1}, floor-mean update -> cents{i}
+    def lloydRound(it: Int): String = {
+      val prev = if (it == 1) "cents0" else s"cents${it - 1}"
+      s"a$it AS (SELECT vec_id, v, cell FROM (SELECT q.vec_id, q.v, c.cell, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2("q.v", "c.cv")}, c.cell) AS rn " +
+        s"FROM q CROSS JOIN $prev c) WHERE rn = 1), " +
+        s"comp$it AS (SELECT cell, i, sum(v[i]) AS s, count(*) AS c FROM a$it " +
+        "CROSS JOIN UNNEST(range(1, len(v) + 1)) AS t(i) GROUP BY cell, i), " +
+        s"upd$it AS (SELECT cell, list((s - (((s % c) + c) % c)) // c ORDER BY i) AS uv FROM comp$it GROUP BY cell), " +
+        s"cents$it AS (SELECT p.cell, COALESCE(u.uv, p.cv) AS cv FROM $prev p LEFT JOIN upd$it u ON p.cell = u.cell)"
+    }
+    val cents = s"cents$lloydIters"
+    s"WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS v FROM embeddings), " +
+      "cents0 AS (SELECT v AS cv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell " +
+      s"FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells), " +
+      (1 to lloydIters).map(lloydRound).mkString("", ", ", ", ") +
+      "idx AS (SELECT vec_id, v, cell FROM (SELECT q.vec_id, q.v, c.cell, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${d2("q.v", "c.cv")}, c.cell) AS rn " +
+      s"FROM q CROSS JOIN $cents c) WHERE rn = 1), " +
+      s"qs AS (SELECT vec_id, v FROM q WHERE vec_id < $nQueries), " +
+      "probes AS (SELECT vec_id AS qid, qv, cell FROM (SELECT qs.vec_id, qs.v AS qv, c.cell, " +
+      s"row_number() OVER (PARTITION BY qs.vec_id ORDER BY ${d2("qs.v", "c.cv")}, c.cell) AS rn " +
+      s"FROM qs CROSS JOIN $cents c) WHERE rn <= $nProbe), " +
+      "scored AS (SELECT p.qid AS q, idx.vec_id AS n, " +
+      s"(1000 * ${listDot("p.qv", "idx.v")} * abs(${listDot("p.qv", "idx.v")})) // (${listNorm("idx.v")} * ${listNorm("p.qv")}) AS score_milli " +
+      "FROM probes p JOIN idx ON idx.cell = p.cell WHERE idx.vec_id <> p.qid), " +
+      "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
+      s"SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= $k"
+  }
+
   // ----- text analysis -----
 
   val textLangId: Q = (s, dir) => TextAnalysis.langId(docs(s, dir))
@@ -265,6 +310,7 @@ object OpsQueries {
     "ann_topk" -> annTopK,
     "ann_buckets" -> annBuckets,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_token_counts" -> textTokenCounts,
@@ -284,6 +330,7 @@ object OpsQueries {
     "ann_topk" -> annTopKSql,
     "ann_buckets" -> annBucketsSql,
     "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql,
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,
     "text_token_counts" -> textTokenCountsSql,

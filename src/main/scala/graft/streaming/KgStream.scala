@@ -1,8 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.extract.{Extract, PatternScorer, Scorer}
 import graft.model.{Page, Triple}
+import graft.store.MemoryStore
 
 /** Streaming KG construction — the batch generate() dataflow applied to
   * an unbounded page stream (the reference's incremental analogue is the
@@ -38,5 +41,43 @@ object KgStream {
       .select("subject", "predicate", "obj")
       .as[Triple]
     EventsStream.newTriples(valid)
+  }
+
+  /** The MCP add_memories loop LIVE on a page stream: each micro-batch's
+    * extracted triples merge into the persistent [[MemoryStore]] via
+    * foreachBatch (reference: mcp/server.py:131-166 — generate a graph
+    * from new text, aggregate into the store, save). The store's own
+    * anti-join MERGE dedup makes the per-batch distinct sufficient — no
+    * cross-batch state needed here, so this variant is fully
+    * restart-safe: a replayed micro-batch re-merges rows the store
+    * already holds and lands as an empty delta (exactly-once CONTENT,
+    * the same idempotence Iceberg MERGE gives a replayed writer).
+    *
+    * Returns the started query; the caller owns its lifecycle.
+    */
+  def intoStore(
+      pages: Dataset[Page],
+      store: MemoryStore,
+      scorer: Scorer = PatternScorer,
+      cfg: Extract.Config = Extract.Config(),
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    import pages.sparkSession.implicits._
+    val ex = Extract.extractions(Extract.chunks(pages, cfg), scorer, cfg)
+    val valid = Extract.tripleMentions(ex)
+      .select("subject", "predicate", "obj")
+      .as[Triple]
+    valid.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Triple], _: Long) =>
+        val tdf = batch.toDF()
+        val entities = tdf
+          .select(col("subject").as("entity"))
+          .union(tdf.select(col("obj").as("entity")))
+        store.addMemories(entities, tdf)
+        ()
+      }
+      .start()
   }
 }

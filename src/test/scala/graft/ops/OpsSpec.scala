@@ -103,6 +103,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.where(col("frame_idx") % 7 =!= 0).count() == 0)
   }
 
+  test("IVF ANN: trained-centroid probes recover most brute-force neighbors") {
+    val brute = Similarity.bruteTopK(emb)
+      .select("q", "n").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb)
+      .select("q", "n").as[(Long, Long)].collect().toSet
+    // this fixture is weakly clustered (near-random 64-dim vectors), the
+    // regime where IVF recall is fundamentally probe-bound: 6-of-16
+    // cells ≈ 0.375 of the corpus scanned recovers ~0.68 of true
+    // neighbors here (structure lifts it above the 0.375 random
+    // baseline). The bar asserts the index is learning structure, not
+    // that ANN is exact — the declared tradeoff, like lshTopK.
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+    // deterministic training: two runs give identical results
+    val again = Similarity.ivfTopK(emb)
+      .select("q", "n").as[(Long, Long)].collect().toSet
+    assert(again == ivf)
+  }
+
   test("minhash groups: distributed CC equals driver union-find over the same pairs") {
     // independent driver-side union-find over the emitted pair list —
     // verifies the CC composition (transitive chains collapse, group id

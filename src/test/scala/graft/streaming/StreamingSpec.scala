@@ -103,6 +103,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("KgStream.intoStore: streamed merges equal the batch triple set, replays are empty deltas") {
+    implicit val sql = spark.sqlContext
+    val cfg = graft.corpus.CorpusGen.Config(nDocs = 30)
+    val pages = (0L until 30L).map(graft.corpus.CorpusGen.page(cfg, _))
+    val root = java.nio.file.Files.createTempDirectory("graft-kgstream").toString
+    val store = new graft.store.MemoryStore(spark, root)
+    val ms = MemoryStream[graft.model.Page]
+    val q = KgStream.intoStore(
+      ms.toDS(),
+      store,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
+    )
+    try {
+      ms.addData(pages.take(20): _*)
+      q.processAllAvailable()
+      val afterFirst = store.triples.count()
+      ms.addData(pages.drop(10): _*) // 10 pages re-fed + 10 new
+      q.processAllAvailable()
+      val batchTriples = KgStream.triples(pages.toDS()).collect()
+        .map(t => (t.subject, t.predicate, t.obj)).toSet
+      val storeTriples = store.triples.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(storeTriples == batchTriples)
+      assert(afterFirst <= batchTriples.size)
+      assert(store.version >= 2)
+      // replaying already-merged pages must not duplicate content
+      ms.addData(pages.take(5): _*)
+      q.processAllAvailable()
+      assert(store.triples.count() == batchTriples.size)
+    } finally q.stop()
+  }
+
   test("watermarked variant runs in append mode") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[EventRow]
