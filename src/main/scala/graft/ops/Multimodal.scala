@@ -89,4 +89,47 @@ object Multimodal {
         explode(expr(s"sequence(0L, n_frames - 1, ${stride}L)")).as("frame_idx")
       )
       .withColumn("ts_milli", col("frame_idx") * lit(40L)) // 25 fps stand-in
+
+  /** Resize plumbing: target box fit preserving aspect ratio in exact
+    * integer math (the real resampler is a codec call inside the same
+    * batched stage as [[decode]]; what is tested here is the metadata
+    * contract every resizer must satisfy — fit-within-box, never
+    * upscale, aspect preserved under integer floor).
+    */
+  def resize(meta: Dataset[MediaMeta], maxW: Long = 640L, maxH: Long = 480L): DataFrame =
+    meta
+      .toDF()
+      .withColumn(
+        "scale_milli",
+        expr(s"least(1000L, (${maxW}L * 1000L) div width, (${maxH}L * 1000L) div height)")
+      )
+      .select(
+        col("doc_id"),
+        col("width"),
+        col("height"),
+        expr("(width * scale_milli) div 1000L").as("out_w"),
+        expr("(height * scale_milli) div 1000L").as("out_h")
+      )
+
+  /** Feature-extraction plumbing: a fixed-length integer feature vector
+    * per payload — here a 16-bin byte histogram (real and exact: it IS a
+    * feature of the payload, no codec needed), emitted long-format
+    * (doc_id, bin, n) so downstream similarity ops can consume it like
+    * any embedding column. Batched per partition like [[decode]].
+    */
+  def extractFeatures(media: Dataset[MediaRow], bins: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .mapPartitions { it =>
+        it.map { r =>
+          val hist = new Array[Long](bins)
+          r.media.foreach { b => hist(((b & 0xff) * bins) / 256) += 1L }
+          (r.doc_id, hist.toSeq)
+        }
+      }
+      .toDF("doc_id", "hist")
+      .select(col("doc_id"), posexplode(col("hist")).as(Seq("bin", "n")))
+      .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n"))
+  }
 }

@@ -297,6 +297,34 @@ object OpsQueries {
       "SELECT doc_id, CAST(unnest(range(0, n_frames, 7)) AS BIGINT) AS frame_idx, " +
       "CAST(unnest(range(0, n_frames, 7)) * 40 AS BIGINT) AS ts_milli FROM m WHERE n_frames > 0"
 
+  val multimodalResize: Q = (s, dir) =>
+    Multimodal.resize(Multimodal.decode(Multimodal.mediaTable(docs(s, dir))))
+
+  /** Integer box-fit: scale_milli = min(1000, 640000 div w, 480000 div h);
+    * all dims positive so floor division is identical in both engines.
+    */
+  val multimodalResizeSql: String =
+    "WITH m AS (SELECT doc_id, CAST(320 + (doc_id % 5) * 160 AS BIGINT) AS width, " +
+      "CAST(240 + (doc_id % 3) * 120 AS BIGINT) AS height FROM documents), " +
+      "s AS (SELECT doc_id, width, height, least(1000, 640000 // width, 480000 // height) AS sm FROM m) " +
+      "SELECT doc_id, width, height, CAST((width * sm) // 1000 AS BIGINT) AS out_w, " +
+      "CAST((height * sm) // 1000 AS BIGINT) AS out_h FROM s"
+
+  val multimodalFeatures: Q = (s, dir) =>
+    Multimodal.extractFeatures(Multimodal.mediaTable(docs(s, dir)))
+
+  /** 16-bin byte histogram of the UTF-8 payload; the corpus is ASCII so
+    * per-character codepoints equal bytes. All 16 bins are emitted per
+    * doc (zeros included), matching the fixed-length feature vector.
+    */
+  val multimodalFeaturesSql: String =
+    "WITH b AS (SELECT doc_id, (ord(substr(text, CAST(i AS INT), 1)) * 16) // 256 AS bin " +
+      "FROM documents CROSS JOIN UNNEST(range(1, strlen(text) + 1)) AS t(i)), " +
+      "c AS (SELECT doc_id, bin, count(*) AS n FROM b GROUP BY doc_id, bin), " +
+      "g AS (SELECT d.doc_id, CAST(bb.bin AS BIGINT) AS bin FROM documents d CROSS JOIN UNNEST(range(0, 16)) AS bb(bin)) " +
+      "SELECT g.doc_id, g.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n " +
+      "FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bin = g.bin"
+
   // ----- registry -----
 
   val all: Map[String, Q] = Map(
@@ -316,7 +344,9 @@ object OpsQueries {
     "text_token_counts" -> textTokenCounts,
     "text_fingerprints" -> textFingerprints,
     "multimodal_meta" -> multimodalMeta,
-    "multimodal_frames" -> multimodalFrames
+    "multimodal_frames" -> multimodalFrames,
+    "multimodal_resize" -> multimodalResize,
+    "multimodal_features" -> multimodalFeatures
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,6 +366,8 @@ object OpsQueries {
     "text_token_counts" -> textTokenCountsSql,
     "text_fingerprints" -> textFingerprintsSql,
     "multimodal_meta" -> multimodalMetaSql,
-    "multimodal_frames" -> multimodalFramesSql
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_features" -> multimodalFeaturesSql
   )
 }

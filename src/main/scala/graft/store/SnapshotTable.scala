@@ -189,4 +189,38 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     if (!Files.exists(m)) None
     else Some(mapper.readTree(Files.readAllBytes(m)).get("rowCount").asLong())
   }
+
+  /** Per-partition lineage of a committed snapshot as a DataFrame:
+    * one row per data file with its exact row count (the counter metrics
+    * the manifest recorded at commit), plus the snapshot identity — the
+    * queryable form of the north rule's "per-partition lineage + counter
+    * metrics" (what `DESCRIBE ... FILES` is to Iceberg).
+    */
+  def lineage(stage: String, fingerprint: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val id = snapshotId(stage, fingerprint)
+    val node = mapper.readTree(Files.readAllBytes(metaPath(id)))
+    val rows = node.get("files").elements().asScala.toSeq.map { f =>
+      (id, stage, f.get("file").asText(), f.get("rows").asLong())
+    }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "stage", "file", "rows")
+  }
+
+  /** The snapshot chain from the current version hint back to the first
+    * commit (newest first) — each element a (snapshotId, stage,
+    * rowCount). Walks manifest parent pointers.
+    */
+  def history: Seq[(String, String, Long)] = {
+    @annotation.tailrec
+    def walk(id: Option[String], acc: List[(String, String, Long)]): List[(String, String, Long)] =
+      id match {
+        case Some(s) if Files.exists(metaPath(s)) =>
+          val n = mapper.readTree(Files.readAllBytes(metaPath(s)))
+          val parent = Option(n.get("parent")).filterNot(_.isNull).map(_.asText())
+          walk(parent, (s, n.get("stage").asText(), n.get("rowCount").asLong()) :: acc)
+        case _ => acc
+      }
+    walk(currentSnapshot, Nil).reverse
+  }
 }

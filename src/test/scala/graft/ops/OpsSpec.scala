@@ -153,6 +153,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     got.groupBy(_._2).foreach { case (g, ms) => assert(ms.keys.min == g) }
   }
 
+  test("multimodal resize fits the box without upscaling; features sum to byte length") {
+    val meta = Multimodal.decode(Multimodal.mediaTable(docs))
+    val rs = Multimodal.resize(meta)
+    assert(rs.where(col("out_w") > 640 || col("out_h") > 480).count() == 0)
+    assert(rs.where(col("out_w") > col("width") || col("out_h") > col("height")).count() == 0)
+    // every doc gets a fixed-length 16-bin vector whose mass equals the
+    // payload byte length
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(docs))
+    val perDoc = feats.groupBy("doc_id")
+      .agg(count(lit(1)).as("bins"), sum("n").as("mass"))
+      .join(meta.toDF().select(col("doc_id"), col("byte_len")), "doc_id")
+    assert(perDoc.where(col("bins") =!= 16).count() == 0)
+    assert(perDoc.where(col("mass") =!= col("byte_len")).count() == 0)
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val twoDocs = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")

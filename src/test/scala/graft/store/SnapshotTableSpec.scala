@@ -51,4 +51,21 @@ class SnapshotTableSpec extends AnyFunSuite with SparkTestBase {
     val resumed = t2.read("stage1", "fp")
     assert(resumed.collect().map(_.toSeq).toSet == data.collect().map(_.toSeq).toSet)
   }
+
+  test("lineage exposes exact per-file counters; history walks the parent chain") {
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    t.commit(spark.range(100).repartition(4).toDF(), "a", "fp1")
+    t.commit(spark.range(30).toDF(), "b", "fp2")
+    val lin = t.lineage("a", "fp1")
+    assert(lin.columns.toSeq == Seq("snapshot_id", "stage", "file", "rows"))
+    val rows = lin.collect()
+    assert(rows.map(_.getLong(3)).sum == 100L, "per-file counters must sum to the committed count")
+    assert(rows.length >= 2, "a repartitioned commit spans multiple files")
+    // every recorded file exists and is distinct
+    assert(rows.map(_.getString(2)).distinct.length == rows.length)
+    rows.foreach(r => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(r.getString(2)))))
+    val h = t.history
+    assert(h.map(x => (x._2, x._3)) == Seq(("b", 30L), ("a", 100L)), h.toString)
+  }
 }
