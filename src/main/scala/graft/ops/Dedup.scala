@@ -219,21 +219,58 @@ object Dedup {
     * here the cluster relation is the LSH pair graph itself and the
     * fixpoint is the scalable min-label propagation.
     */
+  /** @param driverPairThreshold adaptive small-graph path (same shape as
+    *   ClusterGraph's dictionary probe): `take(threshold+1)` on the pair
+    *   set is incremental — when the graph is small the union-find runs
+    *   driver-side and the whole grouping is ONE Spark job instead of
+    *   2×diameter CC-iteration jobs (pure driver-latency savings,
+    *   identical output — sbt-tested against the distributed path); at
+    *   corpus scale the probe sees threshold+1 pairs and the distributed
+    *   min-label fixpoint runs unchanged.
+    */
   def minhashGroups(
       docs: DataFrame,
       thetaPct: Int = 90,
       seeds: Int = 16,
       bands: Int = 8,
-      cap: Int = 10
+      cap: Int = 10,
+      driverPairThreshold: Int = 2000000
   ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pairs = minhashLshPairs(docs, thetaPct, seeds, bands, cap).select(col("a"), col("b"))
-    val nodes = pairs
-      .select(col("a").as("node"))
-      .union(pairs.select(col("b").as("node")))
-      .distinct()
-    graft.cluster.ConnectedComponents
-      .run(pairs.select(col("a").as("src"), col("b").as("dst")), nodes)
-      .select(col("node").as("doc_id"), col("component").as("dup_group"))
+    val probe = pairs.as[(Long, Long)].take(driverPairThreshold + 1)
+    if (probe.length <= driverPairThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        val root = r
+        var c = x
+        while (parent.getOrElse(c, c) != root) { val n = parent(c); parent(c) = root; c = n }
+        root
+      }
+      probe.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val members = parent.keys.toSeq
+      members
+        .groupBy(find)
+        .valuesIterator
+        .flatMap { ms => val root = ms.min; ms.map(m => (m, root)) }
+        .toSeq
+        .toDF("doc_id", "dup_group")
+    } else {
+      val nodes = pairs
+        .select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .distinct()
+      graft.cluster.ConnectedComponents
+        .run(pairs.select(col("a").as("src"), col("b").as("dst")), nodes)
+        .select(col("node").as("doc_id"), col("component").as("dup_group"))
+    }
   }
 
   val SimhashBits = 16

@@ -146,11 +146,17 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .values
       .flatMap { ms => val root = ms.min; ms.map(_ -> root) }
       .toMap
-    val got = Dedup.minhashGroups(docs, thetaPct = 90)
+    // force the DISTRIBUTED CC path (threshold 0) — the default adaptive
+    // path collapses to the same union-find this test re-derives
+    val got = Dedup.minhashGroups(docs, thetaPct = 90, driverPairThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(got == expected, s"diff: ${(got.toSet diff expected.toSet).take(5)}")
     // transitivity: every doc's group is the min doc_id of its cluster
     got.groupBy(_._2).foreach { case (g, ms) => assert(ms.keys.min == g) }
+    // and the adaptive driver path agrees with the distributed one
+    val adaptive = Dedup.minhashGroups(docs, thetaPct = 90)
+      .as[(Long, Long)].collect().toMap
+    assert(adaptive == got)
   }
 
   test("multimodal resize fits the box without upscaling; features sum to byte length") {
