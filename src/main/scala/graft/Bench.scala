@@ -159,8 +159,19 @@ object Bench {
     if (!cp.split(':').exists(e => e.contains("classes") || e.contains("kggenspark"))) return None
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     // 4 GiB/core (production-executor-like), floor 8 GiB: heap per core
-    // is constant across levels so neither level is artificially GC-bound
-    val heapGb = math.max(8, cores * 4)
+    // is constant across levels so neither level is artificially GC-bound.
+    // Capped at 3/4 of host RAM — local[32] would otherwise ask for a
+    // 128 GiB -Xms on a 125 GiB host and die at the first heap mmap.
+    val hostGb: Int =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines()
+          .collectFirst { case l if l.startsWith("MemTotal:") =>
+            (l.trim.split("\\s+")(1).toLong / (1024L * 1024L)).toInt }
+          .getOrElse(64)
+        finally src.close()
+      } catch { case _: Exception => 64 }
+    val heapGb = math.max(8, math.min(cores * 4, hostGb * 3 / 4))
     // HARD-cap the child to exactly `cores` CPUs, the way a real N-core
     // executor host does. ActiveProcessorCount alone only sizes thread
     // pools — GC/IO/driver threads still ran on extra physical cores,
@@ -361,7 +372,7 @@ object Bench {
           s""""triples_per_sec_localN":${fmt(tpn, 1)},"triples_per_sec_local4N":${fmt(tp4n, 1)},""" +
           s""""scaling_efficiency":${fmt(eff)},""" +
           effAdjJson +
-          s""""methodology":"per-level child JVM when mode=child-jvm (taskset pin to cores, ActiveProcessorCount=cores, heap=4GiB/core, warmup run, steal-gated measured runs); identical partitioning ($ScalePartitions) at both levels; budget=${budgetSec}s"}"""
+          s""""methodology":"per-level child JVM when mode=child-jvm (taskset pin to cores, ActiveProcessorCount=cores, heap=4GiB/core capped at 3/4 host RAM, warmup run, steal-gated measured runs); identical partitioning ($ScalePartitions) at both levels; budget=${budgetSec}s"}"""
       emit(kggenJson)
     } else spark32.stop()
   }

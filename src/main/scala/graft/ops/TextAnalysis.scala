@@ -86,6 +86,118 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens")
     )
 
+  /** Token-level n-gram length for benchmark decontamination (the
+    * standard 8-token collision rule) and the deterministic eval-split
+    * modulus used to synthesise an "eval suite" from the corpus.
+    */
+  val TokenGramLen = 8
+  val EvalMod = 10
+
+  /** Gopher-style repetition signals per document: the fraction of
+    * bigram occurrences taken by the single most frequent bigram, and
+    * the fraction of trigram occurrences that are repeats (occurrences
+    * beyond each trigram's first). Both integer-exact percentages.
+    *
+    * Shape at scale: one explode (~2 grams/token) followed by two
+    * partial-aggregated shuffles keyed by (doc_id, n, gram) then
+    * doc_id — no windows, no driver loops; gram keys are short token
+    * pairs/triples so the shuffle stays narrow.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            """concat(
+                 transform(sequence(1, size(toks) - 1), i -> struct(2 AS n, concat_ws(' ', slice(toks, i, 2)) AS gram)),
+                 transform(sequence(1, size(toks) - 2), i -> struct(3 AS n, concat_ws(' ', slice(toks, i, 3)) AS gram))
+               )"""
+          )
+        ).as("g")
+      )
+      .select(col("doc_id"), col("g.n"), col("g.gram"))
+    grams
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("n") === 2, col("cnt"))).as("top2"),
+        sum(when(col("n") === 2, col("cnt"))).as("tot2"),
+        sum(when(col("n") === 3, col("cnt"))).as("tot3"),
+        count(when(col("n") === 3, lit(1))).as("dist3")
+      )
+      .select(
+        col("doc_id"),
+        col("tot2").cast("long").as("n_bigrams"),
+        expr("(100 * top2) div tot2").as("top_bigram_pct"),
+        col("tot3").cast("long").as("n_trigrams"),
+        expr("(100 * (tot3 - dist3)) div tot3").as("dup_trigram_pct")
+      )
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-token gram with the eval split (docs where doc_id % EvalMod = 0
+    * — a deterministic stand-in for a fixed benchmark suite). Returns
+    * (doc_id, n_collisions): the count of distinct colliding grams per
+    * flagged training doc.
+    *
+    * The eval side is by construction a bounded benchmark suite, so at
+    * production scale its distinct-gram set is small; the join is left
+    * unhinted so AQE picks broadcast when it fits rather than forcing
+    * one (cf. the size-gated-broadcast rule in EXPLAIN.md).
+    */
+  def decontam(docs: DataFrame): DataFrame = {
+    val k = TokenGramLen
+    val grams = docs
+      .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))")
+        ).as("gram")
+      )
+    val evalGrams = grams.where(col("doc_id") % EvalMod === 0).select("gram").distinct()
+    grams
+      .where(col("doc_id") % EvalMod =!= 0)
+      .join(evalGrams, Seq("gram"), "leftsemi")
+      .select("doc_id", "gram")
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_collisions"))
+  }
+
+  /** Per-domain (source) corpus composition: doc counts, char/token
+    * volumes, mean doc length (milli-tokens), and each domain's share
+    * of all tokens in ppm. One shuffle keyed by source; the global
+    * token total is a window over the already-aggregated domain table
+    * (bounded by the number of domains, not the corpus).
+    */
+  def domainStats(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("chars"),
+        size(TokenRules.tokens(col("text"))).cast("long").as("ntok")
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("chars").as("total_chars"),
+        sum("ntok").as("total_tokens")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("total_chars"),
+        col("total_tokens"),
+        expr("(1000 * total_tokens) div n_docs").as("avg_doc_tokens_milli"),
+        expr("(1000000 * total_tokens) div (sum(total_tokens) OVER ())").as("token_share_ppm")
+      )
+
   val GramLen = 8
   val WinnowWindow = 4
 

@@ -277,6 +277,44 @@ object OpsQueries {
       s"SELECT DISTINCT doc_id, fp FROM fp WHERE pos >= $w"
   }
 
+  val textRepetition: Q = (s, dir) => TextAnalysis.repetition(docs(s, dir))
+
+  val textRepetitionSql: String =
+    s"WITH $toksCte, " +
+      "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tk WHERE len(toks) >= 3), " +
+      "tg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram FROM tk WHERE len(toks) >= 3), " +
+      "bc AS (SELECT doc_id, gram, count(*) AS n FROM bg GROUP BY 1, 2), " +
+      "ba AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top2, CAST(sum(n) AS BIGINT) AS tot2 FROM bc GROUP BY 1), " +
+      "tc AS (SELECT doc_id, gram, count(*) AS n FROM tg GROUP BY 1, 2), " +
+      "ta AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot3, CAST(count(*) AS BIGINT) AS dist3 FROM tc GROUP BY 1) " +
+      "SELECT ba.doc_id, tot2 AS n_bigrams, (100 * top2) // tot2 AS top_bigram_pct, " +
+      "tot3 AS n_trigrams, (100 * (tot3 - dist3)) // tot3 AS dup_trigram_pct " +
+      "FROM ba JOIN ta ON ba.doc_id = ta.doc_id"
+
+  val textDecontam: Q = (s, dir) => TextAnalysis.decontam(docs(s, dir))
+
+  val textDecontamSql: String = {
+    val k = TextAnalysis.TokenGramLen
+    val m = TextAnalysis.EvalMod
+    s"WITH $toksCte, " +
+      s"g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${k - 2}), i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS gram FROM tk WHERE len(toks) >= $k), " +
+      s"ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % $m = 0), " +
+      s"h AS (SELECT DISTINCT g.doc_id, g.gram FROM g JOIN ev USING (gram) WHERE g.doc_id % $m <> 0) " +
+      "SELECT doc_id, count(*) AS n_collisions FROM h GROUP BY 1"
+  }
+
+  val domainStats: Q = (s, dir) => TextAnalysis.domainStats(docs(s, dir))
+
+  val domainStatsSql: String =
+    "WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS chars, " +
+      "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok FROM documents), " +
+      "p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(chars) AS BIGINT) AS total_chars, " +
+      "CAST(sum(ntok) AS BIGINT) AS total_tokens FROM d GROUP BY source), " +
+      "t AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS g FROM p) " +
+      "SELECT source, n_docs, total_chars, total_tokens, " +
+      "(1000 * total_tokens) // n_docs AS avg_doc_tokens_milli, " +
+      "(1000000 * total_tokens) // t.g AS token_share_ppm FROM p, t"
+
   // ----- multimodal plumbing -----
 
   val multimodalMeta: Q = (s, dir) =>
@@ -343,6 +381,9 @@ object OpsQueries {
     "text_quality" -> textQuality,
     "text_token_counts" -> textTokenCounts,
     "text_fingerprints" -> textFingerprints,
+    "text_repetition" -> textRepetition,
+    "text_decontam" -> textDecontam,
+    "domain_stats" -> domainStats,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
@@ -365,6 +406,9 @@ object OpsQueries {
     "text_quality" -> textQualitySql,
     "text_token_counts" -> textTokenCountsSql,
     "text_fingerprints" -> textFingerprintsSql,
+    "text_repetition" -> textRepetitionSql,
+    "text_decontam" -> textDecontamSql,
+    "domain_stats" -> domainStatsSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,

@@ -174,6 +174,46 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(perDoc.where(col("mass") =!= col("byte_len")).count() == 0)
   }
 
+  test("repetition signals: hand-computed bigram/trigram fractions") {
+    // "a a a a b": bigrams (a a)x3, (a b)x1 -> top 3 of 4 = 75%;
+    // trigrams (a a a)x2, (a a b)x1 -> 3 total, 2 distinct -> 33% dup
+    val d = Seq((1L, "a a a a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 75L, r.toString)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 33L, r.toString)
+    // a doc with no repeated grams scores 0% duplicate trigrams and a
+    // uniform top-bigram share
+    val u = Seq((2L, "a b c d e")).toDF("doc_id", "text")
+    val ru = TextAnalysis.repetition(u).collect().head
+    assert(ru.getLong(2) == 25L && ru.getLong(4) == 0L, ru.toString)
+  }
+
+  test("decontamination flags only train docs sharing an 8-token gram with the eval split") {
+    val evalText = "one two three four five six seven eight nine ten"
+    val docsD = Seq(
+      (10L, evalText), // eval (10 % 10 == 0)
+      (11L, "x y " + evalText), // train, contains eval 8-grams
+      (12L, "p q r s t u v w x y z") // train, disjoint
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.decontam(docsD).collect()
+    assert(hits.length == 1 && hits.head.getLong(0) == 11L, hits.mkString(";"))
+    // "one..ten" has 3 8-grams, all present verbatim in doc 11
+    assert(hits.head.getLong(1) == 3L, hits.head.toString)
+  }
+
+  test("domain stats: per-source totals and token shares sum to the corpus") {
+    val d = Seq(
+      (1L, "a b c", "s1"),
+      (2L, "d e", "s1"),
+      (3L, "f g h i j", "s2")
+    ).toDF("doc_id", "text", "source")
+    val st = TextAnalysis.domainStats(d).collect().map(r => r.getString(0) -> r).toMap
+    assert(st("s1").getLong(1) == 2L && st("s1").getLong(3) == 5L)
+    assert(st("s2").getLong(1) == 1L && st("s2").getLong(3) == 5L)
+    assert(st("s1").getLong(5) == 500000L && st("s2").getLong(5) == 500000L)
+    assert(st("s1").getLong(4) == 2500L) // 2.5 tokens/doc in milli
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val twoDocs = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
