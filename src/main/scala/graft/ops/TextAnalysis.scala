@@ -198,6 +198,16 @@ object TextAnalysis {
         expr("(1000000 * total_tokens) div (sum(total_tokens) OVER ())").as("token_share_ppm")
       )
 
+  /** Corpus length distribution: documents and token mass per
+    * 10-token-wide length bucket. One partially-aggregated shuffle on a
+    * small integer key — the full-corpus histogram costs one scan.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(size(TokenRules.tokens(col("text"))).cast("long").as("ntok"))
+      .groupBy(expr("ntok div 10").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"))
+
   val GramLen = 8
   val WinnowWindow = 4
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver-facing queries + DuckDB oracles for the training-data pipeline
   * operators (dedup, similarity search, text analysis, multimodal
@@ -315,6 +315,34 @@ object OpsQueries {
       "(1000 * total_tokens) // n_docs AS avg_doc_tokens_milli, " +
       "(1000000 * total_tokens) // t.g AS token_share_ppm FROM p, t"
 
+  /** Per-domain mixture weight for the synthetic corpus: the numeric
+    * suffix of 'srcN' maps each domain to 25/50/75 % deterministically.
+    */
+  private val mixRateExpr = "25 * (1 + CAST(substr(source, 4) AS INT) % 3)"
+
+  val mixtureSample: Q = (s, dir) =>
+    Sampling.mixtureSample(docs(s, dir), expr(mixRateExpr))
+
+  val mixtureSampleSql: String =
+    s"WITH r AS (SELECT doc_id, source, CAST($mixRateExpr AS BIGINT) AS rate_pct FROM documents) " +
+      "SELECT doc_id, source, rate_pct FROM r " +
+      "WHERE ((doc_id * 2654435761 + 97) % 4294967296) % 100 < rate_pct"
+
+  val dataSplit: Q = (s, dir) => Sampling.hashSplit(docs(s, dir), valPct = 1, testPct = 1)
+
+  val dataSplitSql: String =
+    "SELECT doc_id, CASE " +
+      "WHEN ((doc_id * 1103515245 + 12345) % 4294967296) % 100 < 1 THEN 'val' " +
+      "WHEN ((doc_id * 1103515245 + 12345) % 4294967296) % 100 < 2 THEN 'test' " +
+      "ELSE 'train' END AS split FROM documents"
+
+  val lengthHistogram: Q = (s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))
+
+  val lengthHistogramSql: String =
+    "WITH n AS (SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok FROM documents) " +
+      "SELECT ntok // 10 AS bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(ntok) AS BIGINT) AS total_tokens FROM n GROUP BY 1"
+
   // ----- multimodal plumbing -----
 
   val multimodalMeta: Q = (s, dir) =>
@@ -384,6 +412,9 @@ object OpsQueries {
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
     "domain_stats" -> domainStats,
+    "mixture_sample" -> mixtureSample,
+    "data_split" -> dataSplit,
+    "length_histogram" -> lengthHistogram,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
@@ -409,6 +440,9 @@ object OpsQueries {
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,
     "domain_stats" -> domainStatsSql,
+    "mixture_sample" -> mixtureSampleSql,
+    "data_split" -> dataSplitSql,
+    "length_histogram" -> lengthHistogramSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,

@@ -214,6 +214,49 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(st("s1").getLong(4) == 2500L) // 2.5 tokens/doc in milli
   }
 
+  test("mixture sampling is deterministic, rate-accurate, and nested across rates") {
+    val flat = docs.withColumn("source", lit("s"))
+    def ids(rate: Int): Set[Long] =
+      Sampling.mixtureSample(flat, lit(rate)).select("doc_id").as[Long].collect().toSet
+    assert(ids(0).isEmpty && ids(100).size == docs.count())
+    val half = ids(50)
+    val frac = half.size.toDouble / docs.count()
+    assert(frac > 0.4 && frac < 0.6, s"rate-50 kept $frac")
+    // monotone: raising the rate only adds documents
+    assert(ids(25).subsetOf(half) && half.subsetOf(ids(75)))
+    // deterministic across invocations
+    assert(ids(50) == half)
+  }
+
+  test("hash split partitions every doc exactly once with the requested shares") {
+    val sp = Sampling.hashSplit(docs, valPct = 10, testPct = 10)
+    val byKind = sp.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind.values.sum == docs.count())
+    assert(byKind("val") + byKind("test") + byKind("train") == docs.count())
+    val n = docs.count().toDouble
+    assert(byKind("val") / n > 0.05 && byKind("val") / n < 0.15, byKind.toString)
+    // independence from the mixture hash: the val split is not a
+    // subset/superset artifact of the rate-10 mixture sample
+    val mix10 = Sampling.mixtureSample(docs.withColumn("source", lit("s")), lit(10))
+      .select("doc_id").as[Long].collect().toSet
+    val vals = sp.where(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    assert(mix10 != vals)
+  }
+
+  test("length histogram buckets account for every doc and token") {
+    val h = TextAnalysis.lengthHistogram(docs).collect()
+    assert(h.map(_.getLong(1)).sum == docs.count())
+    val totalToks = docs
+      .select(sum(size(graft.extract.TokenRules.tokens(col("text")))).cast("long"))
+      .as[Long].collect().head
+    assert(h.map(_.getLong(2)).sum == totalToks)
+    // every bucket's token mass is consistent with its bounds
+    h.foreach { r =>
+      val (b, nd, tt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(tt >= b * 10 * nd && tt <= (b * 10 + 9) * nd, r.toString)
+    }
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val twoDocs = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
