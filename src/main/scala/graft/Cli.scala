@@ -24,6 +24,7 @@ import graft.store.MemoryStore
   *   memory-add      <storeRoot> <graph.json>       # merge into store
   *   memory-retrieve <storeRoot> <query>            # 2-hop context
   *   memory-stats    <storeRoot>                    # store counters
+  *   memory-visualize <storeRoot> <out.parquet>     # viz model of the store
   * }}}
   */
 object Cli {
@@ -97,6 +98,18 @@ object Cli {
           val s = new MemoryStore(spark, root).stats
           println(s.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
         } finally spark.stop()
+
+      case "memory-visualize" =>
+        // parity with mcp/server.py:213-238 visualize_memories: the viz
+        // view model computed over the persistent store's current version
+        val Array(_, root, out) = args.take(3)
+        val spark = session()
+        try {
+          val store = new MemoryStore(spark, root)
+          Analytics.vizModel(store.entities, store.triples)
+            .coalesce(1).write.mode("overwrite").parquet(out)
+        } finally spark.stop()
+        println(s"visualized store $root -> $out")
 
       case other =>
         System.err.println(s"unknown verb: $other"); sys.exit(2)
