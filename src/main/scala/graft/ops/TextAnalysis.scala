@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.TokenRules
@@ -93,50 +93,58 @@ object TextAnalysis {
   val TokenGramLen = 8
   val EvalMod = 10
 
+  /** Over a SORTED gram array: (longest equal run, number of distinct
+    * values), via one linear fold. Equal grams are adjacent after the
+    * sort, so the longest run is the top gram's occurrence count and
+    * run boundaries count distinct grams.
+    */
+  private def runStats(sortedArr: String): Column =
+    expr(
+      s"""aggregate(
+            $sortedArr,
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L, 'nd', 0L),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run',  IF(x <=> acc.prev, acc.run + 1L, 1L),
+              'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L)),
+              'nd',   acc.nd + IF(x <=> acc.prev, 0L, 1L)),
+            acc -> named_struct('best', acc.best, 'nd', acc.nd))"""
+    )
+
   /** Gopher-style repetition signals per document: the fraction of
     * bigram occurrences taken by the single most frequent bigram, and
     * the fraction of trigram occurrences that are repeats (occurrences
     * beyond each trigram's first). Both integer-exact percentages.
     *
-    * Shape at scale: one explode (~2 grams/token) followed by two
-    * partial-aggregated shuffles keyed by (doc_id, n, gram) then
-    * doc_id — no windows, no driver loops; gram keys are short token
-    * pairs/triples so the shuffle stays narrow.
+    * Shape at scale: a pure per-row projection — grams are built,
+    * sorted, and folded inside one expression tree, so a per-document
+    * statistic costs a scan with ZERO exchanges (the first cut exploded
+    * grams through two corpus-volume shuffles; a doc-local metric never
+    * needs the cluster to agree on anything).
     */
-  def repetition(docs: DataFrame): DataFrame = {
-    val grams = docs
+  def repetition(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 3)
       .select(
         col("doc_id"),
-        explode(
-          expr(
-            """concat(
-                 transform(sequence(1, size(toks) - 1), i -> struct(2 AS n, concat_ws(' ', slice(toks, i, 2)) AS gram)),
-                 transform(sequence(1, size(toks) - 2), i -> struct(3 AS n, concat_ws(' ', slice(toks, i, 3)) AS gram))
-               )"""
-          )
-        ).as("g")
-      )
-      .select(col("doc_id"), col("g.n"), col("g.gram"))
-    grams
-      .groupBy("doc_id", "n", "gram")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(
-        max(when(col("n") === 2, col("cnt"))).as("top2"),
-        sum(when(col("n") === 2, col("cnt"))).as("tot2"),
-        sum(when(col("n") === 3, col("cnt"))).as("tot3"),
-        count(when(col("n") === 3, lit(1))).as("dist3")
+        expr("array_sort(transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2))))").as("bg"),
+        expr("array_sort(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))").as("tg")
       )
       .select(
         col("doc_id"),
-        col("tot2").cast("long").as("n_bigrams"),
-        expr("(100 * top2) div tot2").as("top_bigram_pct"),
-        col("tot3").cast("long").as("n_trigrams"),
-        expr("(100 * (tot3 - dist3)) div tot3").as("dup_trigram_pct")
+        size(col("bg")).cast("long").as("n_bigrams"),
+        runStats("bg").as("b"),
+        size(col("tg")).cast("long").as("n_trigrams"),
+        runStats("tg").as("t")
       )
-  }
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        expr("(100 * b.best) div n_bigrams").as("top_bigram_pct"),
+        col("n_trigrams"),
+        expr("(100 * (n_trigrams - t.nd)) div n_trigrams").as("dup_trigram_pct")
+      )
 
   /** Benchmark decontamination: flag training documents sharing any
     * 8-token gram with the eval split (docs where doc_id % EvalMod = 0
