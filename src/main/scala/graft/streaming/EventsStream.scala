@@ -73,4 +73,43 @@ object EventsStream {
         } else Iterator.empty
       }
   }
+
+  /** A triple sighting carrying its event time, for the bounded-state
+    * streaming distinct below.
+    */
+  final case class SightedTriple(subject: String, predicate: String, obj: String, ts: Timestamp)
+
+  /** Bounded-state variant of [[newTriples]] for truly unbounded
+    * streams: a key's "seen" state expires once the event-time
+    * watermark passes (last sighting + ttl), so the state store holds
+    * only the keys active inside the TTL horizon instead of every key
+    * ever seen — at 10^12-key scale, forever-state is not a plan. The
+    * documented tradeoff: a triple re-appearing after its state expired
+    * is emitted again (downstream consumers idempotently MERGE into the
+    * store, so duplicates across expiry horizons are harmless — the
+    * same contract as MemoryStore.addMemories' anti-join dedup).
+    */
+  def newTriplesExpiring(
+      sightings: Dataset[SightedTriple],
+      ttl: String = "10 minutes",
+      lateBound: String = "1 minute"
+  ): Dataset[Triple] = {
+    import sightings.sparkSession.implicits._
+    sightings
+      .withWatermark("ts", lateBound)
+      .groupByKey(t => (t.subject, t.predicate, t.obj))
+      .flatMapGroupsWithState[Long, Triple](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { case ((s, p, o), rows, state: GroupState[Long]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val maxTs = rows.map(_.ts.getTime).max
+          val seen = state.exists
+          state.update(maxTs)
+          state.setTimeoutTimestamp(maxTs, ttl)
+          if (seen) Iterator.empty else Iterator.single(Triple(s, p, o))
+        }
+      }
+  }
 }

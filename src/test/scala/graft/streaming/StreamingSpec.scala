@@ -75,6 +75,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("newTriplesExpiring: TTL bounds state — dedup inside the horizon, re-emit after expiry") {
+    implicit val sql = spark.sqlContext
+    import EventsStream.SightedTriple
+    def st(s: String, min: Int, sec: Int = 0) = SightedTriple(s, "p", "o", ts(min, sec))
+    val ms = MemoryStream[SightedTriple]
+    val q = EventsStream
+      .newTriplesExpiring(ms.toDS(), ttl = "2 minutes", lateBound = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("exp_triples")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(st("A", 0), st("A", 0, 30)) // within-batch dup
+      q.processAllAvailable()
+      ms.addData(st("A", 1), st("C", 1)) // A inside TTL -> suppressed
+      q.processAllAvailable()
+      ms.addData(st("D", 10)) // watermark jumps past A/C timeouts next batch
+      q.processAllAvailable()
+      ms.addData(st("E", 10, 30)) // batch where A's state times out (no A data)
+      q.processAllAvailable()
+      ms.addData(st("A", 11)) // state expired -> re-emitted
+      q.processAllAvailable()
+      val out = spark.table("exp_triples").as[Triple].collect()
+      val counts = out.groupBy(_.subject).view.mapValues(_.length).toMap
+      assert(counts == Map("A" -> 2, "C" -> 1, "D" -> 1, "E" -> 1), out.mkString(";"))
+    } finally q.stop()
+  }
+
   test("KgStream: streaming KG extraction equals batch across micro-batch splits") {
     implicit val sql = spark.sqlContext
     val cfg = graft.corpus.CorpusGen.Config(nDocs = 40)
