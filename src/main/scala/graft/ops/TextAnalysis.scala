@@ -206,6 +206,71 @@ object TextAnalysis {
         expr("(1000000 * total_tokens) div (sum(total_tokens) OVER ())").as("token_share_ppm")
       )
 
+  /** Curation-filter thresholds (C4/Gopher-style), shared with the
+    * DuckDB oracle. Rules fire in order; the first failure is the
+    * reject reason.
+    */
+  val MinDocTokens = 20
+  val MinStopPct = 2
+  val MaxStopPct = 30
+  val MaxTopBigramPct = 10
+  val MaxDupTrigramPct = 7
+
+  /** The assembled corpus-curation filter: every per-document quality
+    * signal (length, language vote, stopword density, repetition) plus
+    * the keep/reject verdict and first-failing-rule reason, computed in
+    * ONE scan with ZERO exchanges — each signal is a per-row expression
+    * (the repetition stats reuse the sorted-array fold), so curating
+    * 100 TB costs exactly one pass with no cluster coordination.
+    */
+  def curate(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        markerCount("en"),
+        markerCount("de"),
+        markerCount("es"),
+        markerCount("fr"),
+        expr("IF(size(toks) >= 3, array_sort(transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))), array())").as("bg"),
+        expr("IF(size(toks) >= 3, array_sort(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))), array())").as("tg")
+      )
+      .withColumn(
+        "lang_pred",
+        expr(
+          """CASE
+             WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en'
+             WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de'
+             WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+             WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr'
+             ELSE 'und' END"""
+        )
+      )
+      .withColumn("stop_pct", expr("(100 * c_en) div n_tokens"))
+      .withColumn("b", runStats("bg"))
+      .withColumn("t", runStats("tg"))
+      .withColumn("top_bigram_pct", expr("IF(size(bg) > 0, (100 * b.best) div size(bg), 0L)"))
+      .withColumn("dup_trigram_pct", expr("IF(size(tg) > 0, (100 * (size(tg) - t.nd)) div size(tg), 0L)"))
+      .withColumn(
+        "reason",
+        expr(
+          s"""CASE
+              WHEN n_tokens < $MinDocTokens THEN 'too_short'
+              WHEN lang_pred <> 'en' THEN 'lang'
+              WHEN stop_pct < $MinStopPct THEN 'low_stopword'
+              WHEN stop_pct >= $MaxStopPct THEN 'high_stopword'
+              WHEN top_bigram_pct >= $MaxTopBigramPct OR dup_trigram_pct >= $MaxDupTrigramPct THEN 'repetitive'
+              ELSE 'ok' END"""
+        )
+      )
+      .withColumn("keep", expr("IF(reason = 'ok', 1L, 0L)"))
+      .select(
+        "doc_id", "n_tokens", "lang_pred", "stop_pct",
+        "top_bigram_pct", "dup_trigram_pct", "keep", "reason"
+      )
+
   /** Corpus length distribution: documents and token mass per
     * 10-token-wide length bucket. One partially-aggregated shuffle on a
     * small integer key — the full-corpus histogram costs one scan.

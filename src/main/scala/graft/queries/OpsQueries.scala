@@ -315,6 +315,43 @@ object OpsQueries {
       "(1000 * total_tokens) // n_docs AS avg_doc_tokens_milli, " +
       "(1000000 * total_tokens) // t.g AS token_share_ppm FROM p, t"
 
+  val corpusCurate: Q = (s, dir) => TextAnalysis.curate(docs(s, dir))
+
+  /** Replays curate's rule chain: per-row signals via unnest/group CTEs
+    * (the oracle is semantic — Spark computes the same integers with a
+    * zero-shuffle array fold).
+    */
+  val corpusCurateSql: String = {
+    def cnt(lang: String): String = {
+      val set = TextAnalysis.markers(lang).map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($set))) AS c_$lang"
+    }
+    s"WITH $toksCte, " +
+      s"sig AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens, ${cnt("en")}, ${cnt("de")}, ${cnt("es")}, ${cnt("fr")} FROM tk WHERE len(toks) > 0), " +
+      "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g FROM sig WHERE n_tokens >= 3), " +
+      "bc AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top2, CAST(sum(cnt) AS BIGINT) AS tot2 FROM (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2) GROUP BY 1), " +
+      "tg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM sig WHERE n_tokens >= 3), " +
+      "tc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot3, CAST(count(*) AS BIGINT) AS dist3 FROM (SELECT doc_id, g, count(*) AS cnt FROM tg GROUP BY 1, 2) GROUP BY 1), " +
+      "j AS (SELECT s.doc_id, s.n_tokens, " +
+      "CASE WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en' " +
+      "WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de' " +
+      "WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es' " +
+      "WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr' ELSE 'und' END AS lang_pred, " +
+      "(100 * c_en) // s.n_tokens AS stop_pct, " +
+      "CAST(COALESCE((100 * bc.top2) // bc.tot2, 0) AS BIGINT) AS top_bigram_pct, " +
+      "CAST(COALESCE((100 * (tc.tot3 - tc.dist3)) // tc.tot3, 0) AS BIGINT) AS dup_trigram_pct " +
+      "FROM sig s LEFT JOIN bc ON s.doc_id = bc.doc_id LEFT JOIN tc ON s.doc_id = tc.doc_id), " +
+      "r AS (SELECT *, CASE " +
+      s"WHEN n_tokens < ${TextAnalysis.MinDocTokens} THEN 'too_short' " +
+      "WHEN lang_pred <> 'en' THEN 'lang' " +
+      s"WHEN stop_pct < ${TextAnalysis.MinStopPct} THEN 'low_stopword' " +
+      s"WHEN stop_pct >= ${TextAnalysis.MaxStopPct} THEN 'high_stopword' " +
+      s"WHEN top_bigram_pct >= ${TextAnalysis.MaxTopBigramPct} OR dup_trigram_pct >= ${TextAnalysis.MaxDupTrigramPct} THEN 'repetitive' " +
+      "ELSE 'ok' END AS reason FROM j) " +
+      "SELECT doc_id, n_tokens, lang_pred, stop_pct, top_bigram_pct, dup_trigram_pct, " +
+      "CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep, reason FROM r"
+  }
+
   /** Per-domain mixture weight for the synthetic corpus: the numeric
     * suffix of 'srcN' maps each domain to 25/50/75 % deterministically.
     */
@@ -412,6 +449,7 @@ object OpsQueries {
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
     "domain_stats" -> domainStats,
+    "corpus_curate" -> corpusCurate,
     "mixture_sample" -> mixtureSample,
     "data_split" -> dataSplit,
     "length_histogram" -> lengthHistogram,
@@ -440,6 +478,7 @@ object OpsQueries {
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,
     "domain_stats" -> domainStatsSql,
+    "corpus_curate" -> corpusCurateSql,
     "mixture_sample" -> mixtureSampleSql,
     "data_split" -> dataSplitSql,
     "length_histogram" -> lengthHistogramSql,

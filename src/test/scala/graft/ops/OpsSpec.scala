@@ -257,6 +257,28 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("curation filter fires the first failing rule in order") {
+    // 20 distinct tokens, 3 en markers (15% stopwords), no repeated grams
+    val healthy = "the quick brown fox jumps over a lazy dog while rain falls on green hills and birds sing songs today"
+    val lowStop = "the " + (1 to 99).map(i => s"w$i").mkString(" ") // 1% stopwords
+    val cases = Seq(
+      (1L, "too short doc"), // too_short
+      (2L, (1 to 25).map(i => s"x$i").mkString(" ")), // 25 toks, zero markers -> 'und'
+      (3L, healthy), // ok
+      (4L, ("the a " * 10).trim), // 100% stopwords -> high_stopword
+      (5L, lowStop), // low_stopword
+      (6L, "the " + "x y " * 9 + "x") // 5% stop, (x y) is 9 of 19 bigrams -> repetitive
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.curate(cases).collect()
+      .map(r => r.getLong(0) -> (r.getLong(6), r.getString(7))).toMap
+    assert(out(1L) == (0L, "too_short"), out.toString)
+    assert(out(2L) == (0L, "lang"), out.toString)
+    assert(out(3L) == (1L, "ok"), out.toString)
+    assert(out(4L) == (0L, "high_stopword"), out.toString)
+    assert(out(5L) == (0L, "low_stopword"), out.toString)
+    assert(out(6L) == (0L, "repetitive"), out.toString)
+  }
+
   test("winnowing fingerprints overlap heavily for near-identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val twoDocs = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
