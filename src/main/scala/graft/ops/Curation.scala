@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The assembled corpus-prep decision: every document's final
+  * keep/drop verdict with the reason a data-prep job would log —
+  * quality-rule failures first ([[TextAnalysis.curate]]), then exact
+  * duplicates ([[Dedup.exact]]), then mixture down-sampling
+  * ([[Sampling.mixtureSample]]'s rule). This is the table a 100 TB
+  * curation run actually writes: one row per input document, auditable
+  * (every drop carries its rule), and re-runnable (all three inputs are
+  * deterministic).
+  */
+object Curation {
+
+  /** Per-document verdict: (doc_id, source, verdict, keep).
+    *
+    * Verdict precedence mirrors the order a pipeline applies the
+    * filters: the curation chain's first failing rule, else
+    * 'duplicate' (an earlier doc has identical text), else
+    * 'sampled_out' (the deterministic mixture hash exceeds this
+    * domain's rate), else 'keep'.
+    *
+    * Shape at scale: the curation signals are a zero-shuffle
+    * projection; exact-dup needs one shuffle of (fingerprint, doc_id);
+    * the dup flag and reason join back on doc_id (the dup side is the
+    * duplicate subset — AQE broadcasts it when small). No step touches
+    * document bodies after the first scan.
+    */
+  def corpusDecision(docs: DataFrame, ratePct: Column): DataFrame = {
+    val reasons = TextAnalysis.curate(docs).select(col("doc_id"), col("reason"))
+    val dups = Dedup.exact(docs).select(col("doc_id"), lit(1L).as("is_dup"))
+    docs
+      .select(col("doc_id"), col("source"), ratePct.cast("long").as("rate_pct"))
+      .join(reasons, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .withColumn(
+        "verdict",
+        expr(
+          """CASE
+             WHEN COALESCE(reason, 'too_short') <> 'ok' THEN COALESCE(reason, 'too_short')
+             WHEN is_dup = 1 THEN 'duplicate'
+             WHEN pmod(doc_id * 2654435761L + 97L, 4294967296L) % 100 >= rate_pct THEN 'sampled_out'
+             ELSE 'keep' END"""
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("verdict"),
+        expr("IF(verdict = 'keep', 1L, 0L)").as("keep")
+      )
+  }
+}

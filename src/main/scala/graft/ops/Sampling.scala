@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.extract.TokenRules
 
 /** Deterministic corpus sampling for training mixtures. Every rule is
   * plain 64-bit integer arithmetic (a multiplicative-congruential hash
@@ -43,4 +45,50 @@ object Sampling {
         .otherwise(lit("train"))
         .as("split")
     )
+
+  /** Token budget of one packed training sequence. */
+  val PackCapacity = 512
+
+  /** Concat-and-cut sequence packing: within each source shard, the
+    * token streams of documents (in doc_id order) are conceptually
+    * concatenated and cut every `capacity` tokens — the standard
+    * pretraining batch-packing rule. Emits, per document, the first and
+    * last sequence index it lands in (a document may span a cut).
+    *
+    * Shape at scale: one shuffle keyed by source + a running-sum window
+    * inside each shard — packing is inherently per-shard (a global
+    * order would serialize), and the shard IS the unit a packing job
+    * writes, so this is the correct 100 TB decomposition. Skewed shard
+    * sizes are a data-layout choice upstream, not a join-key skew.
+    */
+  def seqPack(docs: DataFrame, capacity: Int = PackCapacity): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(TokenRules.tokens(col("text"))).cast("long").as("n_tokens")
+      )
+      .where(col("n_tokens") > 0)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        expr(s"(cum - n_tokens) div $capacity").as("seq_start"),
+        expr(s"(cum - 1) div $capacity").as("seq_end")
+      )
+  }
+
+  /** Quality-weighted resampling (DCLM-style): keep each document with
+    * probability quality_milli/1000, decided by an independent
+    * deterministic hash stream — upweights long/stopword-dense docs
+    * without any randomness. Composes [[TextAnalysis.quality]] (a pure
+    * projection) with a per-row filter: zero exchanges end to end.
+    */
+  def qualitySample(docs: DataFrame): DataFrame =
+    TextAnalysis
+      .quality(docs)
+      .where(expr("pmod(doc_id * 2246822519L + 11L, 4294967296L) % 1000") < col("quality_milli"))
+      .select("doc_id", "quality_milli")
 }

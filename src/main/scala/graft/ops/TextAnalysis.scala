@@ -281,6 +281,73 @@ object TextAnalysis {
       .groupBy(expr("ntok div 10").as("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"))
 
+  /** Top-k cutoff for vocabulary construction. */
+  val VocabK = 100
+
+  /** Tokenizer-vocabulary construction: global token frequencies
+    * (occurrences + document frequency) ranked by (count desc, token),
+    * cut at the top k — the counting pass a BPE/unigram trainer runs
+    * first over the corpus.
+    *
+    * Shape at scale: one partial-agg shuffle keyed by token (map-side
+    * combine collapses each partition's counts before the exchange),
+    * then a distributed TakeOrderedAndProject for the top-k — the rank
+    * window runs over the k retained rows only, never the full vocab.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    // the rank window's input is the k retained rows, not the vocab:
+    // a single partition is bounded by construction (the constant
+    // partition key documents that and silences WindowExec's
+    // all-data-to-one-partition warning)
+    val byRank = Window.partitionBy(lit(1)).orderBy(col("occurrences").desc, col("token"))
+    docs
+      .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(byRank).cast("long"))
+  }
+
+  /** Cross-domain contamination matrix: for every source pair, the
+    * number of shared distinct 8-token grams and the gram-set Jaccard
+    * (integer pct) — the standard measure of inter-domain duplication
+    * when deciding what a mixture actually adds.
+    *
+    * Shape at scale: distinct (source, gram) shuffled on gram, an
+    * equi-join on gram (per-gram fan-out bounded by n_sources², not
+    * corpus size), and a tiny n_sources²-row aggregate; the per-source
+    * gram totals join back via AQE-chosen broadcast.
+    */
+  def sourceOverlap(docs: DataFrame, gramLen: Int = TokenGramLen): DataFrame = {
+    val grams = docs
+      .select(col("source"), TokenRules.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= gramLen)
+      .select(
+        col("source"),
+        explode(
+          expr(s"transform(sequence(1, size(toks) - ${gramLen - 1}), i -> concat_ws(' ', slice(toks, i, $gramLen)))")
+        ).as("gram")
+      )
+      .distinct()
+    val perSource = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    grams
+      .as("a")
+      .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(perSource.select(col("source").as("src_a"), col("n_grams").as("grams_a")), Seq("src_a"))
+      .join(perSource.select(col("source").as("src_b"), col("n_grams").as("grams_b")), Seq("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("shared_grams"),
+        col("grams_a"),
+        col("grams_b"),
+        expr("(100 * shared_grams) div (grams_a + grams_b - shared_grams)").as("jaccard_pct")
+      )
+  }
+
   val GramLen = 8
   val WinnowWindow = 4
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver-facing queries + DuckDB oracles for the training-data pipeline
   * operators (dedup, similarity search, text analysis, multimodal
@@ -373,6 +373,62 @@ object OpsQueries {
       "WHEN ((doc_id * 1103515245 + 12345) % 4294967296) % 100 < 2 THEN 'test' " +
       "ELSE 'train' END AS split FROM documents"
 
+  val vocabTopK: Q = (s, dir) => TextAnalysis.vocabTopK(docs(s, dir))
+
+  val vocabTopKSql: String =
+    s"WITH tkx AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents), " +
+      "c AS (SELECT token, CAST(count(*) AS BIGINT) AS occurrences, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tkx GROUP BY token), " +
+      "r AS (SELECT token, occurrences, n_docs, row_number() OVER (ORDER BY occurrences DESC, token) AS rnk FROM c) " +
+      s"SELECT token, occurrences, n_docs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= ${TextAnalysis.VocabK}"
+
+  val sourceOverlap: Q = (s, dir) => TextAnalysis.sourceOverlap(docs(s, dir))
+
+  val sourceOverlapSql: String = {
+    val k = TextAnalysis.TokenGramLen
+    s"WITH $toksCte, " +
+      s"g AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(toks) - ${k - 2}), i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS gram FROM tk WHERE len(toks) >= $k), " +
+      "p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source), " +
+      "sh AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_grams " +
+      "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) " +
+      "SELECT sh.src_a, sh.src_b, sh.shared_grams, pa.n_grams AS grams_a, pb.n_grams AS grams_b, " +
+      "(100 * sh.shared_grams) // (pa.n_grams + pb.n_grams - sh.shared_grams) AS jaccard_pct " +
+      "FROM sh JOIN p pa ON pa.source = sh.src_a JOIN p pb ON pb.source = sh.src_b"
+  }
+
+  val seqPack: Q = (s, dir) => Sampling.seqPack(docs(s, dir))
+
+  val seqPackSql: String = {
+    val c = Sampling.PackCapacity
+    s"WITH $toksCte, " +
+      "n AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk WHERE len(toks) > 0), " +
+      "cm AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM n) " +
+      s"SELECT doc_id, source, n_tokens, CAST((cum - n_tokens) // $c AS BIGINT) AS seq_start, " +
+      s"CAST((cum - 1) // $c AS BIGINT) AS seq_end FROM cm"
+  }
+
+  val qualitySample: Q = (s, dir) => Sampling.qualitySample(docs(s, dir))
+
+  val qualitySampleSql: String =
+    s"WITH qual AS ($textQualitySql) SELECT doc_id, quality_milli FROM qual " +
+      "WHERE ((doc_id * 2246822519 + 11) % 4294967296) % 1000 < quality_milli"
+
+  val corpusKeep: Q = (s, dir) => Curation.corpusDecision(docs(s, dir), expr(mixRateExpr))
+
+  /** Composes the curate, exact-dedup and mixture-sampling oracles into
+    * the same precedence chain the Spark side applies.
+    */
+  val corpusKeepSql: String =
+    s"WITH cur AS ($corpusCurateSql), " +
+      "dup AS (SELECT DISTINCT d.doc_id FROM documents d JOIN (SELECT text, min(doc_id) AS m FROM documents GROUP BY text) c ON d.text = c.text WHERE d.doc_id <> c.m), " +
+      s"sm AS (SELECT doc_id, source, CAST($mixRateExpr AS BIGINT) AS rate_pct FROM documents), " +
+      "v AS (SELECT sm.doc_id, sm.source, CASE " +
+      "WHEN COALESCE(cur.reason, 'too_short') <> 'ok' THEN COALESCE(cur.reason, 'too_short') " +
+      "WHEN dup.doc_id IS NOT NULL THEN 'duplicate' " +
+      "WHEN ((sm.doc_id * 2654435761 + 97) % 4294967296) % 100 >= sm.rate_pct THEN 'sampled_out' " +
+      "ELSE 'keep' END AS verdict " +
+      "FROM sm LEFT JOIN cur ON cur.doc_id = sm.doc_id LEFT JOIN dup ON dup.doc_id = sm.doc_id) " +
+      "SELECT doc_id, source, verdict, CAST(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep FROM v"
+
   val lengthHistogram: Q = (s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))
 
   val lengthHistogramSql: String =
@@ -453,6 +509,11 @@ object OpsQueries {
     "mixture_sample" -> mixtureSample,
     "data_split" -> dataSplit,
     "length_histogram" -> lengthHistogram,
+    "vocab_topk" -> vocabTopK,
+    "source_overlap" -> sourceOverlap,
+    "seq_pack" -> seqPack,
+    "quality_sample" -> qualitySample,
+    "corpus_keep" -> corpusKeep,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
@@ -482,6 +543,11 @@ object OpsQueries {
     "mixture_sample" -> mixtureSampleSql,
     "data_split" -> dataSplitSql,
     "length_histogram" -> lengthHistogramSql,
+    "vocab_topk" -> vocabTopKSql,
+    "source_overlap" -> sourceOverlapSql,
+    "seq_pack" -> seqPackSql,
+    "quality_sample" -> qualitySampleSql,
+    "corpus_keep" -> corpusKeepSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,

@@ -288,4 +288,90 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val overlap = (f1 & f2).size.toDouble / f1.size
     assert(overlap >= 0.8, s"overlap $overlap")
   }
+
+  test("seqPack: concat-and-cut bins, per-shard, documents span cuts") {
+    // source s: token counts 4, 8, 5 at capacity 10 -> cum 4, 12, 17
+    val fixture = Seq(
+      (1L, "a b c d", "s"),
+      (2L, "a b c d e f g h", "s"),
+      (3L, "a b c d e", "s"),
+      (4L, "p q r", "t") // independent shard restarts at sequence 0
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.seqPack(fixture, capacity = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (4L, 0L, 0L))
+    assert(out(2L) == (8L, 0L, 1L)) // crosses the token-10 cut
+    assert(out(3L) == (5L, 1L, 1L))
+    assert(out(4L) == (3L, 0L, 0L))
+    // coverage invariant on real data: within a shard, the next doc
+    // starts in the sequence the previous one ended in (or the next)
+    val packed = Sampling.seqPack(docs).orderBy("source", "doc_id")
+      .select("source", "seq_start", "seq_end")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    packed.sliding(2).foreach {
+      case Array((sa, _, ea), (sb, sBeg, _)) if sa == sb =>
+        assert(sBeg == ea || sBeg == ea + 1, s"gap in $sa: end=$ea next=$sBeg")
+      case _ => ()
+    }
+  }
+
+  test("vocabTopK: counts, document frequency, deterministic tie ranks") {
+    val fixture = Seq(
+      (1L, "a a b"),
+      (2L, "a b c"),
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabTopK(fixture, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: 3 occurrences in 2 docs; b/c tie at 2 -> token order breaks it
+    assert(out.toSeq == Seq(("a", 3L, 2L, 1L), ("b", 2L, 2L, 2L), ("c", 2L, 2L, 3L)))
+  }
+
+  test("sourceOverlap: shared-gram counts and integer jaccard per source pair") {
+    val fixture = Seq(
+      (1L, "x y z", "A"),
+      (2L, "x y w", "B"),
+      (3L, "q r", "C") // no 2-gram shared with anyone
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.sourceOverlap(fixture, gramLen = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // A{x y, y z}, B{x y, y w}: share {x y}; J = 1/3 -> 33%
+    assert(rows == Map(("A", "B") -> ((1L, 2L, 2L, 33L))))
+  }
+
+  test("corpusDecision: verdict precedence quality > duplicate > sampling") {
+    val healthy = "the quick brown fox jumps over a lazy dog while rain falls on green hills and birds sing songs today"
+    val fixture = Seq(
+      (1L, "too short", "s"), // fails curation first, even though 2 duplicates it
+      (2L, "too short", "s"),
+      (3L, healthy, "s"), // clean + unique -> sampling decides
+      (4L, healthy + " extra", "s"),
+      (5L, healthy + " extra", "s") // duplicate of a CLEAN doc -> 'duplicate'
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.corpusDecision(fixture, lit(100)).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out(1L) == ("too_short", 0L))
+    assert(out(2L) == ("too_short", 0L)) // quality outranks duplicate
+    assert(out(3L) == ("keep", 1L)) // rate 100% -> sampling keeps all
+    assert(out(4L) == ("keep", 1L))
+    assert(out(5L) == ("duplicate", 0L))
+    // rate 0%: clean unique docs flip to sampled_out, others unchanged
+    val zero = Curation.corpusDecision(fixture, lit(0)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(zero(3L) == "sampled_out" && zero(4L) == "sampled_out" && zero(5L) == "duplicate")
+    // totality on real data: one verdict per input document
+    assert(Curation.corpusDecision(docs, lit(50)).count() == docs.count())
+  }
+
+  test("qualitySample: exactly the quality-rule subset, deterministic") {
+    val quality = TextAnalysis.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val expected = quality.collect {
+      case (id, q) if math.floorMod(id * 2246822519L + 11L, 4294967296L) % 1000 < q => id
+    }.toSet
+    val sampled = Sampling.qualitySample(docs).select("doc_id").as[Long].collect().toSet
+    assert(sampled == expected)
+    assert(sampled.nonEmpty && sampled.size < quality.size, s"degenerate sample: ${sampled.size} of ${quality.size}")
+  }
 }
