@@ -301,9 +301,13 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); None }
       }
       // best-of-2 while the budget is comfortable; single-run once the
-      // query phase has eaten a third of the total budget
-      val second = elapsedSec < budgetSec / 3.0
-      val t = (once(), if (second) once() else None) match {
+      // query phase has eaten a third of the total budget. A first run
+      // past 30 s is a steal-storm reading on this corpus (no query is
+      // near that in a clean window) — repeating it inside the same
+      // storm just doubles the damage to the scaling phase's budget.
+      val first = once()
+      val second = elapsedSec < budgetSec / 3.0 && first.forall(_ < 30.0)
+      val t = (first, if (second) once() else None) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case (Some(a), None)    => a
         case (None, Some(b))    => b
@@ -344,8 +348,32 @@ object Bench {
         spawnLevel(cores, benchDocs, runs, quiet, deadline)
           .getOrElse(measureInProcess(cores, benchDocs))
       }
-      val r4n = measure(c4n)
-      val rn = measure(scaleN)
+      var r4n = measure(c4n)
+      var rn = measure(scaleN)
+      // A level whose BEST run landed inside a steal storm poisons the
+      // efficiency gate even when the other level was clean (measured:
+      // an 8.6%-steal local[2] best inflated 103.9 s -> 143.6 s and
+      // printed 0.77 where clean windows print 0.84-0.93). While the
+      // wall budget still fits a re-spawn, re-measure the dirtiest
+      // level and min-merge its runs — extra runs can only improve the
+      // minimum, and every run still reports its own steal.
+      def bestSteal(r: LevelResult): Double =
+        if (r.runs.isEmpty || r.steals.length != r.runs.length) 99.0
+        else r.steals(r.runs.indexOf(r.runs.min))
+      def merge(a: LevelResult, b: LevelResult): LevelResult = LevelResult(
+        math.min(a.best, b.best),
+        math.max(a.triples, b.triples),
+        a.runs ++ b.runs,
+        a.steals ++ b.steals,
+        (a.mode.split('+') ++ b.mode.split('+')).distinct.mkString("+")
+      )
+      var retries = 0
+      while (retries < 2 && budgetSec - elapsedSec > 420 &&
+        (bestSteal(rn) > 2.0 || bestSteal(r4n) > 2.0)) {
+        retries += 1
+        if (bestSteal(rn) >= bestSteal(r4n)) rn = merge(rn, measure(scaleN))
+        else r4n = merge(r4n, measure(c4n))
+      }
       val tp4n = r4n.triples / r4n.best
       val tpn = rn.triples / rn.best
       val eff = (tp4n / tpn) / 4.0
