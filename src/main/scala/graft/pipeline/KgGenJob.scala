@@ -56,7 +56,16 @@ object KgGenJob {
         * matrices on disk: experiments/wikiqa/utils/
         * cluster_and_deduplication.py:61-126).
         */
-      commitEmbeddings: Boolean = false
+      commitEmbeddings: Boolean = false,
+      /** When > 0, the canonical entities/triples/edges snapshots are
+        * laid out as hash-bucket directory partitions
+        * (`bucket = pmod(xxhash64(key), n)`, Iceberg bucket-transform
+        * style) and the output frames carry the `bucket` column — reads
+        * filtered on bucket prune to its directories, the layout a
+        * 100 TB canonical table needs for key-range access. 0 (default)
+        * keeps the flat single-directory layout.
+        */
+      partitionBuckets: Int = 0
   ) {
     /** Stage fingerprints chain: a stage's identity includes everything
       * upstream that shapes its output.
@@ -64,7 +73,9 @@ object KgGenJob {
     def corpusFp: String = corpus.toString
     def chunksFp: String = s"$corpusFp|chunk=${extract.chunkSize}|lang=${extract.lang}"
     def extractFp: String = s"$chunksFp|scorer=pattern|batch=${extract.scoreBatchSize}"
-    def clusterFp: String = s"$extractFp|${cluster.toString}"
+    def clusterFp: String =
+      s"$extractFp|${cluster.toString}" +
+        (if (partitionBuckets > 0) s"|buckets=$partitionBuckets" else "")
   }
 
   final case class Result(
@@ -176,13 +187,22 @@ object KgGenJob {
     // of which are level-independent wall time
     def shrink(df: DataFrame): DataFrame =
       if (graft.util.PlanHints.isDriverLocal(df)) df.coalesce(1) else df
-    def commitF(stage: String, df: => DataFrame): Future[DataFrame] =
-      Future(timed(stage) { table.resumeOrCompute(stage, cfg.clusterFp)(shrink(df)) })
+    def commitF(stage: String, df: => DataFrame, partitionBy: Seq[String] = Nil): Future[DataFrame] =
+      Future(timed(stage) { table.resumeOrCompute(stage, cfg.clusterFp, partitionBy)(shrink(df)) })
+    // opt-in bucketed layout for the canonical tables: hash-bucket the
+    // natural key into directory partitions (Iceberg bucket transform)
+    def bucketed(df: DataFrame, key: String): (DataFrame, Seq[String]) =
+      if (cfg.partitionBuckets <= 0) (df, Nil)
+      else (df.withColumn("bucket", pmod(xxhash64(col(key)), lit(cfg.partitionBuckets))), Seq("bucket"))
+    def commitBucketed(stage: String, df: DataFrame, key: String): Future[DataFrame] = {
+      val (b, p) = bucketed(df, key)
+      commitF(stage, b, p)
+    }
     val fEntAssign = commitF("entity_clusters", clustered.entityAssignments)
     val fEdgeAssign = commitF("edge_clusters", clustered.edgeAssignments)
-    val fCanonTriples = commitF("canonical_triples", clustered.triples)
-    val fCanonEntities = commitF("canonical_entities", clustered.entities)
-    val fCanonEdges = commitF("canonical_edges", clustered.edges)
+    val fCanonTriples = commitBucketed("canonical_triples", clustered.triples, "subject")
+    val fCanonEntities = commitBucketed("canonical_entities", clustered.entities, "entity")
+    val fCanonEdges = commitBucketed("canonical_edges", clustered.edges, "predicate")
 
     val result = Result(
       Await.result(fCanonEntities, Duration.Inf),

@@ -57,8 +57,13 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val files = fs
-      .listStatus(hdir)
+    // recursive: partitioned layouts nest data files under
+    // <partitionCol>=<value>/ directories
+    val it = fs.listFiles(hdir, true)
+    val files = Iterator
+      .continually(if (it.hasNext) Some(it.next()) else None)
+      .takeWhile(_.isDefined)
+      .flatten
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .toSeq
     val reads = files.map { s =>
@@ -95,8 +100,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** Write `df` as a committed snapshot; returns the re-read DataFrame
     * (reading back the committed files keeps downstream lineage anchored
     * at the snapshot, not at the upstream computation).
+    *
+    * `partitionBy` lays the snapshot out as directory partitions of the
+    * named columns (Iceberg-style identity/bucket partitioning: project
+    * the bucket column first — e.g. `pmod(xxhash64(subject), n)` — then
+    * name it here). Reads filtered on a partition column prune to its
+    * directories (PartitionFilters in the scan), which is what makes a
+    * 100 TB canonical table queryable by key range without a full scan.
     */
-  def commit(df: DataFrame, stage: String, fingerprint: String): DataFrame = {
+  def commit(
+      df: DataFrame,
+      stage: String,
+      fingerprint: String,
+      partitionBy: Seq[String] = Nil
+  ): DataFrame = {
     val id = snapshotId(stage, fingerprint)
     val dir = dataDir(id)
     val verbose = sys.env.contains("SPARK_GRAFT_COMMIT_TIMING")
@@ -108,12 +125,20 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         System.err.println(f"[commit] $stage%-18s $step%-8s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
         r
       }
-    sub("write") { df.write.mode("overwrite").parquet(dir.toString) }
+    sub("write") {
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir.toString)
+    }
 
     // per-file lineage from parquet FOOTER metadata — no data re-read, no
     // executor job (the same metadata-only manifest strategy Iceberg
     // uses). The read-back reuses the known schema: no inference pass.
-    val back = sub("readback") { spark.read.schema(df.schema).parquet(dir.toString) }
+    // Partitioned layouts re-discover partition columns from the
+    // directory names, then restore the original column order.
+    val back = sub("readback") {
+      if (partitionBy.isEmpty) spark.read.schema(df.schema).parquet(dir.toString)
+      else spark.read.parquet(dir.toString).select(df.schema.fieldNames.map(col): _*)
+    }
     val perFile = sub("footers") { footerRowCounts(dir) }
     val totalRows = perFile.map(_._2).sum
 
@@ -164,9 +189,11 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   /** The resumable-stage primitive: reuse the committed snapshot if this
     * exact (stage, fingerprint) already exists, else compute + commit.
     */
-  def resumeOrCompute(stage: String, fingerprint: String)(compute: => DataFrame): DataFrame =
+  def resumeOrCompute(stage: String, fingerprint: String, partitionBy: Seq[String] = Nil)(
+      compute: => DataFrame
+  ): DataFrame =
     if (exists(stage, fingerprint)) read(stage, fingerprint)
-    else commit(compute, stage, fingerprint)
+    else commit(compute, stage, fingerprint, partitionBy)
 
   def currentSnapshot: Option[String] =
     if (Files.exists(hintPath))

@@ -88,6 +88,41 @@ class KgGenJobSpec extends AnyFunSuite with SparkTestBase {
     assert(state == before)
   }
 
+  test("bucketed layout: directory partitions, pruned reads, same triples") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = CorpusGen.Config(nDocs = 120L, seed = 7L, variantRate = 0.2)
+    val flatCfg = KgGenJob.JobConfig(Files.createTempDirectory("graft-flat").toString, corpus = corpus)
+    val bktRoot = Files.createTempDirectory("graft-bkt").toString
+    val bktCfg = KgGenJob.JobConfig(bktRoot, corpus = corpus, partitionBuckets = 8)
+    val flat = KgGenJob.run(spark, flatCfg)
+    val bkt = KgGenJob.run(spark, bktCfg)
+
+    // identical canonical triple set (bucket is additive layout only)
+    val f = flat.triples.as[Triple].collect().map(t => (t.subject, t.predicate, t.obj)).toSet
+    val b = bkt.triples.select("subject", "predicate", "obj").as[(String, String, String)].collect().toSet
+    assert(b == f)
+
+    // on-disk layout is bucket=*/ directory partitions
+    val table = new graft.store.SnapshotTable(spark, bktRoot)
+    val dir = java.nio.file.Paths.get(bktRoot, "data", table.snapshotId("canonical_triples", bktCfg.clusterFp))
+    import scala.jdk.CollectionConverters._
+    val subdirs = Files.list(dir).iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSeq
+    assert(subdirs.nonEmpty && subdirs.size <= 8, subdirs.toString)
+
+    // a bucket-filtered read prunes to that bucket's directory: the
+    // predicate lands in the scan's PartitionFilters (directory-level
+    // pruning), not as a post-scan row filter
+    val snap = table.read("canonical_triples", bktCfg.clusterFp)
+    val one = snap.where(col("bucket") === 3)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && """PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined, plan.take(800))
+    assert(one.count() < snap.count() && one.count() > 0)
+
+    // manifest lineage still counts every row across partition dirs
+    assert(table.rowCount("canonical_triples", bktCfg.clusterFp).contains(f.size.toLong))
+  }
+
   test("changed config yields new snapshots without disturbing old ones") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-job2").toString
