@@ -235,10 +235,26 @@ object Dedup {
       bands: Int = 8,
       cap: Int = 10,
       driverPairThreshold: Int = 2000000
+  ): DataFrame =
+    groupsFromPairs(
+      minhashLshPairs(docs, thetaPct, seeds, bands, cap).select(col("a"), col("b")),
+      "doc_id",
+      driverPairThreshold
+    )
+
+  /** Adaptive connected components over an (a, b) pair frame: union-find
+    * on the driver when the pair list provably fits (one Spark job
+    * instead of 2×diameter CC iterations), the distributed min-label
+    * fixpoint otherwise — identical output (sbt-tested). Shared by the
+    * MinHash and embedding-cosine duplicate-group operators.
+    */
+  private[ops] def groupsFromPairs(
+      pairs: DataFrame,
+      idCol: String,
+      driverPairThreshold: Int = 2000000
   ): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = pairs.sparkSession
     import spark.implicits._
-    val pairs = minhashLshPairs(docs, thetaPct, seeds, bands, cap).select(col("a"), col("b"))
     val probe = pairs.as[(Long, Long)].take(driverPairThreshold + 1)
     if (probe.length <= driverPairThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -261,7 +277,7 @@ object Dedup {
         .valuesIterator
         .flatMap { ms => val root = ms.min; ms.map(m => (m, root)) }
         .toSeq
-        .toDF("doc_id", "dup_group")
+        .toDF(idCol, "dup_group")
     } else {
       val nodes = pairs
         .select(col("a").as("node"))
@@ -269,7 +285,7 @@ object Dedup {
         .distinct()
       graft.cluster.ConnectedComponents
         .run(pairs.select(col("a").as("src"), col("b").as("dst")), nodes)
-        .select(col("node").as("doc_id"), col("component").as("dup_group"))
+        .select(col("node").as(idCol), col("component").as("dup_group"))
     }
   }
 

@@ -254,4 +254,17 @@ object Similarity {
       .where(col("score_milli") >= thetaMilli)
       .select("a", "b", "score_milli")
   }
+
+  /** SemDeDup-style semantic duplicate clusters: connected components
+    * over the verified cosine near-dup pair graph, so transitive chains
+    * (a~b, b~c) collapse into one cluster even when a~c misses the
+    * threshold. Emits (vec_id, dup_group = min member id) — the
+    * keep-one-per-cluster decision an embedding-level dedup pass
+    * applies. Same adaptive CC as the MinHash group operator.
+    */
+  def cosineGroups(embeddings: DataFrame, thetaMilli: Int = 50): DataFrame =
+    Dedup.groupsFromPairs(
+      cosineNearDupPairs(embeddings, thetaMilli).select(col("a"), col("b")),
+      "vec_id"
+    )
 }

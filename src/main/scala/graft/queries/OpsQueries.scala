@@ -138,14 +138,34 @@ object OpsQueries {
   val embNearDup: Q = (s, dir) => Similarity.cosineNearDupPairs(emb(s, dir), thetaMilli = 150)
 
   // same (label, sign-bit bucket) blocking rule as the Spark side — the
-  // bucket join is the declared scale path (bucketCtes defines bk below)
-  def embNearDupSql: String =
-    s"WITH $quantCte, $bucketCtes, " +
-      "qbk AS (SELECT q.vec_id, q.label, q.v, bk.bucket FROM q JOIN bk ON q.vec_id = bk.vec_id) " +
-      s"SELECT a.vec_id AS a, b.vec_id AS b, " +
+  // bucket join is the declared scale path (bucketCtes defines bk below).
+  // CTE chain ends in enp(a, b, score_milli): the verified pair set,
+  // shared by the pair and semantic-group oracles.
+  private def embPairCtes(thetaMilli: Int): String =
+    s"$quantCte, $bucketCtes, " +
+      "qbk AS (SELECT q.vec_id, q.label, q.v, bk.bucket FROM q JOIN bk ON q.vec_id = bk.vec_id), " +
+      s"enp AS (SELECT a.vec_id AS a, b.vec_id AS b, " +
       s"(1000 * ${listDot("a.v", "b.v")} * abs(${listDot("a.v", "b.v")})) // (${listNorm("a.v")} * ${listNorm("b.v")}) AS score_milli " +
       "FROM qbk a JOIN qbk b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id " +
-      s"WHERE (1000 * ${listDot("a.v", "b.v")} * abs(${listDot("a.v", "b.v")})) // (${listNorm("a.v")} * ${listNorm("b.v")}) >= 150"
+      s"WHERE (1000 * ${listDot("a.v", "b.v")} * abs(${listDot("a.v", "b.v")})) // (${listNorm("a.v")} * ${listNorm("b.v")}) >= $thetaMilli)"
+
+  def embNearDupSql: String =
+    s"WITH ${embPairCtes(150)} SELECT a, b, score_milli FROM enp"
+
+  val semanticGroups: Q = (s, dir) => Similarity.cosineGroups(emb(s, dir))
+
+  /** Recursive min-label walk over the verified cosine pair graph —
+    * identical fixpoint to the adaptive CC on the Spark side.
+    * (def, not val: bucketCtes inside embPairCtes is declared later in
+    * the file — an eager val would capture null at object init.)
+    */
+  def semanticGroupsSql: String =
+    s"WITH RECURSIVE ${embPairCtes(50)}, " +
+      "e AS (SELECT a AS src, b AS dst FROM enp UNION SELECT b, a FROM enp), " +
+      "gn AS (SELECT DISTINCT src AS node FROM e), " +
+      "walk(node, label) AS (SELECT node, node FROM gn " +
+      "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node) " +
+      "SELECT node AS vec_id, min(label) AS dup_group FROM walk GROUP BY node"
 
   // ----- similarity search -----
 
@@ -494,6 +514,7 @@ object OpsQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "emb_neardup" -> embNearDup,
+    "semantic_groups" -> semanticGroups,
     "ann_topk" -> annTopK,
     "ann_buckets" -> annBuckets,
     "ann_lsh" -> annLsh,
@@ -528,6 +549,7 @@ object OpsQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "emb_neardup" -> embNearDupSql,
+    "semantic_groups" -> semanticGroupsSql,
     "ann_topk" -> annTopKSql,
     "ann_buckets" -> annBucketsSql,
     "ann_lsh" -> annLshSql,

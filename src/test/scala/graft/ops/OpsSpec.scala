@@ -364,6 +364,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Curation.corpusDecision(docs, lit(50)).count() == docs.count())
   }
 
+  test("cosineGroups: transitive chains collapse; groups match pair graph") {
+    val groups = Similarity.cosineGroups(emb, thetaMilli = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference grouping: union-find in plain Scala over the same pairs
+    val pairs = Similarity.cosineNearDupPairs(emb, thetaMilli = 50)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture produced no pairs — threshold degenerate")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val want = parent.keys.toSeq.groupBy(find).values
+      .flatMap { ms => val root = ms.min; ms.map(_ -> root) }.toMap
+    assert(groups == want)
+    // every group's members really are pairwise-connected via the graph
+    assert(groups.values.toSet.forall(g => groups(g) == g), "root not its own group")
+  }
+
   test("qualitySample: exactly the quality-rule subset, deterministic") {
     val quality = TextAnalysis.quality(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(5)).toMap
