@@ -348,8 +348,13 @@ object Bench {
         spawnLevel(cores, benchDocs, runs, quiet, deadline)
           .getOrElse(measureInProcess(cores, benchDocs))
       }
-      var r4n = measure(c4n)
+      // N first: the small level runs 3-4x longer per attempt, so it is
+      // the one that needs the rich early budget (more measured runs +
+      // longer quiet-waits) — measured last it can end up with a single
+      // storm-window run and no budget left to retry (seen: one 17%-
+      // steal local[2] run printed a nonsense 1.64 efficiency)
       var rn = measure(scaleN)
+      var r4n = measure(c4n)
       // A level whose BEST run landed inside a steal storm poisons the
       // efficiency gate even when the other level was clean (measured:
       // an 8.6%-steal local[2] best inflated 103.9 s -> 143.6 s and
@@ -369,13 +374,20 @@ object Bench {
       )
       // threshold 1% = the child's own early-stop bar for a truly
       // clean run (machine-wide steal under-reports pinned-core
-      // contention; a "0.5%" window has measured 1.5x slow)
+      // contention; a "0.5%" window has measured 1.5x slow). The
+      // budget needed for one more attempt is level-dependent: a 4N
+      // re-spawn is ~4x cheaper than an N re-spawn.
       var retries = 0
-      while (retries < 2 && budgetSec - elapsedSec > 420 &&
-        (bestSteal(rn) > 1.0 || bestSteal(r4n) > 1.0)) {
-        retries += 1
-        if (bestSteal(rn) >= bestSteal(r4n)) rn = merge(rn, measure(scaleN))
-        else r4n = merge(r4n, measure(c4n))
+      var progress = true
+      while (retries < 3 && progress) {
+        val remaining = budgetSec - elapsedSec
+        val wantN = bestSteal(rn) > 1.0 && remaining > 420
+        val want4 = bestSteal(r4n) > 1.0 && remaining > 200
+        if (wantN && (!want4 || bestSteal(rn) >= bestSteal(r4n))) {
+          rn = merge(rn, measure(scaleN)); retries += 1
+        } else if (want4) {
+          r4n = merge(r4n, measure(c4n)); retries += 1
+        } else progress = false
       }
       val tp4n = r4n.triples / r4n.best
       val tpn = rn.triples / rn.best
