@@ -220,6 +220,110 @@ object Analytics {
       )
   }
 
+  /** Centrality — fixed-iteration PageRank over the collapsed directed
+    * edge set, in integer micro-units so the result is bit-identical
+    * across engines (no float drift): r0 = 1,000,000 per node, then
+    * r'(v) = 150,000 + (850 * Σ_{(u,v)} (r(u) div outdeg(u))) div 1000
+    * — the standard d=0.85 update with truncating integer division at
+    * the same two points on both sides. Dangling-node mass leaks (the
+    * plain "leak" variant); both engines leak identically.
+    *
+    * Scale shape: per iteration one hash join on subject (ranks are
+    * O(nodes), edges stream past) and one partial-aggregated exchange on
+    * obj — the canonical distributed PageRank step. The collapsed edge
+    * set is checkpoint-materialized ONCE (Materialize.stage, the
+    * ConnectedComponents policy) before the loop: the upstream lineage —
+    * at corpus scale a full extraction pass — recurs once per iteration
+    * per reference in the assembled plan, and exchange reuse does NOT
+    * reliably collapse the repeats once AQE has re-planned each branch
+    * (measured on the registry query: 28 corpus scans for the sibling
+    * link-prediction op before materialization, 1 after). The rank
+    * lineage itself grows one join per iteration — fine for the small
+    * fixed counts this API targets (checkpoint per ~10 rounds if you
+    * raise `iterations`).
+    */
+  def pageRank(triples: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = graft.util.Materialize.stage(
+      triples.select("subject", "obj").distinct()
+    )
+    val nodes = edges.select(col("subject").as("entity"))
+      .union(edges.select(col("obj").as("entity")))
+      .distinct()
+    val outdeg = edges.groupBy("subject").agg(count(lit(1)).as("outdeg"))
+    val src = edges.join(outdeg, "subject") // (subject, obj, outdeg)
+    var rank = nodes.select(col("entity"), lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contrib = src
+        .join(rank.withColumnRenamed("entity", "subject"), "subject")
+        .select(col("obj").as("entity"), expr("rank_micro div outdeg").as("c"))
+        .groupBy("entity")
+        .agg(sum("c").as("contrib"))
+      rank = nodes
+        .join(contrib, Seq("entity"), "left")
+        .select(
+          col("entity"),
+          (lit(150000L) + expr("(850 * coalesce(contrib, 0L)) div 1000")).as("rank_micro")
+        )
+    }
+    rank
+  }
+
+  /** Link prediction — common-neighbor / Jaccard scores for node pairs
+    * NOT already connected by an edge (the classic missing-edge
+    * suggester). Neighborhoods are undirected and self-loop-free; for
+    * each unordered pair (a < b) sharing >= 1 common neighbor and not
+    * adjacent, emits the common-neighbor count and the integer
+    * milli-Jaccard 1000*common div (|nb(a)| + |nb(b)| - common).
+    *
+    * Scale shape: candidate generation is wedge enumeration — a join of
+    * the neighbor list with itself on the wedge CENTER, so a hub of
+    * degree d fans out d^2 pairs. `maxWedgeDegree` drops hub centers
+    * before the self-join (the standard cap; a stopword-like hub's
+    * wedges carry no signal and dominate cost), making the join output
+    * Σ min(d, cap)^2 instead of Σ d^2. The adjacency filter is a
+    * left-anti hash join, never a NOT-IN subquery.
+    *
+    * The undirected neighbor table is checkpoint-materialized ONCE
+    * (Materialize.stage): it is referenced six times downstream (degrees
+    * twice, both wedge sides, the adjacency anti-join), and without the
+    * materialization each reference re-derives the full upstream lineage
+    * — measured at 28 corpus scans / 9 s warm for the registry query,
+    * versus one scan after.
+    */
+  def linkPredict(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
+    val ed = triples.select("subject", "obj").distinct()
+    val nb = graft.util.Materialize.stage(
+      ed.where(col("subject") =!= col("obj"))
+        .select(col("subject").as("v"), col("obj").as("u"))
+        .union(
+          ed.where(col("subject") =!= col("obj"))
+            .select(col("obj").as("v"), col("subject").as("u"))
+        )
+        .distinct()
+    )
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    // cap the wedge center's degree BEFORE the self-join
+    val nbCapped = nb
+      .join(deg.withColumnRenamed("v", "u").withColumnRenamed("d", "du"), "u")
+      .where(col("du") <= maxWedgeDegree)
+      .select("v", "u")
+    val pairs = nbCapped.as("n1")
+      .join(nbCapped.as("n2"), col("n1.u") === col("n2.u") && col("n1.v") < col("n2.v"))
+      .groupBy(col("n1.v").as("a"), col("n2.v").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val linked = nb.select(col("v").as("a"), col("u").as("b"))
+    pairs
+      .join(linked, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        col("a"),
+        col("b"),
+        col("common"),
+        expr("(1000 * common) div (da + db - common)").as("jaccard_milli")
+      )
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

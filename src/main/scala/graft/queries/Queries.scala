@@ -468,6 +468,62 @@ object Queries {
       "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node) " +
       "SELECT node AS entity, min(label) AS component FROM walk GROUP BY node"
 
+  /** Centrality — 5-iteration integer PageRank over the collapsed edge
+    * set (Analytics.pageRank). The oracle unrolls the identical
+    * fixed-point update as generated CTEs r1..r5 — same integer-division
+    * points, same d=0.85 micro-unit arithmetic, so the hash compare is
+    * exact.
+    */
+  private val prIterations = 5
+
+  val kgPageRank: Q = (s, dir) =>
+    Analytics.pageRank(TokenRules.triples(docs(s, dir)), prIterations)
+
+  val kgPageRankSql: String = {
+    val base =
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr), " +
+        "nodes AS (SELECT subject AS entity FROM ed UNION SELECT obj FROM ed), " +
+        "od AS (SELECT subject, CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY subject), " +
+        "r0 AS (SELECT entity, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"
+    val iters = (1 to prIterations).map { i =>
+      s"c$i AS (SELECT ed.obj AS entity, CAST(sum(r.rank_micro // od.outdeg) AS BIGINT) AS contrib " +
+        s"FROM ed JOIN r${i - 1} r ON r.entity = ed.subject JOIN od ON od.subject = ed.subject GROUP BY ed.obj), " +
+        s"r$i AS (SELECT n.entity, CAST(150000 + (850 * coalesce(c.contrib, 0)) // 1000 AS BIGINT) AS rank_micro " +
+        s"FROM nodes n LEFT JOIN c$i c ON c.entity = n.entity)"
+    }.mkString(", ", ", ", " ")
+    TokenRules.Sql.withTriples + base + iters +
+      s"SELECT entity, rank_micro FROM r$prIterations"
+  }
+
+  /** Link prediction — common-neighbor/Jaccard scores for non-adjacent
+    * pairs (Analytics.linkPredict); wedge-capped identically on both
+    * sides. Runs over the 'd*' predicate family's typed subgraph: the
+    * full synthetic KG is dense enough that every candidate pair is
+    * already adjacent (0 rows — a vacuous gate), while within one
+    * relation family real missing-edge candidates exist (38 rows at
+    * sf0.01).
+    */
+  private val lpWedgeCap = 10000L
+
+  val kgLinkPredict: Q = (s, dir) =>
+    Analytics.linkPredict(
+      TokenRules.triples(docs(s, dir)).where(col("predicate").startsWith("d")),
+      lpWedgeCap
+    )
+
+  val kgLinkPredictSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE predicate LIKE 'd%'), " +
+      "nb AS (SELECT subject AS v, obj AS u FROM ed WHERE subject <> obj " +
+      "UNION SELECT obj, subject FROM ed WHERE subject <> obj), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY v), " +
+      s"nbc AS (SELECT nb.v, nb.u FROM nb JOIN deg ON deg.v = nb.u WHERE deg.d <= $lpWedgeCap), " +
+      "pairs AS (SELECT n1.v AS a, n2.v AS b, CAST(count(*) AS BIGINT) AS common " +
+      "FROM nbc n1 JOIN nbc n2 ON n1.u = n2.u AND n1.v < n2.v GROUP BY n1.v, n2.v) " +
+      "SELECT a, b, common, CAST((1000 * common) // (da.d + db.d - common) AS BIGINT) AS jaccard_milli " +
+      "FROM pairs JOIN deg da ON da.v = a JOIN deg db ON db.v = b " +
+      "WHERE NOT EXISTS (SELECT 1 FROM nb WHERE nb.v = pairs.a AND nb.u = pairs.b)"
+
   // ---------------------------------------------------------------
   // Ingest operators (SURVEY §2.1/§2.2): conversation flatten
   // ---------------------------------------------------------------
@@ -577,6 +633,8 @@ object Queries {
     "kg_cluster_map" -> kgClusterMap,
     "kg_cluster_rewrite" -> kgClusterRewrite,
     "kg_components" -> kgComponents,
+    "kg_pagerank" -> kgPageRank,
+    "kg_link_predict" -> kgLinkPredict,
     "conv_flatten" -> convFlatten,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
@@ -607,6 +665,8 @@ object Queries {
     "kg_cluster_map" -> kgClusterMapSql,
     "kg_cluster_rewrite" -> kgClusterRewriteSql,
     "kg_components" -> kgComponentsSql,
+    "kg_pagerank" -> kgPageRankSql,
+    "kg_link_predict" -> kgLinkPredictSql,
     "conv_flatten" -> convFlattenSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,

@@ -92,4 +92,41 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     // only 3 connected entities -> all of them are top-10, iso has degree 0
     assert(rows("a")._5 == 1 && rows("iso")._5 == 0)
   }
+
+  test("pageRank matches the hand-computed integer fixed point") {
+    // a<->b cycle plus c->a; outdeg(a)=outdeg(b)=outdeg(c)=1
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "a"), ("c", "r", "a"))
+    // iter1: contrib(a)=r(b)+r(c)=2e6 -> 150000+850*2e6/1000=1850000
+    //        contrib(b)=r(a)=1e6     -> 1000000 ; c: no in-edges -> 150000
+    // iter2: contrib(a)=1000000+150000 -> 150000+977500=1127500
+    //        contrib(b)=1850000        -> 150000+1572500=1722500
+    val r = Analytics.pageRank(tr, 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 1127500L, "b" -> 1722500L, "c" -> 150000L))
+  }
+
+  test("pageRank: rank of an isolated-in node is the base term") {
+    val tr = triplesDf(("a", "r", "b"))
+    val r = Analytics.pageRank(tr, 5).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") == 150000L) // no in-edges after iter 1
+  }
+
+  test("linkPredict: non-adjacent pairs with common neighbors, exact jaccard") {
+    // star x->{a,b,c} plus a->b; undirected neighborhoods:
+    // nb(a)={x,b}, nb(b)={x,a}, nb(c)={x}, nb(x)={a,b,c}
+    // surviving non-adjacent pairs: (a,c) and (b,c), common={x},
+    // jaccard = 1000*1 div (2+1-1) = 500
+    val tr = triplesDf(("x", "r", "a"), ("x", "r", "b"), ("x", "r", "c"), ("a", "r", "b"))
+    val got = Analytics.linkPredict(tr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", "c", 1L, 500L), ("b", "c", 1L, 500L)))
+  }
+
+  test("linkPredict: wedge cap drops hub centers") {
+    // cap 2 removes x (undirected degree 3) as a wedge center; remaining
+    // centers a and b only produce pairs that are already adjacent
+    val tr = triplesDf(("x", "r", "a"), ("x", "r", "b"), ("x", "r", "c"), ("a", "r", "b"))
+    assert(Analytics.linkPredict(tr, maxWedgeDegree = 2L).isEmpty)
+  }
 }
