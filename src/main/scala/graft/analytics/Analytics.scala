@@ -243,15 +243,50 @@ object Analytics {
     * raise `iterations`).
     */
   def pageRank(triples: DataFrame, iterations: Int = 5): DataFrame = {
-    val edges = graft.util.Materialize.stage(
-      triples.select("subject", "obj").distinct()
+    val edges = prEdges(triples)
+    val nodes = edgeNodes(edges)
+      .select(col("entity"), lit(1000000L).as("r0"), lit(150000L).as("base"))
+    prFixpoint(edges, nodes, iterations)
+  }
+
+  /** Personalized PageRank — the same integer fixed point, but teleport
+    * mass goes ONLY to seed nodes (entities whose lowercased name
+    * contains `q`, the substringEntities predicate): r0(v) = 1,000,000
+    * for seeds else 0, and the per-iteration base term is 150,000 for
+    * seeds else 0. The result ranks every node by its walk-proximity to
+    * the seed set — the centrality-weighted upgrade of substring/2-hop
+    * retrieval (relevance decays with graph distance instead of cutting
+    * off at a fixed hop count). Same plan shape as pageRank.
+    */
+  def personalizedPageRank(triples: DataFrame, q: String, iterations: Int = 5): DataFrame = {
+    val edges = prEdges(triples)
+    val seed = lower(col("entity")).contains(q.toLowerCase)
+    val nodes = edgeNodes(edges).select(
+      col("entity"),
+      when(seed, 1000000L).otherwise(0L).as("r0"),
+      when(seed, 150000L).otherwise(0L).as("base")
     )
-    val nodes = edges.select(col("subject").as("entity"))
+    prFixpoint(edges, nodes, iterations)
+  }
+
+  /** Distinct (subject, obj) edge set, checkpoint-materialized once —
+    * the loop below references it every iteration (see pageRank doc).
+    */
+  private def prEdges(triples: DataFrame): DataFrame =
+    graft.util.Materialize.stage(triples.select("subject", "obj").distinct())
+
+  private def edgeNodes(edges: DataFrame): DataFrame =
+    edges.select(col("subject").as("entity"))
       .union(edges.select(col("obj").as("entity")))
       .distinct()
+
+  /** Shared integer-PageRank loop: nodes carries (entity, r0, base);
+    * r'(v) = base(v) + (850 * Σ_{(u,v)} (r(u) div outdeg(u))) div 1000.
+    */
+  private def prFixpoint(edges: DataFrame, nodes: DataFrame, iterations: Int): DataFrame = {
     val outdeg = edges.groupBy("subject").agg(count(lit(1)).as("outdeg"))
     val src = edges.join(outdeg, "subject") // (subject, obj, outdeg)
-    var rank = nodes.select(col("entity"), lit(1000000L).as("rank_micro"))
+    var rank = nodes.select(col("entity"), col("r0").as("rank_micro"))
     for (_ <- 1 to iterations) {
       val contrib = src
         .join(rank.withColumnRenamed("entity", "subject"), "subject")
@@ -262,7 +297,7 @@ object Analytics {
         .join(contrib, Seq("entity"), "left")
         .select(
           col("entity"),
-          (lit(150000L) + expr("(850 * coalesce(contrib, 0L)) div 1000")).as("rank_micro")
+          (col("base") + expr("(850 * coalesce(contrib, 0L)) div 1000")).as("rank_micro")
         )
     }
     rank
@@ -322,6 +357,62 @@ object Analytics {
         col("common"),
         expr("(1000 * common) div (da + db - common)").as("jaccard_milli")
       )
+  }
+
+  /** Triangle counts per entity over the undirected self-loop-free
+    * collapsed graph (plus zero rows for triangle-free nodes, so the
+    * output is the full node universe). Local clustering structure —
+    * the standard graph-quality signal next to degree and components.
+    *
+    * Scale shape: degree-ordered orientation. Each unordered edge is
+    * oriented from its LOWER endpoint by the total order (degree, name),
+    * wedges are enumerated by self-joining oriented edges on their
+    * source, and a wedge is a triangle iff its (ordered) closing pair is
+    * itself an oriented edge — a left-semi hash join. Because every
+    * wedge center has oriented out-degree ≤ its neighbors' degrees, the
+    * join output is O(m^1.5) total regardless of hubs (the classic
+    * bound); a hub is always the wedge ENDPOINT, never the center, so
+    * its d² wedges are never generated. Each triangle is counted exactly
+    * once and credited to all three corners via one explode + aggregate.
+    */
+  def triangleCounts(triples: DataFrame): DataFrame = {
+    val ed = triples.select("subject", "obj").distinct()
+    val nb = graft.util.Materialize.stage(
+      ed.where(col("subject") =!= col("obj"))
+        .select(col("subject").as("v"), col("obj").as("u"))
+        .union(
+          ed.where(col("subject") =!= col("obj"))
+            .select(col("obj").as("v"), col("subject").as("u"))
+        )
+        .distinct()
+    )
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    val pe = nb.where(col("v") < col("u"))
+      .join(deg.select(col("v"), col("d").as("da")), "v")
+      .join(deg.select(col("v").as("u"), col("d").as("db")), "u")
+    val lowFirst = col("da") < col("db") || (col("da") === col("db") && col("v") < col("u"))
+    val oriented = pe.select(
+      when(lowFirst, col("v")).otherwise(col("u")).as("src"),
+      when(lowFirst, col("u")).otherwise(col("v")).as("dst"),
+      when(lowFirst, col("db")).otherwise(col("da")).as("ddst")
+    )
+    val wedgeOrd = col("x.ddst") < col("y.ddst") ||
+      (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.src") === col("y.src") && wedgeOrd)
+      .select(col("x.src").as("tu"), col("x.dst").as("tv"), col("y.dst").as("tw"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("tv"), col("dst").as("tw")),
+      Seq("tv", "tw"),
+      "left_semi"
+    )
+    val corners = tri
+      .select(explode(array(col("tu"), col("tv"), col("tw"))).as("entity"))
+      .groupBy("entity")
+      .agg(count(lit(1)).as("tcnt"))
+    nb.select(col("v").as("entity")).distinct()
+      .join(corners, Seq("entity"), "left")
+      .select(col("entity"), coalesce(col("tcnt"), lit(0L)).as("triangles"))
   }
 
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,

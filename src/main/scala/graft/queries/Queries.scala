@@ -524,6 +524,59 @@ object Queries {
       "FROM pairs JOIN deg da ON da.v = a JOIN deg db ON db.v = b " +
       "WHERE NOT EXISTS (SELECT 1 FROM nb WHERE nb.v = pairs.a AND nb.u = pairs.b)"
 
+  /** Personalized PageRank — teleport mass restricted to seed entities
+    * containing 'ar' (the kg_substring predicate), 5 iterations. The
+    * oracle unrolls the same seeded fixed point; the seed flag enters
+    * r0 and the per-iteration base term identically on both sides.
+    */
+  private val pprSeed = "ar"
+
+  val kgPpr: Q = (s, dir) =>
+    Analytics.personalizedPageRank(TokenRules.triples(docs(s, dir)), pprSeed, prIterations)
+
+  val kgPprSql: String = {
+    val base =
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr), " +
+        "nodes AS (SELECT subject AS entity FROM ed UNION SELECT obj FROM ed), " +
+        s"sn AS (SELECT entity, CASE WHEN lower(entity) LIKE '%$pprSeed%' THEN 1 ELSE 0 END AS s FROM nodes), " +
+        "od AS (SELECT subject, CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY subject), " +
+        "r0 AS (SELECT entity, CAST(1000000 * s AS BIGINT) AS rank_micro FROM sn)"
+    val iters = (1 to prIterations).map { i =>
+      s"c$i AS (SELECT ed.obj AS entity, CAST(sum(r.rank_micro // od.outdeg) AS BIGINT) AS contrib " +
+        s"FROM ed JOIN r${i - 1} r ON r.entity = ed.subject JOIN od ON od.subject = ed.subject GROUP BY ed.obj), " +
+        s"r$i AS (SELECT n.entity, CAST(150000 * n.s + (850 * coalesce(c.contrib, 0)) // 1000 AS BIGINT) AS rank_micro " +
+        s"FROM sn n LEFT JOIN c$i c ON c.entity = n.entity)"
+    }.mkString(", ", ", ", " ")
+    TokenRules.Sql.withTriples + base + iters +
+      s"SELECT entity, rank_micro FROM r$prIterations"
+  }
+
+  /** Per-entity triangle counts (Analytics.triangleCounts) — the oracle
+    * replays the identical degree-ordered orientation, wedge join and
+    * closing-edge EXISTS, so each triangle is found exactly once.
+    */
+  val kgTriangles: Q = (s, dir) =>
+    Analytics.triangleCounts(TokenRules.triples(docs(s, dir)))
+
+  val kgTrianglesSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr), " +
+      "nb AS (SELECT subject AS v, obj AS u FROM ed WHERE subject <> obj " +
+      "UNION SELECT obj, subject FROM ed WHERE subject <> obj), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY v), " +
+      "pe AS (SELECT nb.v, nb.u, da.d AS da, db.d AS db FROM nb " +
+      "JOIN deg da ON da.v = nb.v JOIN deg db ON db.v = nb.u WHERE nb.v < nb.u), " +
+      "o AS (SELECT CASE WHEN da < db OR (da = db AND v < u) THEN v ELSE u END AS src, " +
+      "CASE WHEN da < db OR (da = db AND v < u) THEN u ELSE v END AS dst, " +
+      "CASE WHEN da < db OR (da = db AND v < u) THEN db ELSE da END AS ddst FROM pe), " +
+      "wg AS (SELECT x.src AS tu, x.dst AS tv, y.dst AS tw FROM o x JOIN o y " +
+      "ON x.src = y.src AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))), " +
+      "t AS (SELECT tu, tv, tw FROM wg WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wg.tv AND o.dst = wg.tw)), " +
+      "x AS (SELECT unnest([tu, tv, tw]) AS entity FROM t), " +
+      "uni AS (SELECT DISTINCT v AS entity FROM nb) " +
+      "SELECT uni.entity, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles FROM uni " +
+      "LEFT JOIN (SELECT entity, count(*) AS cnt FROM x GROUP BY entity) c ON c.entity = uni.entity"
+
   // ---------------------------------------------------------------
   // Ingest operators (SURVEY §2.1/§2.2): conversation flatten
   // ---------------------------------------------------------------
@@ -634,7 +687,9 @@ object Queries {
     "kg_cluster_rewrite" -> kgClusterRewrite,
     "kg_components" -> kgComponents,
     "kg_pagerank" -> kgPageRank,
+    "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
+    "kg_triangles" -> kgTriangles,
     "conv_flatten" -> convFlatten,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
@@ -666,7 +721,9 @@ object Queries {
     "kg_cluster_rewrite" -> kgClusterRewriteSql,
     "kg_components" -> kgComponentsSql,
     "kg_pagerank" -> kgPageRankSql,
+    "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,
+    "kg_triangles" -> kgTrianglesSql,
     "conv_flatten" -> convFlattenSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,

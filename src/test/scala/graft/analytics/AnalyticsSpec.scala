@@ -112,6 +112,42 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(r("a") == 150000L) // no in-edges after iter 1
   }
 
+  test("personalizedPageRank seeds teleport mass only at matching nodes") {
+    // chain ar1 -> b -> c; seed substring "ar" matches only ar1
+    // r0: ar1=1e6, b=0, c=0 ; outdeg all 1
+    // iter1: contrib(b)=1e6 -> r(b)=0+850000; contrib(c)=0 -> 0; ar1: base 150000
+    // iter2: contrib(b)=r(ar1)=150000 -> 127500; contrib(c)=r(b)=850000 -> 722500
+    //        ar1 -> 150000
+    val tr = triplesDf(("ar1", "r", "b"), ("b", "r", "c"))
+    val r = Analytics.personalizedPageRank(tr, "ar", 2).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("ar1" -> 150000L, "b" -> 127500L, "c" -> 722500L))
+  }
+
+  test("personalizedPageRank with no matching seed is all zeros") {
+    val tr = triplesDf(("a", "r", "b"))
+    val r = Analytics.personalizedPageRank(tr, "zz", 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("triangleCounts credits each triangle to all three corners") {
+    // triangle a-b-c plus pendant c-d: a,b,c get 1, d gets 0
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"), ("c", "r", "d"))
+    val got = Analytics.triangleCounts(tr).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+  }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per corner; direction-insensitive") {
+    // complete graph on 4 nodes, edges in mixed directions and duplicated
+    val es = Seq("a" -> "b", "c" -> "a", "a" -> "d", "b" -> "c", "d" -> "b", "c" -> "d", "b" -> "a")
+    val tr = triplesDf(es.map { case (s, o) => (s, "r", o) }: _*)
+    val got = Analytics.triangleCounts(tr).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
   test("linkPredict: non-adjacent pairs with common neighbors, exact jaccard") {
     // star x->{a,b,c} plus a->b; undirected neighborhoods:
     // nb(a)={x,b}, nb(b)={x,a}, nb(c)={x}, nb(x)={a,b,c}
