@@ -325,17 +325,21 @@ object Analytics {
     * — measured at 28 corpus scans / 9 s warm for the registry query,
     * versus one scan after.
     */
-  def linkPredict(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
+  /** Undirected self-loop-free neighbor rows (v, u) of the collapsed
+    * graph — symmetric, so every non-isolated node keys its full
+    * neighborhood. Shared by link prediction, triangle counting and
+    * random walks; callers materialize it (or a derivation) themselves.
+    */
+  private def undirectedNb(triples: DataFrame): DataFrame = {
     val ed = triples.select("subject", "obj").distinct()
-    val nb = graft.util.Materialize.stage(
-      ed.where(col("subject") =!= col("obj"))
-        .select(col("subject").as("v"), col("obj").as("u"))
-        .union(
-          ed.where(col("subject") =!= col("obj"))
-            .select(col("obj").as("v"), col("subject").as("u"))
-        )
-        .distinct()
-    )
+      .where(col("subject") =!= col("obj"))
+    ed.select(col("subject").as("v"), col("obj").as("u"))
+      .union(ed.select(col("obj").as("v"), col("subject").as("u")))
+      .distinct()
+  }
+
+  def linkPredict(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
+    val nb = graft.util.Materialize.stage(undirectedNb(triples))
     val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
     // cap the wedge center's degree BEFORE the self-join
     val nbCapped = nb
@@ -376,16 +380,7 @@ object Analytics {
     * once and credited to all three corners via one explode + aggregate.
     */
   def triangleCounts(triples: DataFrame): DataFrame = {
-    val ed = triples.select("subject", "obj").distinct()
-    val nb = graft.util.Materialize.stage(
-      ed.where(col("subject") =!= col("obj"))
-        .select(col("subject").as("v"), col("obj").as("u"))
-        .union(
-          ed.where(col("subject") =!= col("obj"))
-            .select(col("obj").as("v"), col("subject").as("u"))
-        )
-        .distinct()
-    )
+    val nb = graft.util.Materialize.stage(undirectedNb(triples))
     val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
     val pe = nb.where(col("v") < col("u"))
       .join(deg.select(col("v"), col("d").as("da")), "v")
@@ -413,6 +408,49 @@ object Analytics {
     nb.select(col("v").as("entity")).distinct()
       .join(corners, Seq("entity"), "left")
       .select(col("entity"), coalesce(col("tcnt"), lit(0L)).as("triangles"))
+  }
+
+  /** Deterministic random-walk corpus over the undirected collapsed
+    * graph — the DeepWalk/node2vec input a graph-embedding trainer
+    * consumes. One walk starts at every non-isolated node; step t moves
+    * from `node` to its neighbor at index
+    * (md5-derived integer of "start|t|node") mod degree, so the walks
+    * are pseudo-random but bit-identical across engines and runs (no
+    * RNG state — the same property the dedup/sampling ops rely on).
+    * Output rows (start, node, step), steps 0..`steps`.
+    *
+    * Scale shape: adjacency is grouped ONCE into sorted neighbor arrays
+    * and checkpoint-materialized (the loop references it every step);
+    * each step is then a single hash join of the O(nodes) frontier with
+    * the adjacency table plus a narrow element_at projection — no
+    * per-step re-derivation, no fan-out (the join emits exactly one row
+    * per walk). A 100 TB-scale caveat lives in the array layout: a
+    * degree-10^8 hub is one giant row; the production variant would
+    * range-bucket such arrays ((v, bucket) keys) and two-level the
+    * index — same join shape, bounded rows.
+    */
+  def randomWalks(triples: DataFrame, steps: Int = 4): DataFrame = {
+    val adj = graft.util.Materialize.stage(
+      undirectedNb(triples).groupBy("v").agg(sort_array(collect_list(col("u"))).as("us"))
+    )
+    var walk = adj.select(col("v").as("start"), col("v").as("node"), lit(0L).as("step"))
+    var acc = walk
+    for (t <- 1 to steps) {
+      val h = md5(concat_ws("|", col("w.start"), lit(t.toString), col("w.node")))
+      val a = ascii(substring(h, 1, 1)) * lit(65536) +
+        ascii(substring(h, 2, 1)) * lit(256) + ascii(substring(h, 3, 1))
+      val idx = pmod(a, size(col("al.us")))
+      val next = walk.as("w")
+        .join(adj.as("al"), col("w.node") === col("al.v"))
+        .select(
+          col("w.start"),
+          element_at(col("al.us"), (idx + lit(1)).cast("int")).as("node"),
+          lit(t.toLong).as("step")
+        )
+      acc = acc.union(next)
+      walk = next
+    }
+    acc
   }
 
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,

@@ -383,4 +383,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"))
       .distinct()
   }
+
+  /** TF-IDF keyword extraction: the top-`k` most distinctive tokens per
+    * document, scored with the integer-exact surrogate
+    * score_milli = (1000 * tf * N) div df (monotone in tf·N/df, the
+    * plain tf-idf ratio without the log — same ranking for fixed tf).
+    * Ties break on the token, so the per-document top-k is a total
+    * order. The corpus-wide keyword table is what source labeling,
+    * topic bucketing and retrieval indexes key on.
+    *
+    * Scale shape: one exchange for tf (doc_id, token), one
+    * partial-aggregated exchange for df (token), a join back on token
+    * (AQE decides broadcast vs shuffle from the observed df size), and
+    * the rank window partitioned BY DOCUMENT — millions of small
+    * partitions, never a global sort. N comes from the DataFrame's
+    * count() — on parquet a metadata-only action.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("keyword"))
+      .groupBy("doc_id", "keyword")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("keyword").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("score_milli").desc, col("keyword"))
+    tf.join(df, "keyword")
+      .withColumn("score_milli", expr(s"(1000 * tf * ${n}L) div df"))
+      .withColumn("rnk", row_number().over(byDoc).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "keyword", "score_milli", "rnk")
+  }
 }

@@ -285,6 +285,22 @@ object OpsQueries {
       "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens " +
       "FROM tk JOIN documents USING (doc_id)"
 
+  /** TF-IDF keyword extraction — top-3 distinctive tokens per document
+    * with the integer surrogate score (1000 * tf * N) div df; ties on
+    * the token so the per-doc top-k is total-ordered on both sides.
+    */
+  val textKeywords: Q = (s, dir) => TextAnalysis.tfidfKeywords(docs(s, dir), k = 3)
+
+  val textKeywordsSql: String =
+    "WITH tkw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS keyword FROM documents), " +
+      "tf AS (SELECT doc_id, keyword, CAST(count(*) AS BIGINT) AS tf FROM tkw GROUP BY doc_id, keyword), " +
+      "df AS (SELECT keyword, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY keyword), " +
+      "n AS (SELECT count(*) AS n FROM documents), " +
+      "s AS (SELECT doc_id, keyword, tf, CAST((1000 * tf * n.n) // df AS BIGINT) AS score_milli, " +
+      "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY (1000 * tf * n.n) // df DESC, keyword) AS BIGINT) AS rnk " +
+      "FROM tf JOIN df USING (keyword) CROSS JOIN n) " +
+      "SELECT doc_id, keyword, score_milli, rnk FROM s WHERE rnk <= 3"
+
   val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
 
   val textFingerprintsSql: String = {
@@ -522,6 +538,7 @@ object OpsQueries {
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_token_counts" -> textTokenCounts,
+    "text_keywords" -> textKeywords,
     "text_fingerprints" -> textFingerprints,
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
@@ -557,6 +574,7 @@ object OpsQueries {
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,
     "text_token_counts" -> textTokenCountsSql,
+    "text_keywords" -> textKeywordsSql,
     "text_fingerprints" -> textFingerprintsSql,
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,

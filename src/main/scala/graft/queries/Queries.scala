@@ -577,6 +577,31 @@ object Queries {
       "SELECT uni.entity, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles FROM uni " +
       "LEFT JOIN (SELECT entity, count(*) AS cnt FROM x GROUP BY entity) c ON c.entity = uni.entity"
 
+  /** Deterministic random-walk corpus (Analytics.randomWalks), 4 steps
+    * from every non-isolated node. The oracle unrolls the identical
+    * md5-indexed neighbor choice per step, so walks are bit-identical.
+    */
+  private val rwSteps = 4
+
+  val kgWalks: Q = (s, dir) =>
+    Analytics.randomWalks(TokenRules.triples(docs(s, dir)), rwSteps)
+
+  val kgWalksSql: String = {
+    def hx(t: Int) = s"md5(w.start || '|' || '$t' || '|' || w.node)"
+    val base =
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
+        "nb AS (SELECT subject AS v, obj AS u FROM ed UNION SELECT obj, subject FROM ed), " +
+        "al AS (SELECT v, list_sort(list(u)) AS us FROM nb GROUP BY v), " +
+        "w0 AS (SELECT v AS start, v AS node, CAST(0 AS BIGINT) AS step FROM al)"
+    val stepsSql = (1 to rwSteps).map { t =>
+      s"w$t AS (SELECT w.start, al.us[((ascii(substr(${hx(t)}, 1, 1)) * 65536 + " +
+        s"ascii(substr(${hx(t)}, 2, 1)) * 256 + ascii(substr(${hx(t)}, 3, 1))) % len(al.us)) + 1] AS node, " +
+        s"CAST($t AS BIGINT) AS step FROM w${t - 1} w JOIN al ON al.v = w.node)"
+    }.mkString(", ", ", ", " ")
+    TokenRules.Sql.withTriples + base + stepsSql +
+      (0 to rwSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+  }
+
   // ---------------------------------------------------------------
   // Ingest operators (SURVEY §2.1/§2.2): conversation flatten
   // ---------------------------------------------------------------
@@ -690,6 +715,7 @@ object Queries {
     "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
+    "kg_walks" -> kgWalks,
     "conv_flatten" -> convFlatten,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
@@ -724,6 +750,7 @@ object Queries {
     "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
+    "kg_walks" -> kgWalksSql,
     "conv_flatten" -> convFlattenSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,

@@ -148,6 +148,51 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("randomWalks: deterministic, correct length, edges only") {
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"))
+    val w1 = Analytics.randomWalks(tr, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val w2 = Analytics.randomWalks(tr, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(w1 == w2) // bit-identical across runs
+    // one row per (start, step): 3 starts x 4 steps (0..3)
+    assert(w1.size == 12 || {
+      // sets collapse equal (start, node, step) rows; count via collect
+      Analytics.randomWalks(tr, 3).count() == 12
+    })
+    // every consecutive hop is a real undirected edge
+    val und = Set("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b", "c" -> "a", "a" -> "c")
+    val byWalk = Analytics.randomWalks(tr, 3).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(1)))
+      .groupBy(_._1)
+    byWalk.values.foreach { rows =>
+      val path = rows.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Array(x, y) => assert(und.contains(x -> y)) }
+    }
+  }
+
+  test("randomWalks: isolated self-loop-only node never starts a walk") {
+    val tr = triplesDf(("a", "r", "b"), ("x", "r", "x"))
+    val starts = Analytics.randomWalks(tr, 2).collect().map(_.getString(0)).toSet
+    assert(starts == Set("a", "b"))
+  }
+
+  test("tfidfKeywords ranks rare tokens above corpus-wide ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha common", "en", "s1", 0L),
+      (2L, "beta common common", "en", "s1", 0L),
+      (3L, "gamma common delta", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.TextAnalysis.tfidfKeywords(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1: alpha tf=2 df=1 -> 6000; common tf=1 df=3 -> 1000
+    assert(got.filter(_._1 == 1L).sortBy(_._4).map(x => (x._2, x._3)).toSeq ==
+      Seq(("alpha", 6000L), ("common", 1000L)))
+    // doc 3: gamma/delta tf=1 df=1 -> 3000 each; tie breaks on token
+    assert(got.filter(_._1 == 3L).sortBy(_._4).map(_._2).toSeq == Seq("delta", "gamma"))
+  }
+
   test("linkPredict: non-adjacent pairs with common neighbors, exact jaccard") {
     // star x->{a,b,c} plus a->b; undirected neighborhoods:
     // nb(a)={x,b}, nb(b)={x,a}, nb(c)={x}, nb(x)={a,b,c}
