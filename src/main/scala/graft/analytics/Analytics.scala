@@ -453,6 +453,30 @@ object Analytics {
     acc
   }
 
+  /** Skip-gram co-occurrence counts over the walk corpus — the (center,
+    * context) pair table a word2vec-style graph-embedding trainer
+    * actually consumes: for every walk, all ordered node pairs at step
+    * distance 1..`window`, counted over the corpus.
+    *
+    * Scale shape: the walk table is materialized once (the self-join
+    * would otherwise re-run the whole walk loop per side), then ONE
+    * equi-join on the walk id — per-walk fan-out is the constant
+    * (steps+1)·2·window, never data-dependent — and a partial-aggregated
+    * count exchange on (node, context).
+    */
+  def walkCooccurrence(triples: DataFrame, steps: Int = 4, window: Int = 2): DataFrame = {
+    val walks = graft.util.Materialize.stage(randomWalks(triples, steps))
+    walks.as("a")
+      .join(
+        walks.as("b"),
+        col("a.start") === col("b.start") &&
+          col("b.step") =!= col("a.step") &&
+          abs(col("b.step") - col("a.step")) <= window
+      )
+      .groupBy(col("a.node").as("node"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

@@ -586,7 +586,10 @@ object Queries {
   val kgWalks: Q = (s, dir) =>
     Analytics.randomWalks(TokenRules.triples(docs(s, dir)), rwSteps)
 
-  val kgWalksSql: String = {
+  /** CTE chain ending in `walks(start, node, step)` — shared by the walk
+    * dump and the skip-gram co-occurrence oracle.
+    */
+  private val walkCtes: String = {
     def hx(t: Int) = s"md5(w.start || '|' || '$t' || '|' || w.node)"
     val base =
       ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
@@ -597,10 +600,28 @@ object Queries {
       s"w$t AS (SELECT w.start, al.us[((ascii(substr(${hx(t)}, 1, 1)) * 65536 + " +
         s"ascii(substr(${hx(t)}, 2, 1)) * 256 + ascii(substr(${hx(t)}, 3, 1))) % len(al.us)) + 1] AS node, " +
         s"CAST($t AS BIGINT) AS step FROM w${t - 1} w JOIN al ON al.v = w.node)"
-    }.mkString(", ", ", ", " ")
-    TokenRules.Sql.withTriples + base + stepsSql +
-      (0 to rwSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+    }.mkString(", ", ", ", ", ")
+    base + stepsSql +
+      "walks AS (" + (0 to rwSteps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ") + ")"
   }
+
+  val kgWalksSql: String =
+    TokenRules.Sql.withTriples + walkCtes + " SELECT start, node, step FROM walks"
+
+  /** Skip-gram co-occurrence counts over the walk corpus
+    * (Analytics.walkCooccurrence, window 2) — the word2vec-style
+    * (center, context) training table; identical self-join in the oracle.
+    */
+  private val rwWindow = 2
+
+  val kgWalkCooc: Q = (s, dir) =>
+    Analytics.walkCooccurrence(TokenRules.triples(docs(s, dir)), rwSteps, rwWindow)
+
+  val kgWalkCoocSql: String =
+    TokenRules.Sql.withTriples + walkCtes +
+      " SELECT a.node AS node, b.node AS context, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM walks a JOIN walks b ON a.start = b.start AND b.step <> a.step " +
+      s"AND abs(b.step - a.step) <= $rwWindow GROUP BY a.node, b.node"
 
   // ---------------------------------------------------------------
   // Ingest operators (SURVEY §2.1/§2.2): conversation flatten
@@ -669,6 +690,22 @@ object Queries {
       "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types " +
       "FROM events GROUP BY user_id"
 
+  /** Session rollup — 30-minute-gap sessionization per user
+    * (EventsStream.sessionize); the oracle replays the identical
+    * lag/break/running-sum windows in whole epoch seconds.
+    */
+  val eventsSessions: Q = (s, dir) =>
+    graft.streaming.EventsStream.sessionize(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsSessionsSql: String =
+    "WITH e AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events), " +
+      "m AS (SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +
+      "b AS (SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS brk FROM m), " +
+      "sq AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq FROM b) " +
+      "SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events, " +
+      "min(ts) AS start_ts, max(ts) AS end_ts, CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec " +
+      "FROM sq GROUP BY user_id, session_seq"
+
   // ---------------------------------------------------------------
   // Relational sanity check on the TPC-H-ish tables
   // ---------------------------------------------------------------
@@ -716,6 +753,8 @@ object Queries {
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
     "kg_walks" -> kgWalks,
+    "kg_walk_cooc" -> kgWalkCooc,
+    "events_sessions" -> eventsSessions,
     "conv_flatten" -> convFlatten,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
@@ -751,6 +790,8 @@ object Queries {
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
     "kg_walks" -> kgWalksSql,
+    "kg_walk_cooc" -> kgWalkCoocSql,
+    "events_sessions" -> eventsSessionsSql,
     "conv_flatten" -> convFlattenSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,

@@ -54,6 +54,43 @@ object EventsStream {
   def windowedStatsStreaming(events: DataFrame): DataFrame =
     windowedStats(events.withWatermark("ts", "2 minutes"))
 
+  /** Sessionization: per-user event runs split where the gap to the
+    * previous event exceeds `gapMinutes` (the classic 30-minute web
+    * session rule), rolled up to one row per session — (user_id,
+    * session_seq, n_events, start/end ts, duration). Timestamps compare
+    * in whole epoch seconds (unix_timestamp ≡ floor(epoch(ts)) in the
+    * oracle), and ties order by event_id, so the session boundaries are
+    * a total-order fact, not an engine artifact.
+    *
+    * Scale shape: ONE exchange on user_id feeds both windows (lag and
+    * the running break-sum share the same partitioning and ordering —
+    * Catalyst plans a single Sort+Window pair) and the session rollup
+    * partial-aggregates on (user_id, session_seq), which is
+    * co-partitioned with the window so no second shuffle. Per-user
+    * partitions are the natural unit — millions of small groups, never
+    * a global sort.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn(
+        "brk",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1L).otherwise(0L)
+      )
+      .withColumn("session_seq", sum("brk").over(byUser))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("start_ts"),
+        max("ts").as("end_ts"),
+        (max("sec") - min("sec")).as("duration_sec")
+      )
+  }
+
   /** Stateful streaming distinct: emits a triple the first time its
     * (s, p, o) key is seen; state = one boolean per key, no timeout
     * (graph memory is append-forever, like the MCP store).

@@ -177,6 +177,16 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(starts == Set("a", "b"))
   }
 
+  test("walkCooccurrence is symmetric with the exact corpus pair total") {
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"))
+    val rows = Analytics.walkCooccurrence(tr, steps = 4, window = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // the join condition is symmetric in (center, context)
+    rows.foreach { case ((n, c), cnt) => assert(rows((c, n)) == cnt) }
+    // 3 walks x per-position context counts (2,3,4,3,2) = 42 total pairs
+    assert(rows.values.sum == 42L)
+  }
+
   test("tfidfKeywords ranks rare tokens above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(

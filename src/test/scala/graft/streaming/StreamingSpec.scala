@@ -184,4 +184,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(closed.nonEmpty, "watermark advance must close early windows")
     } finally q.stop()
   }
+
+  test("sessionize splits on gaps over the threshold and rolls up per session") {
+    import org.apache.spark.sql.functions.col
+    // user 1: events at 10:00, 10:10, 10:50 with 30-min gap rule ->
+    // session 1 = {10:00, 10:10} (duration 600 s), session 2 = {10:50};
+    // user 2: one event -> one singleton session
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, t(10, 0), 1L, "click", 0.0, ""),
+      (2L, t(10, 10), 1L, "click", 0.0, ""),
+      (3L, t(10, 50), 1L, "view", 0.0, ""),
+      (4L, t(12, 0), 2L, "click", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.sessionize(ev, gapMinutes = 30)
+      .select(col("user_id"), col("session_seq"), col("n_events"), col("duration_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 1L, 2L, 600L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("sessionize: a gap of exactly the threshold stays in one session") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 1L, "click", 0.0, ""),
+      (2L, t(30), 1L, "click", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventsStream.sessionize(ev, gapMinutes = 30).count() == 1L)
+  }
 }
