@@ -706,6 +706,43 @@ object Queries {
       "min(ts) AS start_ts, max(ts) AS end_ts, CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec " +
       "FROM sq GROUP BY user_id, session_seq"
 
+  /** Funnel — click -> view -> purchase progression with earliest-reach
+    * semantics (EventsStream.funnel); the oracle replays the identical
+    * filtered joins and at-or-after rule.
+    */
+  private val funnelSteps = Seq("click", "view", "purchase")
+
+  val eventsFunnel: Q = (s, dir) =>
+    graft.streaming.EventsStream.funnel(s.read.parquet(s"$dir/events.parquet"), funnelSteps)
+
+  val eventsFunnelSql: String = {
+    val stages = funnelSteps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$step' GROUP BY user_id)"
+      else
+        s"s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+          s"JOIN s$i ON s$i.user_id = e.user_id AND e.ts >= s$i.t " +
+          s"WHERE e.event_type = '$step' GROUP BY e.user_id)"
+    }.mkString(", ")
+    val counts = funnelSteps.zipWithIndex.map { case (step, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS stage, '$step' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM s${i + 1}"
+    }.mkString(" UNION ALL ")
+    s"WITH $stages, c AS ($counts) " +
+      "SELECT stage, event_type, n_users, " +
+      "CAST((1000 * n_users) // (SELECT n_users FROM c WHERE stage = 1) AS BIGINT) AS retained_milli FROM c"
+  }
+
+  /** Cohort retention triangle (EventsStream.cohortRetention). */
+  val eventsCohorts: Q = (s, dir) =>
+    graft.streaming.EventsStream.cohortRetention(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsCohortsSql: String =
+    "WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id) " +
+      "SELECT CAST(f.first_ts AS DATE) AS cohort_date, " +
+      "CAST(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) AS BIGINT) AS day_offset, " +
+      "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+      "FROM events e JOIN f ON f.user_id = e.user_id GROUP BY 1, 2"
+
   // ---------------------------------------------------------------
   // Relational sanity check on the TPC-H-ish tables
   // ---------------------------------------------------------------
@@ -755,6 +792,8 @@ object Queries {
     "kg_walks" -> kgWalks,
     "kg_walk_cooc" -> kgWalkCooc,
     "events_sessions" -> eventsSessions,
+    "events_funnel" -> eventsFunnel,
+    "events_cohorts" -> eventsCohorts,
     "conv_flatten" -> convFlatten,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
@@ -792,6 +831,8 @@ object Queries {
     "kg_walks" -> kgWalksSql,
     "kg_walk_cooc" -> kgWalkCoocSql,
     "events_sessions" -> eventsSessionsSql,
+    "events_funnel" -> eventsFunnelSql,
+    "events_cohorts" -> eventsCohortsSql,
     "conv_flatten" -> convFlattenSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,

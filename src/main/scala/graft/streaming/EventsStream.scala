@@ -91,6 +91,64 @@ object EventsStream {
       )
   }
 
+  /** Funnel analysis: how many users progress through the ordered
+    * `steps` event-type sequence — a user reaches step k when an event
+    * of that type occurs at-or-after their earliest step-(k-1) reach
+    * time. Output one row per step: (stage, event_type, n_users,
+    * retained_milli vs stage 1).
+    *
+    * Scale shape: stage k is one filtered equi-join on user_id against
+    * the O(users) stage-(k-1) reach table plus a min-aggregate — the
+    * reach tables shrink monotonically, and AQE broadcasts them once
+    * they fit. The final report is a union of single-row aggregates
+    * joined to the stage-1 count; no collect, no window over data.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val reaches = steps.tail.scanLeft(
+      events.where(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min("ts").as("t"))
+    ) { (prev, step) =>
+      events.where(col("event_type") === step).as("e")
+        .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+        .where(col("ts") >= col("pt"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    val counts = reaches.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(step).as("event_type"), col("n_users"))
+    }.reduce(_ union _)
+    val first = counts.where(col("stage") === 1L).select(col("n_users").as("n1"))
+    counts.crossJoin(first)
+      .select(
+        col("stage"),
+        col("event_type"),
+        col("n_users"),
+        expr("(1000 * n_users) div n1").as("retained_milli")
+      )
+  }
+
+  /** Cohort retention: users grouped by the DATE of their first event;
+    * for each (cohort_date, day_offset) the distinct users active that
+    * many days later. The classic retention triangle.
+    *
+    * Scale shape: one exchange on user_id for the first-event aggregate,
+    * one join back (AQE broadcasts the O(users) cohort table when it
+    * fits, shuffles on user_id otherwise), and one partial-aggregated
+    * count_distinct exchange on (cohort_date, day_offset).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy("user_id").agg(min("ts").as("first_ts"))
+    events.join(firsts, "user_id")
+      .select(
+        col("user_id"),
+        to_date(col("first_ts")).as("cohort_date"),
+        datediff(to_date(col("ts")), to_date(col("first_ts"))).cast("long").as("day_offset")
+      )
+      .groupBy("cohort_date", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Stateful streaming distinct: emits a triple the first time its
     * (s, p, o) key is seen; state = one boolean per key, no timeout
     * (graph memory is append-forever, like the MCP store).

@@ -213,4 +213,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     assert(EventsStream.sessionize(ev, gapMinutes = 30).count() == 1L)
   }
+
+  test("funnel counts only in-order progressions") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: click -> view -> purchase (full funnel)
+    // user 2: view BEFORE click, no view after -> stops at stage 1
+    // user 3: view only -> never enters
+    val ev = Seq(
+      (1L, t(0), 1L, "click", 0.0, ""), (2L, t(1), 1L, "view", 0.0, ""),
+      (3L, t(2), 1L, "purchase", 0.0, ""),
+      (4L, t(0), 2L, "view", 0.0, ""), (5L, t(1), 2L, "click", 0.0, ""),
+      (6L, t(0), 3L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.funnel(ev, Seq("click", "view", "purchase")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "click", 2L, 1000L),
+      (2L, "view", 1L, 500L),
+      (3L, "purchase", 1L, 500L)
+    ))
+  }
+
+  test("funnel: same-timestamp step event counts (at-or-after rule)") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 1L, "click", 0.0, ""), (2L, t(0), 1L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val n = EventsStream.funnel(ev, Seq("click", "view")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(n == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("cohortRetention groups by first-event date and day offset") {
+    def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // users 1,2 join Jan 1 (cohort 01-01); user 1 active again day+2;
+    // user 3 joins Jan 2
+    val ev = Seq(
+      (1L, d(1, 9), 1L, "click", 0.0, ""), (2L, d(1, 10), 2L, "click", 0.0, ""),
+      (3L, d(3, 9), 1L, "view", 0.0, ""), (4L, d(2, 9), 3L, "click", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.cohortRetention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L),
+      ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)
+    ))
+  }
 }
