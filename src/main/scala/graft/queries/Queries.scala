@@ -757,6 +757,78 @@ object Queries {
     "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
       "FROM lineitem GROUP BY l_returnflag"
 
+  /** Integer-exact revenue term shared by the TPC-H-shaped queries:
+    * cents × discount-complement-percent (floor(x*100+0.5) on both
+    * factors), so sums hash-match across engines with no float drift.
+    */
+  private val revExpr =
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+
+  /** TPC-H Q3 shape (shipping priority): top-10 open orders of one
+    * market segment by outstanding revenue. The plan the relational
+    * side must produce at scale: filters pushed to all three scans,
+    * the filtered customer side broadcast (AQE-decided), ONE shuffled
+    * join on orderkey, and distributed top-k (TakeOrderedAndProject) —
+    * never a global sort.
+    */
+  val q3Shipping: Q = (s, dir) => {
+    val cut = "1998-06-01"
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_mktsegment") === "BUILDING")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderdate") < lit(cut).cast("timestamp"))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_shipdate") > lit(cut).cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(expr(revExpr)).as("revenue_i"))
+      .orderBy(desc("revenue_i"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    s"SELECT l_orderkey, o_orderdate, CAST(sum($revExpr) AS BIGINT) AS revenue_i " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' " +
+      "AND l_shipdate > TIMESTAMP '1998-06-01' " +
+      "GROUP BY 1, 2 ORDER BY revenue_i DESC, l_orderkey LIMIT 10"
+
+  /** TPC-H Q5 shape (local supplier volume): revenue by nation where
+    * customer and supplier share the nation, one region, one year. The
+    * dimension chain region→nation→supplier stays broadcast all the way
+    * (AQE-decided); lineitem shuffles once on orderkey.
+    */
+  val q5LocalSupplier: Q = (s, dir) => {
+    val region = s.read.parquet(s"$dir/region.parquet").where(col("r_name") === "ASIA")
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val supplier = s.read.parquet(s"$dir/supplier.parquet")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .where(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      )
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    region
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .join(supplier, col("s_nationkey") === col("n_nationkey"))
+      .join(li, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(expr(revExpr)).as("revenue_i"))
+  }
+
+  val q5LocalSupplierSql: String =
+    s"SELECT n_name, CAST(sum($revExpr) AS BIGINT) AS revenue_i " +
+      "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+      "JOIN supplier ON s_nationkey = n_nationkey " +
+      "JOIN lineitem ON l_suppkey = s_suppkey JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey " +
+      "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1"
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -797,7 +869,9 @@ object Queries {
     "conv_flatten" -> convFlatten,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q3_shipping" -> q3Shipping,
+    "q5_local_supplier" -> q5LocalSupplier
   ) ++ OpsQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -836,6 +910,8 @@ object Queries {
     "conv_flatten" -> convFlattenSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q5_local_supplier" -> q5LocalSupplierSql
   ) ++ OpsQueries.oracles
 }
