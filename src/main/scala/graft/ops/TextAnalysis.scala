@@ -399,6 +399,37 @@ object TextAnalysis {
     * partitions, never a global sort. N comes from the DataFrame's
     * count() — on parquet a metadata-only action.
     */
+  /** Number of registers in [[distinctSketch]]. */
+  val SketchBuckets = 64
+
+  /** Mergeable distinct-count sketch per source — the HLL register shape
+    * at nibble granularity, built from md5 so it is bit-identical across
+    * engines: a token routes to register
+    * (ascii(h[1])*256 + ascii(h[2])) % 64 and contributes rank = 1 +
+    * length of the run of leading '0' hex chars in h[3..18]; the
+    * register keeps the max. Registers merge by max — union of two
+    * corpora's sketches equals the sketch of the union (OpsSpec asserts
+    * it) — which is the property that matters at 100 TB: per-partition
+    * registers combine in one tiny exchange, where exact count_distinct
+    * must shuffle every distinct value. (The estimator on top is the
+    * standard harmonic mean; it is floating-point, so the engine exposes
+    * the registers — the mergeable, storable artifact — and leaves the
+    * final estimate to the reader.)
+    */
+  def distinctSketch(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(TokenRules.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .select(
+        col("source"),
+        pmod(ascii(substring(col("h"), 1, 1)) * lit(256) + ascii(substring(col("h"), 2, 1)), lit(SketchBuckets))
+          .cast("long")
+          .as("bucket"),
+        (length(regexp_extract(substring(col("h"), 3, 16), "^(0*)", 1)) + lit(1)).cast("long").as("rank")
+      )
+      .groupBy("source", "bucket")
+      .agg(max("rank").as("max_rank"))
+
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     val n = docs.count()
     val tf = docs

@@ -301,6 +301,21 @@ object OpsQueries {
       "FROM tf JOIN df USING (keyword) CROSS JOIN n) " +
       "SELECT doc_id, keyword, score_milli, rnk FROM s WHERE rnk <= 3"
 
+  /** Mergeable per-source distinct-token sketch (HLL register shape at
+    * nibble granularity; TextAnalysis.distinctSketch) — registers only,
+    * identical md5 routing/rank rule in the oracle.
+    */
+  val textSketch: Q = (s, dir) => TextAnalysis.distinctSketch(docs(s, dir))
+
+  val textSketchSql: String = {
+    val b = TextAnalysis.SketchBuckets
+    "WITH tks AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), " +
+      "hh AS (SELECT source, md5(tok) AS h FROM tks), " +
+      s"r AS (SELECT source, CAST((ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) % $b AS BIGINT) AS bucket, " +
+      "CAST(length(regexp_extract(substr(h, 3, 16), '^(0*)', 1)) + 1 AS BIGINT) AS rank FROM hh) " +
+      "SELECT source, bucket, max(rank) AS max_rank FROM r GROUP BY source, bucket"
+  }
+
   val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
 
   val textFingerprintsSql: String = {
@@ -539,6 +554,7 @@ object OpsQueries {
     "text_quality" -> textQuality,
     "text_token_counts" -> textTokenCounts,
     "text_keywords" -> textKeywords,
+    "text_sketch" -> textSketch,
     "text_fingerprints" -> textFingerprints,
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
@@ -575,6 +591,7 @@ object OpsQueries {
     "text_quality" -> textQualitySql,
     "text_token_counts" -> textTokenCountsSql,
     "text_keywords" -> textKeywordsSql,
+    "text_sketch" -> textSketchSql,
     "text_fingerprints" -> textFingerprintsSql,
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,

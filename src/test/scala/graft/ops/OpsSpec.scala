@@ -394,4 +394,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sampled == expected)
     assert(sampled.nonEmpty && sampled.size < quality.size, s"degenerate sample: ${sampled.size} of ${quality.size}")
   }
+
+  test("distinctSketch registers merge by max: sketch(A ∪ B) == merge(sketch(A), sketch(B))") {
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    // collapse sources so the split is the only partition of the corpus
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.distinctSketch(df.withColumn("source", lit("all")))
+    val whole = flat(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    val merged = flat(a).unionByName(flat(b))
+      .groupBy("bucket").agg(max("max_rank").as("max_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == whole)
+    assert(whole.nonEmpty && whole.values.max >= 2L, "fixture too small to exercise ranks")
+  }
 }
