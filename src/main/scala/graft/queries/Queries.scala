@@ -743,6 +743,43 @@ object Queries {
       "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
       "FROM events e JOIN f ON f.user_id = e.user_id GROUP BY 1, 2"
 
+  /** As-of join — each purchase gets the user's prevailing view event
+    * (ops.Temporal.asofJoin); the oracle replays the identical
+    * union-and-window merge with the same (ts, side, event_id) total
+    * order and running last-non-null frame.
+    */
+  val eventsAsof: Q = (s, dir) =>
+    graft.ops.Temporal.asofJoin(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsAsofSql: String =
+    "WITH t AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side, " +
+      "CASE WHEN event_type = 'view' THEN event_id END AS q_id, " +
+      "CASE WHEN event_type = 'view' THEN CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) END AS q_milli " +
+      "FROM events WHERE event_type IN ('purchase', 'view')), " +
+      "w AS (SELECT *, " +
+      "last_value(q_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS quote_id, " +
+      "last_value(q_milli IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS quote_milli FROM t) " +
+      "SELECT event_id AS probe_id, user_id, quote_id, quote_milli FROM w WHERE side = 1"
+
+  /** Bounded-range join — purchases within an hour of each signup
+    * (ops.Temporal.rangeJoin); the oracle states the range predicate
+    * directly (DuckDB's optimizer handles the small scale; the Spark
+    * side is the bucketed equi-join, provably the same pair set).
+    */
+  val eventsRangeJoin: Q = (s, dir) =>
+    graft.ops.Temporal.rangeJoin(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsRangeJoinSql: String =
+    "SELECT s.event_id AS probe_id, s.user_id, p.event_id AS target_id, " +
+      "CAST(floor(epoch(p.ts)) - floor(epoch(s.ts)) AS BIGINT) AS lag_sec " +
+      "FROM events s JOIN events p ON s.user_id = p.user_id " +
+      "WHERE s.event_type = 'signup' AND p.event_type = 'purchase' " +
+      "AND floor(epoch(p.ts)) >= floor(epoch(s.ts)) " +
+      "AND floor(epoch(p.ts)) < floor(epoch(s.ts)) + 3600"
+
   // ---------------------------------------------------------------
   // Relational sanity check on the TPC-H-ish tables
   // ---------------------------------------------------------------
@@ -866,6 +903,8 @@ object Queries {
     "events_sessions" -> eventsSessions,
     "events_funnel" -> eventsFunnel,
     "events_cohorts" -> eventsCohorts,
+    "events_asof" -> eventsAsof,
+    "events_range_join" -> eventsRangeJoin,
     "conv_flatten" -> convFlatten,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
@@ -907,6 +946,8 @@ object Queries {
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_cohorts" -> eventsCohortsSql,
+    "events_asof" -> eventsAsofSql,
+    "events_range_join" -> eventsRangeJoinSql,
     "conv_flatten" -> convFlattenSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TemporalSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, String, Long, Double)]) =
+    rows
+      .toDF("event_id", "user_id", "event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .drop("sec")
+
+  test("asofJoin: at-or-before with tie inclusion, per-user isolation, same-ts quote tiebreak") {
+    val events = ev(
+      Seq(
+        (1L, 1L, "view", 10L, 2.0), // quote
+        (2L, 1L, "purchase", 10L, 9.9), // probe, ties with quote 1 -> included
+        (3L, 1L, "purchase", 5L, 9.9), // probe before any quote -> null
+        (4L, 1L, "view", 20L, 3.5),
+        (5L, 1L, "view", 20L, 4.0), // same-ts quotes: event_id order -> 5 wins
+        (6L, 1L, "purchase", 25L, 9.9),
+        (7L, 2L, "purchase", 100L, 9.9) // other user: no quotes of its own
+      )
+    )
+    val got = Temporal
+      .asofJoin(events)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+    val want = Set(
+      (2L, Some(1L), Some(2000L)),
+      (3L, None, None),
+      (6L, Some(5L), Some(4000L)),
+      (7L, None, None)
+    )
+    assert(got == want)
+  }
+
+  test("rangeJoin: [t, t+horizon) boundaries, next-bucket candidates, per-user isolation") {
+    val events = ev(
+      Seq(
+        (1L, 1L, "signup", 0L, 0.0),
+        (2L, 1L, "purchase", 0L, 1.0), // lag 0: in
+        (3L, 1L, "purchase", 3599L, 1.0), // lag 3599: in
+        (4L, 1L, "purchase", 3600L, 1.0), // lag 3600: out (half-open)
+        (5L, 1L, "signup", 3590L, 0.0),
+        (6L, 1L, "purchase", 7180L, 1.0), // bucket 1 vs signup-5 bucket 0: next-bucket path, lag 3590 in
+        (7L, 1L, "purchase", 7190L, 1.0), // lag 3600 from signup 5: out
+        (8L, 2L, "purchase", 10L, 1.0) // other user: never joined
+      )
+    )
+    val got = Temporal
+      .rangeJoin(events)
+      .select("probe_id", "target_id", "lag_sec")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val want = Set(
+      (1L, 2L, 0L),
+      (1L, 3L, 3599L),
+      (5L, 3L, 9L), // purchase 3 (sec 3599) is also inside signup 5's window
+      (5L, 4L, 10L), // purchase 4 (sec 3600) is inside signup 5's window
+      (5L, 6L, 3590L)
+    )
+    assert(got == want)
+  }
+}
