@@ -294,26 +294,41 @@ object Bench {
     val queryList =
       if (skipQueries) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
       else SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = queryList.map { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark32, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); None }
-      }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark32, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); None }
+    }
+    val firstPass = queryList.map { case (name, fn) =>
       // best-of-2 while the budget is comfortable; single-run once the
       // query phase has eaten a third of the total budget. A first run
       // past 30 s is a steal-storm reading on this corpus (no query is
       // near that in a clean window) — repeating it inside the same
       // storm just doubles the damage to the scaling phase's budget.
-      val first = once()
+      val first = timeOnce(name, fn)
       val second = elapsedSec < budgetSec / 3.0 && first.forall(_ < 30.0)
-      val t = (first, if (second) once() else None) match {
+      val t = (first, if (second) timeOnce(name, fn) else None) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case (Some(a), None)    => a
         case (None, Some(b))    => b
         case _                  => failed ::= name; -1.0 // sentinel: failed, not a time
       }
       name -> t
+    }
+    // Deferred retry for the storm suspects: by the END of the phase the
+    // storm has usually moved on, so the queries whose immediate repeat
+    // was skipped above get one more run now — budget permitting — and
+    // keep the min. One bad window can no longer pin a 10x-inflated
+    // reading on an otherwise 3 s query.
+    val suspects = firstPass.collect { case (n, t) if t >= 30.0 => n }
+    val results = if (suspects.isEmpty) firstPass
+    else {
+      val byName = queryList.toMap
+      val retried = suspects.flatMap { name =>
+        if (elapsedSec >= budgetSec / 3.0) None
+        else timeOnce(name, byName(name)).map(name -> _)
+      }.toMap
+      firstPass.map { case (n, t) => n -> retried.get(n).fold(t)(math.min(t, _)) }
     }
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
 
