@@ -444,4 +444,80 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select("doc_id", "keyword", "score_milli", "rnk")
   }
+
+  /** Bigram language-model table: for each head word w1 the top-`k`
+    * following words by count, with the conditional probability
+    * p(w2|w1) and the collocation lift n·c(w1,w2)/(c(w1,·)·c(·,w2)) —
+    * both in exact integer milli (the PMI exponent without the log, so
+    * no float crosses the oracle). The counting pass an n-gram LM or a
+    * collocation miner runs over a corpus.
+    *
+    * Scale shape: one explode to adjacent pairs (narrow, no shuffle),
+    * ONE exchange for the (w1, w2) count — the only data-sized shuffle;
+    * the two marginals re-aggregate the already-tiny bigram table and
+    * join back on it (vocab-sized, AQE broadcasts), and the per-head
+    * top-k windows over the same table. The grand total is one scalar
+    * action on the counted table, not a second corpus pass. Lift stays
+    * in BIGINT here; at 10^12-token scale the n·c product needs
+    * DECIMAL(38) or log-space floats — noted, not silently wrong.
+    */
+  def lmBigrams(docs: DataFrame, k: Int = 5): DataFrame = {
+    val bi = docs
+      .select(TokenRules.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(
+        explode(
+          expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+          )
+        ).as("b")
+      )
+      .select("b.*")
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+    val w1tot = bi.groupBy("w1").agg(sum("cnt").as("w1_cnt"))
+    val w2tot = bi.groupBy("w2").agg(sum("cnt").as("w2_cnt"))
+    val n = bi.agg(sum("cnt")).collect()(0).getLong(0)
+    val byHead = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2"))
+    bi.join(w1tot, "w1")
+      .join(w2tot, "w2")
+      .withColumn("p_cond_milli", expr("(1000 * cnt) div w1_cnt"))
+      .withColumn("lift_milli", expr(s"(1000 * ${n}L * cnt) div (w1_cnt * w2_cnt)"))
+      .withColumn("rnk", row_number().over(byHead).cast("long"))
+      .where(col("rnk") <= k)
+      .select("w1", "w2", "cnt", "p_cond_milli", "lift_milli")
+  }
+
+  /** Per-source distribution drift: total-variation distance (in ppm)
+    * between each source's token distribution and the whole corpus's —
+    * the mixture-monitoring number that says "this shard stopped
+    * looking like the blend". Pure integer end-to-end: shares are ppm
+    * by integer division, TV = floor(Σ|ppm_src − ppm_all| / 2).
+    *
+    * Scale shape: ONE data-sized exchange — the (source, token) count;
+    * everything after re-aggregates that vocab×sources-bounded table.
+    * The sources×vocab comparison grid (so tokens a source never emits
+    * still contribute |0 − ppm_all|) is a broadcastable cross of two
+    * tiny frames, never a corpus-sized join.
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val srcCnt = docs
+      .select(col("source"), explode(TokenRules.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val srcTot = srcCnt.groupBy("source").agg(sum("cnt").as("n_tokens"))
+    val allCnt = srcCnt.groupBy("tok").agg(sum("cnt").as("acnt"))
+    val n = allCnt.agg(sum("acnt")).collect()(0).getLong(0)
+    val vocabPpm = allCnt.select(col("tok"), expr(s"(1000000 * acnt) div ${n}L").as("all_ppm"))
+    srcTot
+      .crossJoin(vocabPpm)
+      .join(srcCnt, Seq("source", "tok"), "left")
+      .withColumn("src_ppm", coalesce(expr("(1000000 * cnt) div n_tokens"), lit(0L)))
+      .groupBy("source")
+      .agg(
+        max("n_tokens").as("n_tokens"),
+        expr("CAST(sum(abs(src_ppm - all_ppm)) div 2 AS BIGINT)").as("tv_ppm")
+      )
+  }
 }

@@ -316,6 +316,46 @@ object OpsQueries {
       "SELECT source, bucket, max(rank) AS max_rank FROM r GROUP BY source, bucket"
   }
 
+  /** Bigram LM table — top-5 continuations per head word with integer
+    * conditional probability and collocation lift
+    * (TextAnalysis.lmBigrams); the oracle replays the identical
+    * adjacent-pair explode, marginals, integer divisions and
+    * (cnt desc, w2) top-k order.
+    */
+  val lmBigrams: Q = (s, dir) => TextAnalysis.lmBigrams(docs(s, dir))
+
+  val lmBigramsSql: String =
+    "WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), " +
+      "b0 AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2), " +
+      "b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM b0), " +
+      "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), " +
+      "w1t AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS w1_cnt FROM bc GROUP BY 1), " +
+      "w2t AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS w2_cnt FROM bc GROUP BY 1), " +
+      "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bc), " +
+      "j AS (SELECT bc.w1, bc.w2, bc.cnt, (1000 * bc.cnt) // w1_cnt AS p_cond_milli, " +
+      "(1000 * n.n * bc.cnt) // (w1_cnt * w2_cnt) AS lift_milli, " +
+      "row_number() OVER (PARTITION BY bc.w1 ORDER BY bc.cnt DESC, bc.w2) AS rnk " +
+      "FROM bc JOIN w1t USING (w1) JOIN w2t USING (w2) CROSS JOIN n) " +
+      "SELECT w1, w2, cnt, p_cond_milli, lift_milli FROM j WHERE rnk <= 5"
+
+  /** Per-source total-variation drift vs the corpus token distribution
+    * (TextAnalysis.sourceDrift) — exact integer ppm on both sides.
+    */
+  val sourceDrift: Q = (s, dir) => TextAnalysis.sourceDrift(docs(s, dir))
+
+  val sourceDriftSql: String =
+    "WITH tk AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), " +
+      "sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2), " +
+      "st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM sc GROUP BY 1), " +
+      "ac AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS acnt FROM sc GROUP BY 1), " +
+      "n AS (SELECT CAST(sum(acnt) AS BIGINT) AS n FROM ac), " +
+      "vp AS (SELECT tok, (1000000 * acnt) // n.n AS all_ppm FROM ac CROSS JOIN n), " +
+      "g AS (SELECT st.source, st.n_tokens, vp.tok, vp.all_ppm, " +
+      "COALESCE((1000000 * sc.cnt) // st.n_tokens, 0) AS src_ppm " +
+      "FROM st CROSS JOIN vp LEFT JOIN sc ON sc.source = st.source AND sc.tok = vp.tok) " +
+      "SELECT source, CAST(max(n_tokens) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(abs(src_ppm - all_ppm)) // 2 AS BIGINT) AS tv_ppm FROM g GROUP BY source"
+
   val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
 
   val textFingerprintsSql: String = {
@@ -555,6 +595,8 @@ object OpsQueries {
     "text_token_counts" -> textTokenCounts,
     "text_keywords" -> textKeywords,
     "text_sketch" -> textSketch,
+    "lm_bigrams" -> lmBigrams,
+    "source_drift" -> sourceDrift,
     "text_fingerprints" -> textFingerprints,
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
@@ -592,6 +634,8 @@ object OpsQueries {
     "text_token_counts" -> textTokenCountsSql,
     "text_keywords" -> textKeywordsSql,
     "text_sketch" -> textSketchSql,
+    "lm_bigrams" -> lmBigramsSql,
+    "source_drift" -> sourceDriftSql,
     "text_fingerprints" -> textFingerprintsSql,
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,

@@ -395,6 +395,49 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sampled.nonEmpty && sampled.size < quality.size, s"degenerate sample: ${sampled.size} of ${quality.size}")
   }
 
+  test("lmBigrams: hand-computed conditional probabilities and lift") {
+    val fixture = Seq(
+      (1L, "a b a b"),
+      (2L, "b a")
+    ).toDF("doc_id", "text")
+    // bigrams: (a,b) x2 from doc 1, (b,a) from doc 1 and doc 2
+    // marginals: w1 a:2 b:2; w2 a:2 b:2; n=4
+    // p(b|a) = 1000*2 div 2 = 1000; lift = 1000*4*2 div (2*2) = 2000
+    val got = TextAnalysis
+      .lmBigrams(fixture)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(("a", "b", 2L, 1000L, 2000L), ("b", "a", 2L, 1000L, 2000L)))
+  }
+
+  test("lmBigrams: top-k per head keeps (cnt desc, w2 asc) order") {
+    val fixture = Seq((1L, "x a x b x b x c")).toDF("doc_id", "text")
+    // from x: (x,a) 1, (x,b) 2, (x,c) 1; also (a,x),(b,x)x2,(c? none)
+    val top1 = TextAnalysis
+      .lmBigrams(fixture, k = 1)
+      .where(col("w1") === "x")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(top1.toSeq == Seq(("b", 2L)))
+  }
+
+  test("sourceDrift: hand-computed TV distance incl. tokens absent from a source") {
+    val fixture = Seq(
+      (1L, "s1", "a a b"),
+      (2L, "s2", "b")
+    ).toDF("doc_id", "source", "text")
+    // global: a:2 b:2 n=4 -> all_ppm 500000 each
+    // s1: a 666666, b 333333 -> TV = (166666+166667) div 2 = 166666
+    // s2: a 0, b 1000000 -> TV = (500000+500000) div 2 = 500000
+    val got = TextAnalysis
+      .sourceDrift(fixture)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("s1", 3L, 166666L), ("s2", 1L, 500000L)))
+  }
+
   test("distinctSketch registers merge by max: sketch(A ∪ B) == merge(sketch(A), sketch(B))") {
     val a = docs.where(col("doc_id") % 2 === 0)
     val b = docs.where(col("doc_id") % 2 === 1)
