@@ -496,10 +496,12 @@ object TextAnalysis {
     * by integer division, TV = floor(Σ|ppm_src − ppm_all| / 2).
     *
     * Scale shape: ONE data-sized exchange — the (source, token) count;
-    * everything after re-aggregates that vocab×sources-bounded table.
-    * The sources×vocab comparison grid (so tokens a source never emits
-    * still contribute |0 − ppm_all|) is a broadcastable cross of two
-    * tiny frames, never a corpus-sized join.
+    * everything after re-aggregates that table. Tokens a source never
+    * emits still contribute |0 − ppm_all| WITHOUT materializing a
+    * sources×vocab grid: Σ_absent ppm_all = S_all − Σ_present ppm_all,
+    * so the absent-token mass folds into two scalars and the whole op
+    * is a plain equi-join on token — no cross product at any vocab
+    * size.
     */
   def sourceDrift(docs: DataFrame): DataFrame = {
     val srcCnt = docs
@@ -510,14 +512,16 @@ object TextAnalysis {
     val allCnt = srcCnt.groupBy("tok").agg(sum("cnt").as("acnt"))
     val n = allCnt.agg(sum("acnt")).collect()(0).getLong(0)
     val vocabPpm = allCnt.select(col("tok"), expr(s"(1000000 * acnt) div ${n}L").as("all_ppm"))
-    srcTot
-      .crossJoin(vocabPpm)
-      .join(srcCnt, Seq("source", "tok"), "left")
-      .withColumn("src_ppm", coalesce(expr("(1000000 * cnt) div n_tokens"), lit(0L)))
+    val sAll = vocabPpm.agg(sum("all_ppm")).collect()(0).getLong(0)
+    srcCnt
+      .join(srcTot, "source")
+      .join(vocabPpm, "tok")
+      .withColumn("src_ppm", expr("(1000000 * cnt) div n_tokens"))
       .groupBy("source")
       .agg(
         max("n_tokens").as("n_tokens"),
-        expr("CAST(sum(abs(src_ppm - all_ppm)) div 2 AS BIGINT)").as("tv_ppm")
+        expr(s"CAST((sum(abs(src_ppm - all_ppm)) + (${sAll}L - sum(all_ppm))) div 2 AS BIGINT)")
+          .as("tv_ppm")
       )
   }
 }

@@ -350,11 +350,12 @@ object OpsQueries {
       "ac AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS acnt FROM sc GROUP BY 1), " +
       "n AS (SELECT CAST(sum(acnt) AS BIGINT) AS n FROM ac), " +
       "vp AS (SELECT tok, (1000000 * acnt) // n.n AS all_ppm FROM ac CROSS JOIN n), " +
-      "g AS (SELECT st.source, st.n_tokens, vp.tok, vp.all_ppm, " +
-      "COALESCE((1000000 * sc.cnt) // st.n_tokens, 0) AS src_ppm " +
-      "FROM st CROSS JOIN vp LEFT JOIN sc ON sc.source = st.source AND sc.tok = vp.tok) " +
+      "sa AS (SELECT CAST(sum(all_ppm) AS BIGINT) AS s_all FROM vp), " +
+      "g AS (SELECT sc.source, st.n_tokens, (1000000 * sc.cnt) // st.n_tokens AS src_ppm, vp.all_ppm " +
+      "FROM sc JOIN st USING (source) JOIN vp USING (tok)) " +
       "SELECT source, CAST(max(n_tokens) AS BIGINT) AS n_tokens, " +
-      "CAST(sum(abs(src_ppm - all_ppm)) // 2 AS BIGINT) AS tv_ppm FROM g GROUP BY source"
+      "CAST((sum(abs(src_ppm - all_ppm)) + ((SELECT s_all FROM sa) - sum(all_ppm))) // 2 AS BIGINT) AS tv_ppm " +
+      "FROM g GROUP BY source"
 
   val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
 
