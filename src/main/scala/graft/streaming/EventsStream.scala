@@ -149,6 +149,59 @@ object EventsStream {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Stream-stream bounded-range join — Structured Streaming's
+    * canonical hard case: probe and target events arrive as (possibly
+    * the same) unbounded streams; emit (probe, target) pairs whose
+    * target falls in [probe, probe + horizon). Same pair rule as the
+    * batch `ops.Temporal.rangeJoin` (StreamingSpec asserts set
+    * equality): timestamps are truncated to whole seconds BEFORE the
+    * join so the half-open boundary is the engine-independent
+    * epoch-second fact, not a subsecond artifact.
+    *
+    * Scale shape: watermarks on BOTH event-time columns plus the
+    * time-interval join condition let Spark evict state — each side
+    * retains only `watermark + horizon` of history per key, so state is
+    * bounded by stream rate, never by stream age. The join itself is
+    * the streaming symmetric hash join on user_id.
+    */
+  def rangeJoinStreaming(
+      events: DataFrame,
+      probeType: String = "signup",
+      targetType: String = "purchase",
+      horizonMinutes: Int = 60,
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val probes = events
+      .where(col("event_type") === probeType)
+      .select(
+        col("user_id"),
+        col("event_id").as("probe_id"),
+        date_trunc("second", col("ts")).as("s_ts")
+      )
+      .withWatermark("s_ts", watermark)
+    val targets = events
+      .where(col("event_type") === targetType)
+      .select(
+        col("user_id").as("t_user_id"),
+        col("event_id").as("target_id"),
+        date_trunc("second", col("ts")).as("p_ts")
+      )
+      .withWatermark("p_ts", watermark)
+    probes
+      .join(
+        targets,
+        col("user_id") === col("t_user_id") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") < col("s_ts") + expr(s"INTERVAL $horizonMinutes MINUTES")
+      )
+      .select(
+        col("probe_id"),
+        col("user_id"),
+        col("target_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts"))).as("lag_sec")
+      )
+  }
+
   /** Stateful streaming distinct: emits a triple the first time its
     * (s, p, o) key is seen; state = one boolean per key, no timeout
     * (graph memory is append-forever, like the MCP store).

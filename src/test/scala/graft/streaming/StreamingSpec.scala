@@ -8,6 +8,8 @@ import graft.model.Triple
 
 final case class EventRow(ts: Timestamp, event_type: String, user_id: Long, value: Double)
 
+final case class IdEventRow(event_id: Long, ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
@@ -242,6 +244,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val n = EventsStream.funnel(ev, Seq("click", "view")).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(n == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("rangeJoinStreaming: stream-stream interval join equals batch Temporal.rangeJoin") {
+    implicit val sql = spark.sqlContext
+    def at(sec: Long) = new Timestamp(1704067200000L + sec * 1000L) // 2024-01-01 00:00:00 UTC + sec
+    val fixture = Seq(
+      IdEventRow(1L, at(0), "signup", 1L, 0.0),
+      IdEventRow(2L, at(0), "purchase", 1L, 1.0), // lag 0: in
+      IdEventRow(3L, at(3599), "purchase", 1L, 1.0), // lag 3599: in
+      IdEventRow(4L, at(3600), "purchase", 1L, 1.0), // lag 3600: out (half-open)
+      IdEventRow(5L, at(3590), "signup", 1L, 0.0), // second window: catches 3 (lag 9) and 4 (lag 10)
+      IdEventRow(6L, at(7180), "purchase", 1L, 1.0), // lag 3590 from signup 5: in
+      IdEventRow(7L, at(10), "purchase", 2L, 1.0) // other user: never joined
+    )
+    val ms = MemoryStream[IdEventRow]
+    val q = EventsStream
+      .rangeJoinStreaming(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("range_join_stream")
+      .outputMode("append")
+      .start()
+    val streamed =
+      try {
+        ms.addData(fixture: _*)
+        q.processAllAvailable()
+        spark
+          .table("range_join_stream")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+          .toSet
+      } finally q.stop()
+    val batch = graft.ops.Temporal
+      .rangeJoin(fixture.toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(
+      batch == Set((1L, 2L, 0L), (1L, 3L, 3599L), (5L, 3L, 9L), (5L, 4L, 10L), (5L, 6L, 3590L))
+    )
   }
 
   test("cohortRetention groups by first-event date and day offset") {
