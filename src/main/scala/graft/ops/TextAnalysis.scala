@@ -432,10 +432,14 @@ object TextAnalysis {
 
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     val n = docs.count()
-    val tf = docs
-      .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("keyword"))
-      .groupBy("doc_id", "keyword")
-      .agg(count(lit(1)).as("tf"))
+    // tf feeds both the document-frequency aggregate and the final
+    // join — stage it once so the corpus is scanned once, not twice
+    val tf = graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("keyword"))
+        .groupBy("doc_id", "keyword")
+        .agg(count(lit(1)).as("tf"))
+    )
     val df = tf.groupBy("keyword").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id").orderBy(col("score_milli").desc, col("keyword"))
     tf.join(df, "keyword")
@@ -462,20 +466,24 @@ object TextAnalysis {
     * DECIMAL(38) or log-space floats — noted, not silently wrong.
     */
   def lmBigrams(docs: DataFrame, k: Int = 5): DataFrame = {
-    val bi = docs
-      .select(TokenRules.tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(
-        explode(
-          expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
-          )
-        ).as("b")
-      )
-      .select("b.*")
-      .groupBy("w1", "w2")
-      .agg(count(lit(1)).as("cnt"))
+    // the counted table feeds both marginals, the scalar total AND the
+    // final join — stage it once or every reference re-scans the corpus
+    val bi = graft.util.Materialize.stage(
+      docs
+        .select(TokenRules.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(
+          explode(
+            expr(
+              "transform(sequence(1, size(toks) - 1), " +
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+          ).as("b")
+        )
+        .select("b.*")
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("cnt"))
+    )
     val w1tot = bi.groupBy("w1").agg(sum("cnt").as("w1_cnt"))
     val w2tot = bi.groupBy("w2").agg(sum("cnt").as("w2_cnt"))
     val n = bi.agg(sum("cnt")).collect()(0).getLong(0)
@@ -504,10 +512,14 @@ object TextAnalysis {
     * size.
     */
   def sourceDrift(docs: DataFrame): DataFrame = {
-    val srcCnt = docs
-      .select(col("source"), explode(TokenRules.tokens(col("text"))).as("tok"))
-      .groupBy("source", "tok")
-      .agg(count(lit(1)).as("cnt"))
+    // referenced by both marginals, two scalar actions and the final
+    // join — stage once, same policy as lmBigrams
+    val srcCnt = graft.util.Materialize.stage(
+      docs
+        .select(col("source"), explode(TokenRules.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok")
+        .agg(count(lit(1)).as("cnt"))
+    )
     val srcTot = srcCnt.groupBy("source").agg(sum("cnt").as("n_tokens"))
     val allCnt = srcCnt.groupBy("tok").agg(sum("cnt").as("acnt"))
     val n = allCnt.agg(sum("acnt")).collect()(0).getLong(0)

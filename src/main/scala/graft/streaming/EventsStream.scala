@@ -202,6 +202,77 @@ object EventsStream {
       )
   }
 
+  /** Typed input row for [[asofJoinStreaming]]: side 0 = quote,
+    * 1 = probe; q_milli is the quantized value (meaningful on quotes).
+    */
+  final case class AsofEvent(user_id: Long, nano_key: Long, event_id: Long, side: Int, q_milli: Long)
+
+  /** Prevailing-quote state per user: latest quote by (nano_key,
+    * event_id) — the same total order the batch operator sorts by.
+    */
+  final case class QuoteState(nano_key: Long, event_id: Long, milli: Long)
+
+  final case class AsofOut(probe_id: Long, user_id: Long, quote_id: Option[Long], quote_milli: Option[Long])
+
+  /** Streaming as-of enrichment — the unbounded-stream form of
+    * `ops.Temporal.asofJoin`: per user, keep the latest quote seen so
+    * far (one tiny fixed-size state record per key, NOT a buffer of
+    * history) and stamp every probe with the prevailing quote. Within a
+    * micro-batch the group's rows are processed in the batch operator's
+    * exact (ts, side, event_id) total order, so single-batch results
+    * are identical to `asofJoin` (StreamingSpec asserts it); across
+    * batches the contract is the standard no-retraction enrichment one
+    * — a quote that arrives in a later batch than a probe with a later
+    * event time does not rewrite the already-emitted probe.
+    *
+    * Scale shape: state is O(active users) × one record; no sort or
+    * join operator — the classic keyed-enrichment pattern trading exact
+    * out-of-order handling for bounded state and append-only output.
+    */
+  def asofJoinStreaming(
+      events: DataFrame,
+      probeType: String = "purchase",
+      quoteType: String = "view"
+  ): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .where(col("event_type").isin(probeType, quoteType))
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        // epoch-second * 1e9 + nanos-in-second: the full-precision
+        // event-time key as one comparable long
+        (expr("CAST(floor(CAST(unix_micros(ts) AS DOUBLE) / 1000000) AS BIGINT)") * lit(1000000000L) +
+          (expr("unix_micros(ts)") - expr("CAST(floor(CAST(unix_micros(ts) AS DOUBLE) / 1000000) AS BIGINT)") * lit(1000000L)) * lit(1000L)).as("nano_key"),
+        col("event_id").cast("long").as("event_id"),
+        when(col("event_type") === probeType, lit(1)).otherwise(lit(0)).as("side"),
+        coalesce(
+          expr("CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)"),
+          lit(0L)
+        ).as("q_milli")
+      )
+      .as[AsofEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[QuoteState, AsofOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case (user, rows, state: GroupState[QuoteState]) =>
+        val sorted = rows.toIndexedSeq.sortBy(e => (e.nano_key, e.side, e.event_id))
+        var cur = state.getOption
+        val out = Vector.newBuilder[AsofOut]
+        sorted.foreach { e =>
+          if (e.side == 0) {
+            if (cur.forall(c => e.nano_key > c.nano_key || (e.nano_key == c.nano_key && e.event_id > c.event_id)))
+              cur = Some(QuoteState(e.nano_key, e.event_id, e.q_milli))
+          } else {
+            out += AsofOut(e.event_id, user, cur.map(_.event_id), cur.map(_.milli))
+          }
+        }
+        cur.foreach(state.update)
+        out.result().iterator
+      }
+  }
+
   /** Stateful streaming distinct: emits a triple the first time its
     * (s, p, o) key is seen; state = one boolean per key, no timeout
     * (graph memory is append-forever, like the MCP store).

@@ -287,6 +287,86 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     )
   }
 
+  test("asofJoinStreaming: single-batch output equals batch Temporal.asofJoin") {
+    implicit val sql = spark.sqlContext
+    def at(sec: Long) = new Timestamp(1704067200000L + sec * 1000L)
+    val fixture = Seq(
+      IdEventRow(1L, at(5), "purchase", 1L, 9.0), // before any view: null quote
+      IdEventRow(2L, at(10), "view", 1L, 1.5),
+      IdEventRow(3L, at(20), "purchase", 1L, 9.0), // prevailing = view 2
+      IdEventRow(4L, at(30), "view", 1L, 2.5),
+      IdEventRow(5L, at(30), "purchase", 1L, 9.0), // same ts: quote side sorts first -> view 4
+      IdEventRow(6L, at(40), "purchase", 1L, 9.0), // still view 4
+      IdEventRow(7L, at(15), "purchase", 2L, 9.0), // other user, no views: null quote
+      IdEventRow(8L, at(1), "view", 3L, 0.25) // quote-only user: no output row
+    )
+    val ms = MemoryStream[IdEventRow]
+    val q = EventsStream
+      .asofJoinStreaming(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("asof_stream")
+      .outputMode("append")
+      .start()
+    val streamed =
+      try {
+        ms.addData(fixture: _*)
+        q.processAllAvailable()
+        spark
+          .table("asof_stream")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+          .toSet
+      } finally q.stop()
+    val batch = graft.ops.Temporal
+      .asofJoin(fixture.toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    assert(streamed == batch)
+    assert(
+      batch == Set(
+        (1L, 1L, None, None),
+        (3L, 1L, Some(2L), Some(1500L)),
+        (5L, 1L, Some(4L), Some(2500L)),
+        (6L, 1L, Some(4L), Some(2500L)),
+        (7L, 2L, None, None)
+      )
+    )
+  }
+
+  test("asofJoinStreaming: quote state carries across micro-batches") {
+    implicit val sql = spark.sqlContext
+    def at(sec: Long) = new Timestamp(1704067200000L + sec * 1000L)
+    val ms = MemoryStream[IdEventRow]
+    val q = EventsStream
+      .asofJoinStreaming(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("asof_state")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(IdEventRow(1L, at(10), "view", 1L, 3.0))
+      q.processAllAvailable()
+      // probe arrives a batch later: must see the remembered quote
+      ms.addData(IdEventRow(2L, at(20), "purchase", 1L, 9.0))
+      q.processAllAvailable()
+      // stale quote (earlier event time) must NOT displace the state
+      ms.addData(
+        IdEventRow(3L, at(5), "view", 1L, 99.0),
+        IdEventRow(4L, at(30), "purchase", 1L, 9.0)
+      )
+      q.processAllAvailable()
+      val out = spark
+        .table("asof_state")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3))))
+        .toSet
+      assert(out == Set((2L, Some(1L), Some(3000L)), (4L, Some(1L), Some(3000L))))
+    } finally q.stop()
+  }
+
   test("cohortRetention groups by first-event date and day offset") {
     def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
     // users 1,2 join Jan 1 (cohort 01-01); user 1 active again day+2;
