@@ -536,4 +536,164 @@ object TextAnalysis {
           .as("tv_ppm")
       )
   }
+
+  /** C4-style span-level dedup with text reassembly: the corpus is cut
+    * into consecutive non-overlapping `span`-token segments (the stand-in
+    * for C4's "three-sentence span" on a corpus with no sentence
+    * boundaries), every segment occurrence except the globally first —
+    * ordered by (doc_id, seg_idx) — is removed, and each document is
+    * re-assembled from its surviving segments in order. Output per
+    * non-empty document: (doc_id, n_segs, n_kept, text_clean).
+    * Duplicates WITHIN a document also collapse to the first occurrence,
+    * exactly like C4's corpus-global rule.
+    *
+    * Shape at scale: segments are built narrowly inside the scan
+    * projection (transform over the token array — no gram explode of
+    * overlapping windows). The keeper is min(struct(doc_id, seg_idx))
+    * per segment — a partial-aggregated groupBy, so a boilerplate
+    * segment occurring a billion times combines map-side instead of
+    * flooding one reducer (the row_number-window formulation would).
+    * Then one equi-join back on the segment (AQE skew split applies —
+    * ordinary shuffle join) and one regroup on doc_id to reassemble.
+    * Three data-sized exchanges total, none quadratic, no global sort.
+    */
+  def lineDedup(docs: DataFrame, span: Int = 12): DataFrame = {
+    // the segment frame feeds BOTH the keeper aggregate and the join
+    // back — stage it once so the corpus is exploded once, not twice
+    val segs = graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(
+          col("doc_id"),
+          posexplode(
+            expr(
+              s"transform(sequence(0, CAST(ceil(size(toks) / ${span}.0) AS INT) - 1), " +
+                s"i -> array_join(slice(toks, i * $span + 1, $span), ' '))"
+            )
+          ).as(Seq("seg_idx", "seg"))
+        )
+        .withColumn("seg_idx", col("seg_idx").cast("long"))
+    )
+    val keeper = segs
+      .groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+      .select(col("seg"), col("first.doc_id").as("k_doc"), col("first.seg_idx").as("k_idx"))
+    segs
+      .join(keeper, "seg")
+      .withColumn("keep", col("doc_id") === col("k_doc") && col("seg_idx") === col("k_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")
+          )
+        ).as("text_clean")
+      )
+  }
+
+  /** Cross-document duplication signal (the "how much of this document
+    * exists elsewhere in the corpus" cut rule from exact-substring
+    * training-data dedup): per document, the fraction — in ppm — of its
+    * DISTINCT `TokenGramLen`-token grams that also appear in at least
+    * one OTHER document. Distinct from [[repetition]] (within-doc) and
+    * [[decontam]] (vs a fixed eval split): this is the corpus-global
+    * signal used to drop or trim heavily-duplicated pages. Output:
+    * (doc_id, n_grams, n_dup_grams, dup_ppm) for docs with >= gram-len
+    * tokens.
+    *
+    * Shape at scale: one distinct over (doc_id, gram), one
+    * partial-aggregated count per gram, one join back, one regroup on
+    * doc_id. The per-gram doc count combines map-side, so a viral
+    * boilerplate gram is a single-row hotspot in the aggregate, not a
+    * reducer flood; the join is an ordinary AQE-skew-splittable
+    * shuffle join.
+    */
+  def dupGramFraction(docs: DataFrame): DataFrame = {
+    val k = TokenGramLen
+    // referenced by both the per-gram doc count and the join back —
+    // stage the distinct (doc, gram) set so the gram explode runs once
+    val grams = graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= k)
+        .select(
+          col("doc_id"),
+          explode(
+            expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))")
+          ).as("gram")
+        )
+        .distinct()
+    )
+    val docsPerGram = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    grams
+      .join(docsPerGram, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_grams")
+      )
+      .withColumn("dup_ppm", expr("(1000000 * n_dup_grams) div n_grams"))
+  }
+
+  /** BM25 document retrieval: rank the corpus against a whitespace
+    * query with the standard Okapi BM25 weight (k1 = 1.2, b = 0.75),
+    * computed entirely in integer surrogate space so the ranking is
+    * engine-exact: idf_milli = 1000 * (N - df + 1) div (df + 1) is the
+    * milli-scaled idf ratio (log dropped — monotone in the ratio, so
+    * order-preserving and integer-exact), and the tf saturation term
+    * uses milli-scaled doc-length normalization. score_milli =
+    * sum over query terms of idf_milli * tf * 2200 div
+    * (tf * 1000 + 1200 * (250 + 750 * dl_milli_over_avg div 1000) / 1000)
+    * — folded to one integer expression both engines evaluate
+    * identically. Output: top-k (rank, doc_id, score_milli).
+    *
+    * Shape at scale: the per-(doc, term) tf table is one
+    * partial-aggregated exchange; df and avg-dl are aggregates OF that
+    * table (vocab- and scalar-sized, never a second corpus pass —
+    * the tf table is staged once); the query-term filter shrinks
+    * everything to |query| terms per doc before scoring, and the top-k
+    * is a TakeOrderedAndProject, never a global sort.
+    */
+  def bm25(docs: DataFrame, query: String, k: Int = 10): DataFrame = {
+    val terms = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val tf = graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+    )
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")).collect()(0)
+    val nDocs = stats.getLong(0)
+    val totalDl = stats.getLong(1)
+    val df = tf
+      .where(expr(s"term IN ($termList)"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    tf
+      .where(expr(s"term IN ($termList)"))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .withColumn("dl_ratio_milli", expr(s"(1000 * dl * ${nDocs}L) div ${totalDl}L"))
+      .withColumn("idf_milli", expr(s"(1000 * (${nDocs}L - df + 1)) div (df + 1)"))
+      .withColumn(
+        "term_score",
+        expr("(idf_milli * tf * 2200) div (tf * 1000 + (1200 * (250 + (750 * dl_ratio_milli) div 1000)) div 1000)")
+      )
+      .groupBy("doc_id")
+      .agg(sum("term_score").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score_milli").desc, col("doc_id"))).cast("long")
+      )
+      .select("rank", "doc_id", "score_milli")
+  }
 }

@@ -357,6 +357,66 @@ object OpsQueries {
       "CAST((sum(abs(src_ppm - all_ppm)) + ((SELECT s_all FROM sa) - sum(all_ppm))) // 2 AS BIGINT) AS tv_ppm " +
       "FROM g GROUP BY source"
 
+  val lineDedup: Q = (s, dir) => TextAnalysis.lineDedup(docs(s, dir))
+
+  /** Same corpus-global first-occurrence rule: the oracle keeper is a
+    * row_number window (fine at oracle scale; the Spark side uses the
+    * skew-safe min-struct aggregate instead — identical result since
+    * (doc_id, seg_idx) is unique).
+    */
+  val lineDedupSql: String =
+    s"WITH $toksCte, " +
+      "segs AS (SELECT doc_id, " +
+      "unnest(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT))) AS seg_idx, " +
+      "unnest(list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)), " +
+      "i -> array_to_string(toks[(i*12+1):(i*12+12)], ' '))) AS seg " +
+      "FROM tk WHERE len(toks) > 0), " +
+      "k AS (SELECT doc_id, seg_idx, seg, " +
+      "row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs, " +
+      "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS text_clean " +
+      "FROM k GROUP BY doc_id"
+
+  val dupGrams: Q = (s, dir) => TextAnalysis.dupGramFraction(docs(s, dir))
+
+  val dupGramsSql: String = {
+    val k = TextAnalysis.TokenGramLen
+    s"WITH $toksCte, " +
+      s"g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+      s"unnest(list_transform(range(1, len(toks) - ${k - 2}), i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS gram " +
+      s"FROM tk WHERE len(toks) >= $k)), " +
+      "dpg AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY gram) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+      "CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams, " +
+      "CAST((1000000 * sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS dup_ppm " +
+      "FROM g JOIN dpg USING (gram) GROUP BY doc_id"
+  }
+
+  /** Query terms for the driver-checked BM25 retrieval row — drawn from
+    * the synthetic vocabulary so the ranking is non-trivial.
+    */
+  val Bm25Query = "spark join merge"
+
+  val textBm25: Q = (s, dir) => TextAnalysis.bm25(docs(s, dir), Bm25Query, k = 10)
+
+  val textBm25Sql: String = {
+    val terms = Bm25Query.split(" ").map(t => s"'$t'").mkString(", ")
+    s"WITH $toksCte, " +
+      "tq AS (SELECT doc_id, unnest(toks) AS term FROM tk), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tq GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl), " +
+      s"sc AS (SELECT t.doc_id, (1000 * (st.n_docs - df.df + 1)) // (df.df + 1) AS idf_milli, t.tf, " +
+      "(1000 * dl.dl * st.n_docs) // st.total_dl AS r " +
+      s"FROM tf t JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf WHERE term IN ($terms) GROUP BY 1) df USING (term) " +
+      "JOIN dl USING (doc_id) CROSS JOIN st), " +
+      "s AS (SELECT doc_id, CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * (250 + (750 * r) // 1000)) // 1000)) AS BIGINT) AS score_milli " +
+      "FROM sc GROUP BY 1), " +
+      "top AS (SELECT doc_id, score_milli, row_number() OVER (ORDER BY score_milli DESC, doc_id) AS rank FROM s) " +
+      "SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_milli FROM top WHERE rank <= 10"
+  }
+
   val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
 
   val textFingerprintsSql: String = {
@@ -599,6 +659,9 @@ object OpsQueries {
     "lm_bigrams" -> lmBigrams,
     "source_drift" -> sourceDrift,
     "text_fingerprints" -> textFingerprints,
+    "line_dedup" -> lineDedup,
+    "dup_grams" -> dupGrams,
+    "text_bm25" -> textBm25,
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
     "domain_stats" -> domainStats,
@@ -638,6 +701,9 @@ object OpsQueries {
     "lm_bigrams" -> lmBigramsSql,
     "source_drift" -> sourceDriftSql,
     "text_fingerprints" -> textFingerprintsSql,
+    "line_dedup" -> lineDedupSql,
+    "dup_grams" -> dupGramsSql,
+    "text_bm25" -> textBm25Sql,
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,
     "domain_stats" -> domainStatsSql,

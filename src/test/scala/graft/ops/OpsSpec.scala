@@ -452,4 +452,80 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == whole)
     assert(whole.nonEmpty && whole.values.max >= 2L, "fixture too small to exercise ranks")
   }
+
+  test("lineDedup: corpus-global first occurrence wins, docs reassemble in order") {
+    val fixture = Seq(
+      // doc 0: segment "a b c" repeats within the doc -> second copy removed
+      (0L, "a b c d e f a b c"),
+      // doc 1 repeats doc 0's second segment -> removed here, kept there
+      (1L, "d e f g h")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(fixture, span = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (0L, 3L, 2L, "a b c d e f"),
+      (1L, 2L, 1L, "g h")
+    ))
+  }
+
+  test("lineDedup: a doc whose every segment is seen earlier reduces to empty text") {
+    val fixture = Seq(
+      (0L, "a b c"),
+      (1L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(fixture, span = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set((0L, 1L, "a b c"), (1L, 0L, "")))
+  }
+
+  test("dupGramFraction: shared 8-gram counts in exact ppm") {
+    val t = (1 to 9).map(i => s"t$i")
+    val fixture = Seq(
+      (0L, t.mkString(" ")), // grams [t1..t8], [t2..t9]
+      (1L, t.take(8).mkString(" ")), // gram [t1..t8] -> shared with doc 0
+      (2L, "too short") // < 8 tokens: no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupGramFraction(fixture)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (0L, 2L, 1L, 500000L),
+      (1L, 1L, 1L, 1000000L)
+    ))
+  }
+
+  test("bm25: hand-computed integer scores, rare term outweighs common one") {
+    val fixture = Seq(
+      (0L, "spark spark join"),
+      (1L, "spark other word four"),
+      (2L, "other stuff")
+    ).toDF("doc_id", "text")
+    // N=3, total_dl=9; df(spark)=2 -> idf 666, df(join)=1 -> idf 1500;
+    // d0: dl_ratio 1000 -> denom-norm 1200: spark (666*2*2200)//3200=915,
+    //     join (1500*2200)//2200=1500 -> 2415
+    // d1: dl_ratio 1333 -> norm 1498: spark (666*2200)//2498=586
+    val got = TextAnalysis.bm25(fixture, "spark join", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((1L, 0L, 2415L), (2L, 1L, 586L)))
+  }
+
+  test("bm25: tf saturation — 100 repeats of a term beats 1 but nowhere near 100x") {
+    val fixture = Seq(
+      (0L, Seq.fill(100)("spark").mkString(" ")),
+      (1L, "spark alone here")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25(fixture, "spark", k = 10)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(2))
+      .toMap
+    assert(scores(0L) > scores(1L))
+    assert(scores(0L) < 3L * scores(1L), s"saturation violated: $scores")
+  }
 }
