@@ -91,4 +91,28 @@ object Sampling {
       .quality(docs)
       .where(expr("pmod(doc_id * 2246822519L + 11L, 4294967296L) % 1000") < col("quality_milli"))
       .select("doc_id", "quality_milli")
+
+  /** Fixed-quota stratified sample: exactly `k` documents per source
+    * (fewer only when the stratum is smaller), chosen as the k smallest
+    * md5(doc_id) keys — a deterministic uniform draw whose membership
+    * is reproducible across engines and stable per document. Unlike
+    * [[mixtureSample]] (Bernoulli — quota only in expectation), this is
+    * the exact-quota form used for eval-set carving and per-domain
+    * caps. Output: (doc_id, source, rnk).
+    *
+    * Shape at scale: one exchange on source + per-partition sort — and
+    * because rank is bounded by k, Spark plans the window with a
+    * running TopK filter (WindowGroupLimit) so each partition retains
+    * at most k rows per stratum before the final rank, never the
+    * whole stratum in memory.
+    */
+  def stratifiedSample(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn(
+        "rnk",
+        row_number().over(Window.partitionBy("source").orderBy(col("h"), col("doc_id"))).cast("long")
+      )
+      .where(col("rnk") <= k)
+      .select("doc_id", "source", "rnk")
 }

@@ -696,4 +696,29 @@ object TextAnalysis {
       )
       .select("rank", "doc_id", "score_milli")
   }
+
+  /** Inverted-index construction — the retrieval artifact behind
+    * [[bm25]]: per term, the document frequency and the sorted posting
+    * list (comma-joined so the row is comparator-safe across engines).
+    * Output: (term, df, postings).
+    *
+    * Shape at scale: one distinct over (doc, term) and one grouped
+    * collect — both partial-aggregated. Posting lists are skewed by
+    * nature (a stopword's list is corpus-sized): this operator emits
+    * the LOGICAL index; a production writer shards a hot term's list
+    * into segment files under a term-bucketed layout (the same
+    * manifest-per-bucket pattern SnapshotTable's partitionBuckets
+    * uses) rather than one row. The df column comes for free and is
+    * what the BM25 scorer actually consumes.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        concat_ws(",", transform(array_sort(collect_list(col("doc_id"))), x => x.cast("string")))
+          .as("postings")
+      )
 }

@@ -417,6 +417,22 @@ object OpsQueries {
       "SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_milli FROM top WHERE rank <= 10"
   }
 
+  val stratifiedSample: Q = (s, dir) => Sampling.stratifiedSample(docs(s, dir))
+
+  val stratifiedSampleSql: String =
+    "WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+      "r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk FROM h) " +
+      "SELECT doc_id, source, rnk FROM r WHERE rnk <= 50"
+
+  val invertedIndex: Q = (s, dir) => TextAnalysis.invertedIndex(docs(s, dir))
+
+  val invertedIndexSql: String =
+    "WITH tq AS (SELECT DISTINCT doc_id, term FROM " +
+      "(SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents)) " +
+      "SELECT term, CAST(count(*) AS BIGINT) AS df, " +
+      "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings " +
+      "FROM tq GROUP BY term"
+
   val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
 
   val textFingerprintsSql: String = {
@@ -662,6 +678,8 @@ object OpsQueries {
     "line_dedup" -> lineDedup,
     "dup_grams" -> dupGrams,
     "text_bm25" -> textBm25,
+    "stratified_sample" -> stratifiedSample,
+    "inverted_index" -> invertedIndex,
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
     "domain_stats" -> domainStats,
@@ -704,6 +722,8 @@ object OpsQueries {
     "line_dedup" -> lineDedupSql,
     "dup_grams" -> dupGramsSql,
     "text_bm25" -> textBm25Sql,
+    "stratified_sample" -> stratifiedSampleSql,
+    "inverted_index" -> invertedIndexSql,
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,
     "domain_stats" -> domainStatsSql,

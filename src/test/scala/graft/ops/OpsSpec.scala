@@ -516,6 +516,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((1L, 0L, 2415L), (2L, 1L, 586L)))
   }
 
+  test("stratifiedSample: exact quota per stratum, deterministic membership, small strata whole") {
+    val quota = Sampling.stratifiedSample(docs, k = 7)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val bySrc = quota.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc.values.forall(_ == 7), bySrc.toString)
+    // rerun identical (no randomness anywhere)
+    val again = Sampling.stratifiedSample(docs, k = 7).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(quota.toSet == again.toSet)
+    // a stratum smaller than k is returned whole
+    val tiny = Seq((1L, "s"), (2L, "s")).toDF("doc_id", "source")
+    assert(Sampling.stratifiedSample(tiny, k = 7).count() == 2L)
+  }
+
+  test("invertedIndex: df and sorted postings, duplicates within a doc collapse") {
+    val fixture = Seq(
+      (2L, "b a b"),
+      (1L, "a c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(fixture)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == Set(("a", 2L, "1,2"), ("b", 1L, "2"), ("c", 1L, "1")))
+  }
+
   test("bm25: tf saturation — 100 repeats of a term beats 1 but nowhere near 100x") {
     val fixture = Seq(
       (0L, Seq.fill(100)("spark").mkString(" ")),
