@@ -338,6 +338,44 @@ object Analytics {
       .distinct()
   }
 
+  /** k-core decomposition (membership + in-core degree for a given k):
+    * iteratively peel every node whose remaining degree is below `k`
+    * until the fixpoint; what survives is the maximal subgraph where
+    * every node keeps ≥ k neighbors — the standard graph-densification
+    * filter before community detection or embedding training. Output:
+    * (entity, core_degree) for surviving nodes; empty when the graph
+    * has no k-core.
+    *
+    * Shape at scale: each round is one partial-aggregated degree count
+    * over the staged neighbor set plus two anti-joins against the
+    * (small, shrinking) peel set — AQE broadcasts it; the surviving
+    * neighbor set is re-staged per round (same Materialize policy as
+    * connected components: iterative subtrees never replay lineage).
+    * Rounds are data-dependent but bounded by the peeling depth — a
+    * long chain peels one layer per round, the typical web graph peels
+    * in a handful.
+    */
+  def kCore(triples: DataFrame, k: Int = 3, maxRounds: Int = 100): DataFrame = {
+    var nb = graft.util.Materialize.stage(undirectedNb(triples))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val bad = nb.groupBy("v").agg(count(lit(1)).as("d")).where(col("d") < k).select("v")
+      bad.persist()
+      try {
+        if (bad.count() == 0L) converged = true
+        else
+          nb = graft.util.Materialize.stage(
+            nb.join(bad, Seq("v"), "left_anti")
+              .join(bad.select(col("v").as("u")), Seq("u"), "left_anti")
+          )
+      } finally bad.unpersist()
+      rounds += 1
+    }
+    nb.groupBy("v").agg(count(lit(1)).as("core_degree"))
+      .select(col("v").as("entity"), col("core_degree"))
+  }
+
   def linkPredict(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
     val nb = graft.util.Materialize.stage(undirectedNb(triples))
     val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))

@@ -577,6 +577,30 @@ object Queries {
       "SELECT uni.entity, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles FROM uni " +
       "LEFT JOIN (SELECT entity, count(*) AS cnt FROM x GROUP BY entity) c ON c.entity = uni.entity"
 
+  val kgKcore: Q = (s, dir) =>
+    Analytics.kCore(TokenRules.triples(docs(s, dir)), k = 3)
+
+  /** The oracle unrolls the peel loop a fixed number of rounds; once
+    * the fixpoint is reached every further round is a no-op, so the
+    * unroll depth only needs to be ≥ the true peeling depth at the
+    * driver's scale (verified locally at sf0.001 and sf0.01 with wide
+    * margin — peeling on this graph converges in ≤ 3 rounds).
+    */
+  val kgKcoreSql: String = {
+    val rounds = 10
+    // each round references the previous one several times — MATERIALIZED
+    // keeps DuckDB's CTE inlining linear instead of exponential
+    val base = TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
+      "e0 AS MATERIALIZED (SELECT subject AS v, obj AS u FROM ed UNION SELECT obj, subject FROM ed)"
+    val peels = (0 until rounds).map { i =>
+      s"b$i AS MATERIALIZED (SELECT v FROM (SELECT v, count(*) AS c FROM e$i GROUP BY v) WHERE c < 3), " +
+        s"e${i + 1} AS MATERIALIZED (SELECT * FROM e$i WHERE v NOT IN (SELECT v FROM b$i) AND u NOT IN (SELECT v FROM b$i))"
+    }.mkString(", ", ", ", " ")
+    base + peels +
+      s"SELECT v AS entity, CAST(count(*) AS BIGINT) AS core_degree FROM e$rounds GROUP BY v"
+  }
+
   /** Deterministic random-walk corpus (Analytics.randomWalks), 4 steps
     * from every non-isolated node. The oracle unrolls the identical
     * md5-indexed neighbor choice per step, so walks are bit-identical.
@@ -898,6 +922,7 @@ object Queries {
     "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
+    "kg_kcore" -> kgKcore,
     "kg_walks" -> kgWalks,
     "kg_walk_cooc" -> kgWalkCooc,
     "events_sessions" -> eventsSessions,
@@ -941,6 +966,7 @@ object Queries {
     "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
+    "kg_kcore" -> kgKcoreSql,
     "kg_walks" -> kgWalksSql,
     "kg_walk_cooc" -> kgWalkCoocSql,
     "events_sessions" -> eventsSessionsSql,

@@ -148,6 +148,48 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("kCore: 3-core of K4 plus pendant chain is exactly the K4") {
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
+    val chain = Seq("d" -> "e", "e" -> "f")
+    val tr = triplesDf((k4 ++ chain).map { case (s, o) => (s, "r", o) }: _*)
+    val got = Analytics.kCore(tr, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("kCore: peeling cascades — a path has no 2-core, a cycle is its own 2-core") {
+    val path = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
+    assert(Analytics.kCore(path, k = 2).count() == 0L)
+    val cycle = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"))
+    val got = Analytics.kCore(cycle, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kCore matches brute-force peeling on a pseudo-random graph") {
+    // sparse pseudo-random part (mostly peels) + a K5 anchored into it
+    // (survives) so the fixpoint is neither empty nor the whole graph
+    val k5 = for { i <- 0 until 5; j <- i + 1 until 5 } yield (s"c$i", s"c$j")
+    val es = (0 until 220).map(i => (s"n${i % 41}", s"n${(i * 17 + 3) % 41}")) ++
+      k5 ++ Seq(("c0", "n0"), ("c1", "n1"))
+    val tr = triplesDf(es.map { case (s, o) => (s, "r", o) }: _*)
+    val got = Analytics.kCore(tr, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver-side reference peeling over the same undirected simple graph
+    var edges = es.filter { case (s, o) => s != o }
+      .flatMap { case (s, o) => Seq((s, o), (o, s)) }.distinct.toSet
+    var done = false
+    while (!done) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val bad = deg.filter(_._2 < 3).keySet
+      if (bad.isEmpty) done = true
+      else edges = edges.filter { case (v, u) => !bad(v) && !bad(u) }
+    }
+    val want = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "fixture degenerate: empty 3-core exercises nothing")
+  }
+
   test("randomWalks: deterministic, correct length, edges only") {
     val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"))
     val w1 = Analytics.randomWalks(tr, 3).collect()
