@@ -376,6 +376,69 @@ object Analytics {
       .select(col("v").as("entity"), col("core_degree"))
   }
 
+  /** Seeded harmonic centrality: pick `nSeeds` deterministic sample
+    * sources (smallest md5(node) — the engine's standard seeded draw),
+    * run one simultaneous multi-source BFS, and credit every node with
+    * Σ_seed 1/d(seed, node) in integer micro units. This is the
+    * standard sampling estimator for closeness/harmonic centrality —
+    * exact per seed, unbiased over the seed draw — since exact all-pairs
+    * BFS is Θ(n·m) and unpayable at web scale. Output:
+    * (entity, n_reached, harmonic_micro) for nodes reached by ≥ 1 seed.
+    *
+    * Shape at scale: the frontier expands through one equi-join with
+    * the staged neighbor set per level plus an anti-join against the
+    * reached set (first touch IS the shortest distance in level-order
+    * BFS, so no min-recomputation); both reached and frontier are
+    * re-staged per level under the iterative-subtree Materialize
+    * policy. Rounds = graph eccentricity from the seeds, not data
+    * volume; all joins are ordinary AQE-managed shuffles keyed by
+    * node.
+    */
+  def harmonicCentrality(triples: DataFrame, nSeeds: Int = 8, maxRounds: Int = 10): DataFrame = {
+    // stage, then re-bind to fresh attributes: the repeated
+    // union/anti-join of checkpointed rounds otherwise trips Spark's
+    // Union constraint rewrite on stale expression ids ("key not
+    // found") — a fresh LogicalRDD per round carries no constraints
+    def staged(df: DataFrame): DataFrame = {
+      val m = graft.util.Materialize.stage(df)
+      m.sparkSession.createDataFrame(m.rdd, m.schema)
+    }
+    val nb = staged(undirectedNb(triples))
+    val seeds = nb.select(col("v")).distinct()
+      .orderBy(md5(col("v")), col("v"))
+      .limit(nSeeds)
+      .select(col("v").as("seed"))
+    var reached = staged(
+      seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    )
+    var frontier = reached
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = staged(
+        frontier.as("f")
+          .join(nb.as("g"), col("f.node") === col("g.v"))
+          .select(col("f.seed"), col("g.u").as("node"), (col("f.dist") + 1L).as("dist"))
+          .distinct()
+          .join(reached, Seq("seed", "node"), "left_anti")
+      )
+      if (next.isEmpty) done = true
+      else {
+        reached = staged(reached.unionByName(next))
+        frontier = next
+      }
+      round += 1
+    }
+    reached
+      .where(col("dist") >= 1L)
+      .groupBy("node")
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_micro")
+      )
+      .select(col("node").as("entity"), col("n_reached"), col("harmonic_micro"))
+  }
+
   def linkPredict(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
     val nb = graft.util.Materialize.stage(undirectedNb(triples))
     val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))

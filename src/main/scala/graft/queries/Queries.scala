@@ -601,6 +601,33 @@ object Queries {
       s"SELECT v AS entity, CAST(count(*) AS BIGINT) AS core_degree FROM e$rounds GROUP BY v"
   }
 
+  val kgHarmonic: Q = (s, dir) =>
+    Analytics.harmonicCentrality(TokenRules.triples(docs(s, dir)), nSeeds = 8)
+
+  /** Unrolled multi-source BFS: r{i+1} keeps the min distance over
+    * r{i} plus one expansion step; rounds past the seeds' eccentricity
+    * are no-ops, so the fixed unroll only needs to exceed it (≤ 4 at
+    * both verify scales; 8 unrolled). MATERIALIZED for the same
+    * anti-exponential-inlining reason as kg_kcore.
+    */
+  val kgHarmonicSql: String = {
+    val rounds = 8
+    val base = TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
+      "nbq AS MATERIALIZED (SELECT subject AS v, obj AS u FROM ed UNION SELECT obj, subject FROM ed), " +
+      "sd AS MATERIALIZED (SELECT v AS seed FROM (SELECT DISTINCT v FROM nbq) ORDER BY md5(v), v LIMIT 8), " +
+      "r0 AS MATERIALIZED (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM sd)"
+    val steps = (0 until rounds).map { i =>
+      s"r${i + 1} AS MATERIALIZED (SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist FROM (" +
+        s"SELECT seed, node, dist FROM r$i UNION ALL " +
+        s"SELECT r.seed, g.u AS node, r.dist + 1 AS dist FROM r$i r JOIN nbq g ON g.v = r.node" +
+        ") GROUP BY seed, node)"
+    }.mkString(", ", ", ", " ")
+    base + steps +
+      s"SELECT node AS entity, CAST(count(*) AS BIGINT) AS n_reached, " +
+      s"CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro FROM r$rounds WHERE dist >= 1 GROUP BY node"
+  }
+
   /** Deterministic random-walk corpus (Analytics.randomWalks), 4 steps
     * from every non-isolated node. The oracle unrolls the identical
     * md5-indexed neighbor choice per step, so walks are bit-identical.
@@ -923,6 +950,7 @@ object Queries {
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
     "kg_kcore" -> kgKcore,
+    "kg_harmonic" -> kgHarmonic,
     "kg_walks" -> kgWalks,
     "kg_walk_cooc" -> kgWalkCooc,
     "events_sessions" -> eventsSessions,
@@ -967,6 +995,7 @@ object Queries {
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
     "kg_kcore" -> kgKcoreSql,
+    "kg_harmonic" -> kgHarmonicSql,
     "kg_walks" -> kgWalksSql,
     "kg_walk_cooc" -> kgWalkCoocSql,
     "events_sessions" -> eventsSessionsSql,

@@ -190,6 +190,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty, "fixture degenerate: empty 3-core exercises nothing")
   }
 
+  test("harmonicCentrality: exact micro sums on a path, components stay isolated") {
+    // all 6 nodes become seeds (nSeeds > |V|) -> exact harmonic centrality
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"), ("e", "r", "f"))
+    val got = Analytics.harmonicCentrality(tr, nSeeds = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 1833333L)), // 1/1 + 1/2 + 1/3 in micro
+      "b" -> ((3L, 2500000L)), // 1 + 1 + 1/2
+      "c" -> ((3L, 2500000L)),
+      "d" -> ((3L, 1833333L)),
+      "e" -> ((1L, 1000000L)), // other component never credited
+      "f" -> ((1L, 1000000L))
+    ))
+  }
+
+  test("harmonicCentrality: single deterministic seed — BFS distances, seed excluded") {
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"))
+    val r1 = Analytics.harmonicCentrality(tr, nSeeds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val r2 = Analytics.harmonicCentrality(tr, nSeeds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r1 == r2)
+    assert(r1.size == 2, r1.toString) // the two non-seed corners
+    assert(r1.forall { case (_, n, h) => n == 1L && h == 1000000L })
+  }
+
   test("randomWalks: deterministic, correct length, edges only") {
     val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"))
     val w1 = Analytics.randomWalks(tr, 3).collect()
