@@ -29,6 +29,17 @@ object TextAnalysis {
   /** (doc_id, c_en, c_de, c_es, c_fr, lang_pred): strict-argmax language
     * vote; ties or zero evidence predict 'und'.
     */
+  /** Strict-argmax language vote over the c_* marker counts; shared by
+    * [[langId]] and [[domainRollup]].
+    */
+  private val LangVote =
+    """CASE
+       WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en'
+       WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de'
+       WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
+       WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr'
+       ELSE 'und' END"""
+
   def langId(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
@@ -39,17 +50,7 @@ object TextAnalysis {
         markerCount("es"),
         markerCount("fr")
       )
-      .withColumn(
-        "lang_pred",
-        expr(
-          """CASE
-             WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en'
-             WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de'
-             WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
-             WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr'
-             ELSE 'und' END"""
-        )
-      )
+      .withColumn("lang_pred", expr(LangVote))
 
   /** Heuristic quality features, all integer-exact:
     * n_chars, n_tokens, avg token length (milli), stopword ratio (pct),
@@ -711,6 +712,56 @@ object TextAnalysis {
     * uses) rather than one row. The df column comes for free and is
     * what the BM25 scorer actually consumes.
     */
+  /** Hierarchical corpus composition: doc and token volumes by
+    * (source, predicted language) with ROLLUP subtotals — per source,
+    * and the grand total — in one aggregation pass (Spark plans
+    * rollup as a single Expand + partial-aggregated exchange, never
+    * three scans). Null grouping slots render as '(all)' so the rows
+    * compare bit-for-bit across engines. Output:
+    * (source, lang_pred, n_docs, total_tokens).
+    */
+  def domainRollup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), TokenRules.tokens(col("text")).as("toks"))
+      .select(
+        col("source"),
+        size(col("toks")).cast("long").as("ntok"),
+        markerCount("en"),
+        markerCount("de"),
+        markerCount("es"),
+        markerCount("fr")
+      )
+      .withColumn("lang_pred", expr(LangVote))
+      .rollup("source", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"))
+      .select(
+        coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang_pred"), lit("(all)")).as("lang_pred"),
+        col("n_docs"),
+        col("total_tokens")
+      )
+
+  /** Exact integer token-length percentiles (p50/p90/p99, the
+    * percentile_disc rule: smallest length whose cumulative doc count
+    * reaches ceil(q·n/100)) — via the distinct-length histogram, so the
+    * only data-sized exchange is the groupBy(length); the cumulative
+    * window runs over distinct length VALUES (bounded, hundreds), never
+    * the corpus. This is how exact percentiles stay payable at 100 TB
+    * where a global sort or single-partition rank would not.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val lens = docs.select(size(TokenRules.tokens(col("text"))).cast("long").as("ntok"))
+    val n = lens.count()
+    def k(q: Int): Long = (q * n + 99) / 100
+    val hist = lens.groupBy("ntok").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum("c").over(Window.orderBy("ntok")))
+    cum.agg(
+      min(when(col("cum") >= k(50), col("ntok"))).as("p50_tokens"),
+      min(when(col("cum") >= k(90), col("ntok"))).as("p90_tokens"),
+      min(when(col("cum") >= k(99), col("ntok"))).as("p99_tokens")
+    )
+  }
+
   def invertedIndex(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("term"))

@@ -433,6 +433,39 @@ object OpsQueries {
       "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings " +
       "FROM tq GROUP BY term"
 
+  val domainRollup: Q = (s, dir) => TextAnalysis.domainRollup(docs(s, dir))
+
+  val domainRollupSql: String = {
+    def cnt(lang: String): String = {
+      val set = TextAnalysis.markers(lang).map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($set))) AS BIGINT) AS c_$lang"
+    }
+    s"WITH $toksCte, " +
+      s"c AS (SELECT source, CAST(len(toks) AS BIGINT) AS ntok, ${cnt("en")}, ${cnt("de")}, ${cnt("es")}, ${cnt("fr")} FROM tk), " +
+      "l AS (SELECT source, ntok, CASE " +
+      "WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en' " +
+      "WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de' " +
+      "WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es' " +
+      "WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr' " +
+      "ELSE 'und' END AS lang_pred FROM c) " +
+      "SELECT coalesce(source, '(all)') AS source, coalesce(lang_pred, '(all)') AS lang_pred, " +
+      "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ntok) AS BIGINT) AS total_tokens " +
+      "FROM l GROUP BY ROLLUP(source, lang_pred)"
+  }
+
+  val lengthQuantiles: Q = (s, dir) => TextAnalysis.lengthQuantiles(docs(s, dir))
+
+  val lengthQuantilesSql: String =
+    s"WITH $toksCte, " +
+      "ln AS (SELECT CAST(len(toks) AS BIGINT) AS ntok FROM tk), " +
+      "h AS (SELECT ntok, count(*) AS c FROM ln GROUP BY ntok), " +
+      "cm AS (SELECT ntok, sum(c) OVER (ORDER BY ntok) AS cum FROM h), " +
+      "n AS (SELECT count(*) AS n FROM ln) " +
+      "SELECT CAST(min(CASE WHEN cum >= (50 * n.n + 99) // 100 THEN ntok END) AS BIGINT) AS p50_tokens, " +
+      "CAST(min(CASE WHEN cum >= (90 * n.n + 99) // 100 THEN ntok END) AS BIGINT) AS p90_tokens, " +
+      "CAST(min(CASE WHEN cum >= (99 * n.n + 99) // 100 THEN ntok END) AS BIGINT) AS p99_tokens " +
+      "FROM cm, n"
+
   val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
 
   val textFingerprintsSql: String = {
@@ -680,6 +713,8 @@ object OpsQueries {
     "text_bm25" -> textBm25,
     "stratified_sample" -> stratifiedSample,
     "inverted_index" -> invertedIndex,
+    "domain_rollup" -> domainRollup,
+    "length_quantiles" -> lengthQuantiles,
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
     "domain_stats" -> domainStats,
@@ -724,6 +759,8 @@ object OpsQueries {
     "text_bm25" -> textBm25Sql,
     "stratified_sample" -> stratifiedSampleSql,
     "inverted_index" -> invertedIndexSql,
+    "domain_rollup" -> domainRollupSql,
+    "length_quantiles" -> lengthQuantilesSql,
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,
     "domain_stats" -> domainStatsSql,

@@ -543,6 +543,31 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("a", 2L, "1,2"), ("b", 1L, "2"), ("c", 1L, "1")))
   }
 
+  test("domainRollup: per-(source,lang) cells, source subtotals, grand total") {
+    val fixture = Seq(
+      (0L, "s1", "the and is"), // en
+      (1L, "s1", "der und ist"), // de
+      (2L, "s2", "xyz qqq") // no markers -> und
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.domainRollup(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("s1", "en", 1L, 3L),
+      ("s1", "de", 1L, 3L),
+      ("s2", "und", 1L, 2L),
+      ("s1", "(all)", 2L, 6L),
+      ("s2", "(all)", 1L, 2L),
+      ("(all)", "(all)", 3L, 8L)
+    ))
+  }
+
+  test("lengthQuantiles: percentile_disc rule on lengths 1..10") {
+    val fixture = (1 to 10).map(i => (i.toLong, Seq.fill(i)("t").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthQuantiles(fixture).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((5L, 9L, 10L)))
+  }
+
   test("bm25: tf saturation — 100 repeats of a term beats 1 but nowhere near 100x") {
     val fixture = Seq(
       (0L, Seq.fill(100)("spark").mkString(" ")),
