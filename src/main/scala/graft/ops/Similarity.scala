@@ -118,6 +118,102 @@ object Similarity {
       .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
   }
 
+  private def centroidsLit(cvs: Seq[Seq[Long]]): String =
+    cvs.zipWithIndex
+      .map { case (cv, i) =>
+        s"named_struct('cell', CAST($i AS BIGINT), 'cv', array(${cv.mkString("L, ")}L))"
+      }
+      .mkString("array(", ", ", ")")
+
+  private def d2Expr(v: String, cv: String): String =
+    s"aggregate(zip_with($v, $cv, (x, c) -> (x - c) * (x - c)), 0L, (a, e) -> a + e)"
+
+  /** (d2, cell) structs sorted ascending — argmin with cell tiebreak. */
+  private def rankedCellsExpr(cvs: Seq[Seq[Long]], v: String): String =
+    s"array_sort(transform(${centroidsLit(cvs)}, s -> " +
+      s"named_struct('d2', ${d2Expr(v, "s.cv")}, 'cell', s.cell)))"
+
+  private def assignExpr(cvs: Seq[Seq[Long]], v: String): String =
+    s"element_at(${rankedCellsExpr(cvs, v)}, 1).cell"
+
+  /** Deterministic k-means: the `nCells` rows minimizing
+    * (md5(vec_id), vec_id) seed the codebook, refined by `iters` exact
+    * floor-mean Lloyd rounds. Distributed component sums, driver mean
+    * sync — k-means always syncs centroids per round; the per-round
+    * driver payload is nCells×dim longs regardless of corpus size.
+    * Shared by [[ivfTopK]] (full vectors) and [[pqCodes]] (one call
+    * per subspace on sliced vectors).
+    */
+  private def trainKmeans(q: DataFrame, nCells: Int, iters: Int): Seq[Seq[Long]] = {
+    val seedRows = q
+      .select(col("vec_id"), col("v"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id")
+      .limit(nCells)
+      .collect()
+    val seedCvs: Seq[Seq[Long]] = seedRows.map(_.getSeq[Long](1).toSeq).toSeq
+    (1 to iters).foldLeft(seedCvs) { (cvs, _) =>
+      val sums = q
+        .withColumn("cell", expr(assignExpr(cvs, "v")))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum("x").as("s"), count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cvs.zipWithIndex.map { case (prev, cell) =>
+        prev.indices.map { d =>
+          sums.get((cell, d)) match {
+            case Some((s, c)) => (s - (((s % c) + c) % c)) / c // exact floor mean
+            case None         => prev(d) // empty cell keeps its centroid
+          }
+        }
+      }
+    }
+  }
+
+  /** Product-quantization codes (the IVF-PQ compression path): the
+    * vector is split into `m` contiguous subspaces, each subspace gets
+    * its own deterministically-trained codebook of `nCodes` centroids
+    * (same md5-seeded k-means as [[ivfTopK]], run per subspace), and
+    * every vector is encoded as its m nearest-sub-centroid ids plus the
+    * exact squared reconstruction error. Output:
+    * (vec_id, code_0..code_{m-1}, err_d2).
+    *
+    * Why it matters at 100 TB: a 64-dim int vector compresses to m
+    * small codes (here 4 bytes), so the ANN index holds the codes and
+    * the m tiny codebooks instead of raw vectors — the memory shape
+    * IVF-PQ systems use to keep billion-vector indexes resident.
+    * Training syncs m × nCodes × (dim/m) longs to the driver per Lloyd
+    * round (= one codebook set, corpus-size-independent); encoding is a
+    * zero-shuffle scan projection.
+    */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, nCodes: Int = 8, lloydIters: Int = 1): DataFrame = {
+    val q = quantized(embeddings)
+    val dim = q.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val books: Seq[Seq[Seq[Long]]] = (0 until m).map { j =>
+      trainKmeans(
+        q.select(col("vec_id"), expr(s"slice(v, ${j * sub + 1}, $sub)").as("v")),
+        nCodes,
+        lloydIters
+      )
+    }
+    val assigned = q.select(
+      col("vec_id") +:
+        (0 until m).map { j =>
+          expr(s"element_at(${rankedCellsExpr(books(j), s"slice(v, ${j * sub + 1}, $sub)")}, 1)")
+            .as(s"a_$j")
+        }: _*
+    )
+    assigned.select(
+      col("vec_id") +:
+        ((0 until m).map(j => col(s"a_$j.cell").as(s"code_$j")) :+
+          (0 until m).map(j => col(s"a_$j.d2")).reduce(_ + _).as("err_d2")): _*
+    )
+  }
+
   /** IVF ANN with TRAINED centroids — the scale path beyond fixed
     * hyperplanes: a deterministic hash-seeded sample of `nCells` vectors
     * is refined by one Lloyd iteration (assign-all → integer-mean
@@ -149,55 +245,7 @@ object Similarity {
       lloydIters: Int = 2
   ): DataFrame = {
     val q = quantized(embeddings)
-
-    // --- train: deterministic seed sample ---
-    val seedRows = q
-      .select(col("vec_id"), col("v"))
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id")
-      .limit(nCells)
-      .collect()
-    val seedCvs: Seq[Seq[Long]] = seedRows.map(_.getSeq[Long](1).toSeq).toSeq
-
-    def centroidsLit(cvs: Seq[Seq[Long]]): String =
-      cvs.zipWithIndex
-        .map { case (cv, i) =>
-          s"named_struct('cell', CAST($i AS BIGINT), 'cv', array(${cv.mkString("L, ")}L))"
-        }
-        .mkString("array(", ", ", ")")
-
-    def d2Expr(v: String, cv: String): String =
-      s"aggregate(zip_with($v, $cv, (x, c) -> (x - c) * (x - c)), 0L, (a, e) -> a + e)"
-
-    // (d2, cell) structs sorted ascending — argmin with cell tiebreak
-    def rankedCellsExpr(cvs: Seq[Seq[Long]], v: String): String =
-      s"array_sort(transform(${centroidsLit(cvs)}, s -> " +
-        s"named_struct('d2', ${d2Expr(v, "s.cv")}, 'cell', s.cell)))"
-
-    def assignExpr(cvs: Seq[Seq[Long]], v: String): String =
-      s"element_at(${rankedCellsExpr(cvs, v)}, 1).cell"
-
-    // --- Lloyd iterations: distributed component sums, driver mean sync
-    // (k-means always syncs centroids per round; the per-round driver
-    // payload is nCells×dim longs regardless of corpus size) ---
-    val trained: Seq[Seq[Long]] = (1 to lloydIters).foldLeft(seedCvs) { (cvs, _) =>
-      val sums = q
-        .withColumn("cell", expr(assignExpr(cvs, "v")))
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cell", "d")
-        .agg(sum("x").as("s"), count(lit(1)).as("c"))
-        .collect()
-        .map(r => (r.getLong(0).toInt, r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
-        .toMap
-      cvs.zipWithIndex.map { case (prev, cell) =>
-        prev.indices.map { d =>
-          sums.get((cell, d)) match {
-            case Some((s, c)) => (s - (((s % c) + c) % c)) / c // exact floor mean
-            case None         => prev(d) // empty cell keeps its centroid
-          }
-        }
-      }
-    }
+    val trained = trainKmeans(q, nCells, lloydIters)
 
     // --- index: every vector's nearest trained centroid (scan projection) ---
     val indexed = q.select(

@@ -246,6 +246,44 @@ object OpsQueries {
       s"SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= $k"
   }
 
+  val annPq: Q = (s, dir) => Similarity.pqCodes(emb(s, dir))
+
+  /** Per-subspace replay of the deterministic PQ training: the same
+    * md5-seeded sample + one exact floor-mean Lloyd round as ann_ivf,
+    * run on each of the 4 contiguous 16-dim slices, then argmin
+    * assignment with cell tiebreak and the exact squared reconstruction
+    * error summed across subspaces.
+    */
+  val annPqSql: String = {
+    val m = 4
+    val nCodes = 8
+    val sub = 16
+    def d2(v: String, cv: String): String =
+      s"list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+    def subspace(j: Int): String = {
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      s"s$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM q), " +
+        s"c${j}0 AS (SELECT v AS cv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell " +
+        s"FROM s$j ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCodes), " +
+        s"a$j AS (SELECT vec_id, v, cell FROM (SELECT s.vec_id, s.v, c.cell, " +
+        s"row_number() OVER (PARTITION BY s.vec_id ORDER BY ${d2("s.v", "c.cv")}, c.cell) AS rn " +
+        s"FROM s$j s CROSS JOIN c${j}0 c) WHERE rn = 1), " +
+        s"comp$j AS (SELECT cell, i, sum(v[i]) AS s, count(*) AS c FROM a$j " +
+        "CROSS JOIN UNNEST(range(1, len(v) + 1)) AS t(i) GROUP BY cell, i), " +
+        s"upd$j AS (SELECT cell, list((s - (((s % c) + c) % c)) // c ORDER BY i) AS uv FROM comp$j GROUP BY cell), " +
+        s"c${j}1 AS (SELECT p.cell, COALESCE(u.uv, p.cv) AS cv FROM c${j}0 p LEFT JOIN upd$j u ON p.cell = u.cell), " +
+        s"code$j AS (SELECT vec_id, cell, d2 FROM (SELECT s.vec_id, c.cell, ${d2("s.v", "c.cv")} AS d2, " +
+        s"row_number() OVER (PARTITION BY s.vec_id ORDER BY ${d2("s.v", "c.cv")}, c.cell) AS rn " +
+        s"FROM s$j s CROSS JOIN c${j}1 c) WHERE rn = 1)"
+    }
+    "WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS v FROM embeddings), " +
+      (0 until m).map(subspace).mkString(", ") + " " +
+      "SELECT q.vec_id, " + (0 until m).map(j => s"code$j.cell AS code_$j").mkString(", ") + ", " +
+      s"CAST(${(0 until m).map(j => s"code$j.d2").mkString(" + ")} AS BIGINT) AS err_d2 FROM q " +
+      (0 until m).map(j => s"JOIN code$j ON code$j.vec_id = q.vec_id").mkString(" ")
+  }
+
   // ----- text analysis -----
 
   val textLangId: Q = (s, dir) => TextAnalysis.langId(docs(s, dir))
@@ -700,6 +738,7 @@ object OpsQueries {
     "ann_buckets" -> annBuckets,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_pq" -> annPq,
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_token_counts" -> textTokenCounts,
@@ -746,6 +785,7 @@ object OpsQueries {
     "ann_buckets" -> annBucketsSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql,
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,
     "text_token_counts" -> textTokenCountsSql,

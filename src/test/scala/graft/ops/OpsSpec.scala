@@ -543,6 +543,35 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("a", 2L, "1,2"), ("b", 1L, "2"), ("c", 1L, "1")))
   }
 
+  test("pqCodes: self-codebook corpus reconstructs exactly; codes bounded; deterministic") {
+    // 4 vectors with pairwise-distinct subvectors in both subspaces and
+    // nCodes = 4: every vector seeds its own cell, the Lloyd mean of a
+    // singleton cell is itself, so reconstruction error is exactly 0
+    val fixture = Seq(
+      (0L, Array(1.0f, 0.0f, 5.0f, 0.0f), 0),
+      (1L, Array(0.0f, 2.0f, 0.0f, 6.0f), 0),
+      (2L, Array(3.0f, 3.0f, 7.0f, 7.0f), 0),
+      (3L, Array(4.0f, 1.0f, 8.0f, 2.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.pqCodes(fixture, m = 2, nCodes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 4)
+    assert(got.forall(_._4 == 0L), got.mkString(";"))
+    assert(got.map(_._2).distinct.length == 4, "each vector must own a cell in subspace 0")
+    val again = Similarity.pqCodes(fixture, m = 2, nCodes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == again.toSet)
+  }
+
+  test("pqCodes: codes stay in range and quantization actually buckets the real table") {
+    val got = Similarity.pqCodes(emb, m = 4, nCodes = 8).collect()
+    assert(got.length == emb.count())
+    val codes = got.flatMap(r => Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(codes.forall(c => c >= 0L && c < 8L))
+    assert(codes.distinct.length >= 2, "degenerate codebook")
+    assert(got.forall(_.getLong(5) >= 0L))
+  }
+
   test("domainRollup: per-(source,lang) cells, source subtotals, grand total") {
     val fixture = Seq(
       (0L, "s1", "the and is"), // en
