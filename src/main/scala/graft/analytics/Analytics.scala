@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics and retrieval over the (entities, triples) tables —
@@ -576,6 +577,59 @@ object Analytics {
       )
       .groupBy(col("a.node").as("node"), col("b.node").as("context"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Negative-sample generation for KG-embedding training (the corrupt-
+    * triple pass TransE-family trainers run over the graph): each triple
+    * (s, p, o) is paired with a pseudo-random OTHER object of the same
+    * predicate — the standard "corrupt the tail within the relation"
+    * rule, which yields hard negatives (type-plausible, relation-
+    * plausible) rather than uniform noise. The pick is deterministic:
+    * within (predicate, bucket), triples are ordered by
+    * (md5(subject|obj), subject, obj) — a seeded shuffle — and each row
+    * takes the NEXT row's object (the last row wraps to the bucket's
+    * first). Candidates equal to the row's own object are dropped, and a
+    * final anti-join removes "false negatives" — corrupted triples that
+    * actually exist in the graph (filtered negative sampling). Output:
+    * (subject, predicate, obj, neg_obj).
+    *
+    * Scale shape: the bucket key (first md5 hex char, 16 buckets) bounds
+    * every window partition to ~1/16 of a predicate's triples — a hot
+    * relation ("type", "links_to") never lands on one reducer the way a
+    * plain predicate-partitioned window would; production widens the
+    * bucket prefix off the predicate histogram (2 hex chars = 256-way,
+    * 3 = 4096-way), same rule — the only cost of more buckets is more
+    * singleton buckets emitting no negative. One Exchange+Sort+Window
+    * plus one shuffled anti-join; nothing quadratic, no global sort.
+    */
+  def negativeSamples(triples: DataFrame): DataFrame = {
+    val h = md5(concat_ws("|", col("subject"), col("obj")))
+    val keyed = triples.select(
+      col("subject"), col("predicate"), col("obj"),
+      h.as("h"),
+      substring(h, 1, 1).as("bucket")
+    )
+    val w = Window
+      .partitionBy("predicate", "bucket")
+      .orderBy("h", "subject", "obj")
+    val cands = keyed
+      .withColumn(
+        "neg_obj",
+        coalesce(lead(col("obj"), 1).over(w), first(col("obj")).over(w))
+      )
+      .where(col("neg_obj") =!= col("obj"))
+      .select("subject", "predicate", "obj", "neg_obj")
+    cands
+      .join(
+        triples.select(
+          col("subject"), col("predicate"), col("obj").as("neg_obj")
+        ),
+        Seq("subject", "predicate", "neg_obj"),
+        "left_anti"
+      )
+      // the using-column join puts its keys first — restore the
+      // (s, p, o, neg) contract order
+      .select("subject", "predicate", "obj", "neg_obj")
   }
 
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,

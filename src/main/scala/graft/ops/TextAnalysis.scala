@@ -498,6 +498,59 @@ object TextAnalysis {
       .select("w1", "w2", "cnt", "p_cond_milli", "lift_milli")
   }
 
+  /** Per-document language-model fit score — the CCNet-style quality
+    * signal (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): documents whose token transitions
+    * the corpus LM finds predictable are "in-distribution"; gibberish
+    * and boilerplate-mangled text score low. CCNet uses KenLM perplexity;
+    * this engine keeps the oracle exact by scoring with the MEAN BIGRAM
+    * CONDITIONAL PROBABILITY in integer milli (monotone in the same
+    * direction as negative log-perplexity for fixed length, with no
+    * float/log crossing the engine boundary), plus the minimum — the
+    * document's single most surprising transition. The LM is the corpus
+    * itself, so every observed bigram has count >= 1 and the join is
+    * total. Output per doc with >= 2 tokens:
+    * (doc_id, n_bigrams, mean_p_milli, min_p_milli).
+    *
+    * Shape at scale: the per-occurrence bigram frame is staged once and
+    * feeds (a) the (w1,w2) count — the only data-sized aggregate, (b)
+    * the head marginal (re-aggregating the already-small bigram table),
+    * and (c) the score join back on (w1,w2) — an ordinary equi-join
+    * whose hot keys (stopword pairs) are AQE-skew-splittable; the final
+    * regroup is on doc_id. No global sort, nothing quadratic.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val occ = graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(
+          col("doc_id"),
+          explode(
+            expr(
+              "transform(sequence(1, size(toks) - 1), " +
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+          ).as("b")
+        )
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    )
+    val bi = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val w1tot = bi.groupBy("w1").agg(sum("cnt").as("w1_cnt"))
+    occ
+      .join(bi, Seq("w1", "w2"))
+      .join(w1tot, Seq("w1"))
+      .withColumn("p_milli", expr("(1000 * cnt) div w1_cnt"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("p_milli").as("sp"),
+        min("p_milli").as("min_p_milli")
+      )
+      .withColumn("mean_p_milli", expr("sp div n_bigrams"))
+      .select("doc_id", "n_bigrams", "mean_p_milli", "min_p_milli")
+  }
+
   /** Per-source distribution drift: total-variation distance (in ppm)
     * between each source's token distribution and the whole corpus's —
     * the mixture-monitoring number that says "this shard stopped

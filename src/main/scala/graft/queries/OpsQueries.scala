@@ -376,6 +376,23 @@ object OpsQueries {
       "FROM bc JOIN w1t USING (w1) JOIN w2t USING (w2) CROSS JOIN n) " +
       "SELECT w1, w2, cnt, p_cond_milli, lift_milli FROM j WHERE rnk <= 5"
 
+  /** Per-document LM fit score (TextAnalysis.lmScore) — the CCNet-style
+    * quality signal as exact integers: mean and min bigram conditional
+    * probability in milli, against the corpus's own bigram LM.
+    */
+  val textLmScore: Q = (s, dir) => TextAnalysis.lmScore(docs(s, dir))
+
+  val textLmScoreSql: String =
+    s"WITH $toksCte, " +
+      "b0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM tk WHERE len(toks) >= 2), " +
+      "b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM b0), " +
+      "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), " +
+      "w1t AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS w1_cnt FROM bc GROUP BY 1), " +
+      "p AS (SELECT doc_id, (1000 * cnt) // w1_cnt AS p_milli FROM b JOIN bc USING (w1, w2) JOIN w1t USING (w1)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(sum(p_milli) // count(*) AS BIGINT) AS mean_p_milli, " +
+      "CAST(min(p_milli) AS BIGINT) AS min_p_milli FROM p GROUP BY doc_id"
+
   /** Per-source total-variation drift vs the corpus token distribution
     * (TextAnalysis.sourceDrift) — exact integer ppm on both sides.
     */
@@ -745,6 +762,7 @@ object OpsQueries {
     "text_keywords" -> textKeywords,
     "text_sketch" -> textSketch,
     "lm_bigrams" -> lmBigrams,
+    "text_lm_score" -> textLmScore,
     "source_drift" -> sourceDrift,
     "text_fingerprints" -> textFingerprints,
     "line_dedup" -> lineDedup,
@@ -792,6 +810,7 @@ object OpsQueries {
     "text_keywords" -> textKeywordsSql,
     "text_sketch" -> textSketchSql,
     "lm_bigrams" -> lmBigramsSql,
+    "text_lm_score" -> textLmScoreSql,
     "source_drift" -> sourceDriftSql,
     "text_fingerprints" -> textFingerprintsSql,
     "line_dedup" -> lineDedupSql,

@@ -917,6 +917,26 @@ object Queries {
       "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' " +
       "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1"
 
+  /** Deterministic negative samples for KG-embedding training
+    * (Analytics.negativeSamples): within-relation tail corruption via a
+    * seeded md5 shuffle, wrap-around pairing, and a filtered anti-join
+    * against the real triple set. The oracle replays the identical
+    * window rule (same partition keys, same order, same wrap).
+    */
+  val kgNegatives: Q = (s, dir) =>
+    Analytics.negativeSamples(TokenRules.triples(docs(s, dir)))
+
+  val kgNegativesSql: String =
+    TokenRules.Sql.withTriples +
+      ", k AS (SELECT subject, predicate, obj, md5(subject || '|' || obj) AS h, " +
+      "substr(md5(subject || '|' || obj), 1, 1) AS bucket FROM tr), " +
+      "c AS (SELECT subject, predicate, obj, " +
+      "coalesce(lead(obj, 1) OVER w, first_value(obj) OVER w) AS neg_obj FROM k " +
+      "WINDOW w AS (PARTITION BY predicate, bucket ORDER BY h, subject, obj)) " +
+      "SELECT c.subject, c.predicate, c.obj, c.neg_obj FROM c " +
+      "WHERE c.neg_obj <> c.obj AND NOT EXISTS (" +
+      "SELECT 1 FROM tr t WHERE t.subject = c.subject AND t.predicate = c.predicate AND t.obj = c.neg_obj)"
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -953,6 +973,7 @@ object Queries {
     "kg_harmonic" -> kgHarmonic,
     "kg_walks" -> kgWalks,
     "kg_walk_cooc" -> kgWalkCooc,
+    "kg_negatives" -> kgNegatives,
     "events_sessions" -> eventsSessions,
     "events_funnel" -> eventsFunnel,
     "events_cohorts" -> eventsCohorts,
@@ -998,6 +1019,7 @@ object Queries {
     "kg_harmonic" -> kgHarmonicSql,
     "kg_walks" -> kgWalksSql,
     "kg_walk_cooc" -> kgWalkCoocSql,
+    "kg_negatives" -> kgNegativesSql,
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_cohorts" -> eventsCohortsSql,

@@ -288,4 +288,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val tr = triplesDf(("x", "r", "a"), ("x", "r", "b"), ("x", "r", "c"), ("a", "r", "b"))
     assert(Analytics.linkPredict(tr, maxWedgeDegree = 2L).isEmpty)
   }
+
+  test("negativeSamples: exact replay of the seeded window rule, filtered") {
+    // sparse bipartite 'likes' graph (skip (i+j)%3==0 pairs so real
+    // triples exist for the anti-join to catch) + one singleton relation
+    val likes = for {
+      i <- 0 until 8; j <- 0 until 5 if (i + j) % 3 != 0
+    } yield (s"s$i", "likes", s"o$j")
+    val rows = likes :+ (("x", "knows", "y"))
+    val tr = triplesDf(rows: _*)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent replay: group by (predicate, first md5 hex char),
+    // sort by (h, subject, obj), pair with the next row wrapping to the
+    // first, drop self-negatives and corruptions that exist in the graph
+    val expected = rows
+      .groupBy(t => (t._2, md5hex(t._1 + "|" + t._3).substring(0, 1)))
+      .values
+      .flatMap { grp =>
+        val sorted = grp.sortBy(t => (md5hex(t._1 + "|" + t._3), t._1, t._3))
+        sorted.zipWithIndex.map { case ((s, p, o), i) =>
+          (s, p, o, sorted((i + 1) % sorted.size)._3)
+        }
+      }
+      .filter { case (s, p, o, n) => n != o && !rows.contains((s, p, n)) }
+      .toSet
+    val got = Analytics.negativeSamples(tr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no negatives — weak test")
+    // no emitted negative is a real triple, none equals its own object
+    assert(got.forall { case (s, p, o, n) => n != o && !rows.contains((s, p, n)) })
+    // the singleton relation can only wrap to itself — never emitted
+    assert(got.forall(_._2 == "likes"))
+  }
 }

@@ -411,6 +411,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("a", "b", 2L, 1000L, 2000L), ("b", "a", 2L, 1000L, 2000L)))
   }
 
+  test("lmScore: hand-computed mean/min bigram probability; short docs excluded") {
+    val fixture = Seq(
+      (1L, "a b a b"), // bigrams (a,b), (b,a), (a,b)
+      (2L, "a c"),
+      (3L, "z") // single token -> no bigrams -> no row
+    ).toDF("doc_id", "text")
+    // LM: c(a,b)=2 c(b,a)=1 c(a,c)=1; heads a:3 b:1
+    // doc 1: p = [666, 1000, 666] -> n=3, mean = 2332 div 3 = 777, min 666
+    // doc 2: p = [333] -> n=1, mean 333, min 333
+    val got = TextAnalysis.lmScore(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 3L, 777L, 666L), (2L, 1L, 333L, 333L)))
+  }
+
   test("lmBigrams: top-k per head keeps (cnt desc, w2 asc) order") {
     val fixture = Seq((1L, "x a x b x b x c")).toDF("doc_id", "text")
     // from x: (x,a) 1, (x,b) 2, (x,c) 1; also (a,x),(b,x)x2,(c? none)
