@@ -579,6 +579,42 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Synchronous label-propagation community detection over the
+    * undirected triple graph — the standard near-linear community pass
+    * (Raghavan et al.) run before per-community summarization or as the
+    * modularity-free alternative to the connected-components partition:
+    * every node starts as its own label; each round, a node adopts the
+    * label most frequent among its neighbors, ties broken by the MIN
+    * label — fully deterministic, so a fixed `iterations` unroll is a
+    * well-defined result (synchronous LPA may oscillate on bipartite
+    * structures; a fixed even/odd round count pins which phase is
+    * reported, and the oracle unrolls the identical rounds). Output:
+    * (entity, community) for non-isolated nodes.
+    *
+    * Shape at scale: per round, ONE shuffle join of the label table
+    * with the staged neighbor set plus a two-level aggregate — the
+    * (v, label) count partial-aggregates map-side (a 10^8-degree hub is
+    * combined per partition, never a reducer flood), and the argmax is
+    * a min(struct(-count, label)) hash aggregate, not a window sort.
+    * Each round's labels are re-staged so iteration lineage never
+    * replays (same Materialize policy as connected components).
+    */
+  def labelPropagation(triples: DataFrame, iterations: Int = 4): DataFrame = {
+    val nb = graft.util.Materialize.stage(undirectedNb(triples))
+    var lab = nb.select(col("v")).distinct().withColumn("label", col("v"))
+    for (_ <- 1 to iterations) {
+      val next = nb
+        .join(lab.withColumnRenamed("v", "u"), "u")
+        .groupBy("v", "label")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("v"), col("m.label").as("label"))
+      lab = graft.util.Materialize.stage(next)
+    }
+    lab.select(col("v").as("entity"), col("label").as("community"))
+  }
+
   /** Negative-sample generation for KG-embedding training (the corrupt-
     * triple pass TransE-family trainers run over the graph): each triple
     * (s, p, o) is paired with a pseudo-random OTHER object of the same

@@ -69,6 +69,46 @@ object Similarity {
       .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Hard-negative mining for contrastive-embedding training: for each
+    * query vector (vec_id < nQueries), the k most SIMILAR vectors with a
+    * DIFFERENT label — the high-cosine wrong-class candidates a
+    * retrieval/embedding trainer pairs against in-label positives (the
+    * step that separates "hard" negative sampling from uniform
+    * sampling). Same quantized integer cosine score as [[bruteTopK]];
+    * same-label candidates are excluded before ranking. Output:
+    * (q, n, score_milli, rnk).
+    *
+    * Scale shape: identical to bruteTopK — broadcast query side, one
+    * corpus pass, per-query top-k window (partitions = queries, never a
+    * global sort); the label exclusion is a per-row predicate on the
+    * joined pair. When the corpus outgrows one scored pass, the
+    * LSH/IVF cell restriction composes in front unchanged.
+    */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val q = quantized(embeddings)
+    val queries = q.where(col("vec_id") < nQueries)
+    val dots = exploded(q)
+      .join(
+        broadcast(exploded(queries).select(col("vec_id").as("q"), col("d"), col("x").as("qx"))),
+        Seq("d")
+      )
+      .groupBy(col("q"), col("vec_id").as("n"))
+      .agg(sum(col("x") * col("qx")).as("dot"))
+      .where(col("q") =!= col("n"))
+    val scored = dots
+      .join(norms(q).select(col("vec_id").as("n"), col("n2").as("nn")), "n")
+      .join(q.select(col("vec_id").as("n"), col("label").as("nl")), "n")
+      .join(broadcast(norms(queries).select(col("vec_id").as("q"), col("n2").as("qn"))), "q")
+      .join(broadcast(queries.select(col("vec_id").as("q"), col("label").as("ql"))), "q")
+      .where(col("nl") =!= col("ql"))
+      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
+    val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
+  }
+
   val Planes = 8
 
   /** Deterministic integer hyperplane weight for (plane j, dim d) —

@@ -201,6 +201,21 @@ object OpsQueries {
       "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
       "SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 8"
 
+  /** Hard-negative mining (Similarity.hardNegatives): per query, the
+    * top-k most similar DIFFERENT-label vectors — the contrastive-
+    * training pair table. Same integer cosine rule as ann_topk with the
+    * label-exclusion predicate.
+    */
+  val embHardNegatives: Q = (s, dir) => Similarity.hardNegatives(emb(s, dir))
+
+  val embHardNegativesSql: String =
+    s"WITH $quantCte, " +
+      "scored AS (SELECT qs.vec_id AS q, c.vec_id AS n, " +
+      s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS score_milli " +
+      "FROM q qs JOIN q c ON qs.vec_id < 20 AND c.vec_id <> qs.vec_id AND c.label <> qs.label), " +
+      "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
+      "SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 8"
+
   val annIvf: Q = (s, dir) => Similarity.ivfTopK(emb(s, dir))
 
   /** Replays ivfTopK's deterministic training verbatim: md5-seeded
@@ -750,6 +765,7 @@ object OpsQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "emb_neardup" -> embNearDup,
+    "emb_hard_negatives" -> embHardNegatives,
     "semantic_groups" -> semanticGroups,
     "ann_topk" -> annTopK,
     "ann_buckets" -> annBuckets,
@@ -798,6 +814,7 @@ object OpsQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "emb_neardup" -> embNearDupSql,
+    "emb_hard_negatives" -> embHardNegativesSql,
     "semantic_groups" -> semanticGroupsSql,
     "ann_topk" -> annTopKSql,
     "ann_buckets" -> annBucketsSql,

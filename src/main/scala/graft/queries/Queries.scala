@@ -917,6 +917,32 @@ object Queries {
       "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' " +
       "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1"
 
+  /** Synchronous label-propagation communities
+    * (Analytics.labelPropagation, 4 fixed rounds). The oracle unrolls
+    * the identical rounds: per round, neighbor-label counts then argmax
+    * with (count desc, label asc) — MATERIALIZED per round for the same
+    * anti-exponential-inlining reason as kg_kcore.
+    */
+  val kgCommunities: Q = (s, dir) =>
+    Analytics.labelPropagation(TokenRules.triples(docs(s, dir)), iterations = lpaRounds)
+
+  private val lpaRounds = 4
+
+  val kgCommunitiesSql: String = {
+    val base = TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
+      "nbl AS MATERIALIZED (SELECT subject AS v, obj AS u FROM ed UNION SELECT obj, subject FROM ed), " +
+      "l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM nbl)"
+    val rounds = (0 until lpaRounds).map { i =>
+      s"l${i + 1} AS MATERIALIZED (SELECT v, label FROM (" +
+        s"SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn FROM (" +
+        s"SELECT nbl.v, l.label, count(*) AS c FROM nbl JOIN l$i l ON l.v = nbl.u GROUP BY nbl.v, l.label" +
+        ")) WHERE rn = 1)"
+    }.mkString(", ", ", ", " ")
+    base + rounds +
+      s"SELECT v AS entity, label AS community FROM l$lpaRounds"
+  }
+
   /** Deterministic negative samples for KG-embedding training
     * (Analytics.negativeSamples): within-relation tail corruption via a
     * seeded md5 shuffle, wrap-around pairing, and a filtered anti-join
@@ -974,6 +1000,7 @@ object Queries {
     "kg_walks" -> kgWalks,
     "kg_walk_cooc" -> kgWalkCooc,
     "kg_negatives" -> kgNegatives,
+    "kg_communities" -> kgCommunities,
     "events_sessions" -> eventsSessions,
     "events_funnel" -> eventsFunnel,
     "events_cohorts" -> eventsCohorts,
@@ -1020,6 +1047,7 @@ object Queries {
     "kg_walks" -> kgWalksSql,
     "kg_walk_cooc" -> kgWalkCoocSql,
     "kg_negatives" -> kgNegativesSql,
+    "kg_communities" -> kgCommunitiesSql,
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_cohorts" -> eventsCohortsSql,

@@ -289,6 +289,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(Analytics.linkPredict(tr, maxWedgeDegree = 2L).isEmpty)
   }
 
+  test("labelPropagation: two triangles + bridge converge to two communities") {
+    // triangle {a,b,c}, triangle {d,e,f}, bridge c-d; sync LPA with
+    // min-tie — hand-unrolled 4 rounds: {a,b,c} -> a, {d,e,f} -> c
+    val tr = triplesDf(
+      ("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"),
+      ("d", "r", "e"), ("e", "r", "f"), ("f", "r", "d"),
+      ("c", "r", "d")
+    )
+    val got = Analytics.labelPropagation(tr, iterations = 4).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "c", "e" -> "c", "f" -> "c"))
+  }
+
+  test("labelPropagation: round 1 is the min-neighbor label (tie rule)") {
+    // path x-y-z: after 1 round every node holds its min neighbor
+    val tr = triplesDf(("x", "r", "y"), ("y", "r", "z"))
+    val got = Analytics.labelPropagation(tr, iterations = 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("x" -> "y", "y" -> "x", "z" -> "y"))
+  }
+
   test("negativeSamples: exact replay of the seeded window rule, filtered") {
     // sparse bipartite 'likes' graph (skip (i+j)%3==0 pairs so real
     // triples exist for the anti-join to catch) + one singleton relation

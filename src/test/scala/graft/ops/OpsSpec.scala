@@ -79,6 +79,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.head.getLong(2) == 1000L)
   }
 
+  test("hardNegatives: top similar different-label vectors, same-label excluded") {
+    val fx = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), // query
+      (1L, Seq(1.0f, 0.0f), 0), // identical but SAME label -> excluded
+      (2L, Seq(0.9f, 0.1f), 1), // hard negative (high cosine, other label)
+      (3L, Seq(0.0f, 1.0f), 1)  // easy negative
+    ).toDF("vec_id", "embedding", "label")
+    // quantized: v0=[100,0], v2=[90,10], v3=[0,100]
+    // score(0,2) = 1000*9000*9000 div (10000*8200) = 987; score(0,3) = 0
+    val got = Similarity.hardNegatives(fx, nQueries = 1, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((0L, 2L, 987L, 1L), (0L, 3L, 0L, 2L)))
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' quality") {
     val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 8)
       .select("q", "n").as[(Long, Long)].collect().toSet
