@@ -14,6 +14,36 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** RE2-compatible PII patterns (no backreferences/lookaround, so the
+    * Java-regex and DuckDB-RE2 engines match identically).
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII redaction — the scrub pass a web-corpus curation run applies
+    * before training (emails and phone-shaped numbers replaced with
+    * typed placeholders, counts kept for audit). Output:
+    * (doc_id, n_emails, n_phones, text_clean).
+    *
+    * Shape at scale: a pure per-row projection — counts and the double
+    * regexp_replace evaluate inside one codegen'd expression tree, so
+    * scrubbing 100 TB costs exactly one scan with zero exchanges.
+    * Counts are taken on the ORIGINAL text (replacement order can't
+    * perturb them), and the email pass runs before the phone pass so
+    * the composition is deterministic.
+    */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<email>")),
+        lit(PhoneRe),
+        lit("<phone>")
+      ).as("text_clean")
+    )
+
   /** Per-document verdict: (doc_id, source, verdict, keep).
     *
     * Verdict precedence mirrors the order a pipeline applies the

@@ -683,6 +683,25 @@ object OpsQueries {
     s"WITH qual AS ($textQualitySql) SELECT doc_id, quality_milli FROM qual " +
       "WHERE ((doc_id * 2246822519 + 11) % 4294967296) % 1000 < quality_milli"
 
+  /** PII redaction (Curation.redact) — audit counts on the original
+    * text + typed placeholders, RE2-compatible patterns so Java regex
+    * and DuckDB's RE2 match identically (the synthetic corpus carries
+    * no PII, so counts are 0 and text_clean == text — the planted-PII
+    * rule check lives in OpsSpec).
+    */
+  val textRedact: Q = (s, dir) => Curation.redact(docs(s, dir))
+
+  val textRedactSql: String = {
+    // DuckDB string literals are not backslash-escaped: the Scala
+    // pattern string passes through verbatim
+    val em = Curation.EmailRe
+    val ph = Curation.PhoneRe
+    s"SELECT doc_id, CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones, " +
+      s"regexp_replace(regexp_replace(text, '$em', '<email>', 'g'), '$ph', '<phone>', 'g') AS text_clean " +
+      "FROM documents"
+  }
+
   val corpusKeep: Q = (s, dir) => Curation.corpusDecision(docs(s, dir), expr(mixRateExpr))
 
   /** Composes the curate, exact-dedup and mixture-sampling oracles into
@@ -800,6 +819,7 @@ object OpsQueries {
     "seq_pack" -> seqPack,
     "quality_sample" -> qualitySample,
     "corpus_keep" -> corpusKeep,
+    "text_redact" -> textRedact,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
@@ -849,6 +869,7 @@ object OpsQueries {
     "seq_pack" -> seqPackSql,
     "quality_sample" -> qualitySampleSql,
     "corpus_keep" -> corpusKeepSql,
+    "text_redact" -> textRedactSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,

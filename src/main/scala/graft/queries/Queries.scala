@@ -712,6 +712,20 @@ object Queries {
   // batch/stream parity), plus per-user aggregates.
   // ---------------------------------------------------------------
 
+  /** Schema-on-read JSON props parsing (EventsStream.propsStats):
+    * integer field k via JSON path, exact per-type stats. The oracle
+    * extracts the same path with DuckDB's json_extract_string.
+    */
+  val eventsProps: Q = (s, dir) =>
+    graft.streaming.EventsStream.propsStats(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsPropsSql: String =
+    "WITH k AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k, " +
+      "CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k, " +
+      "(1000 * CAST(sum(k) AS BIGINT)) // count(*) AS avg_k_milli " +
+      "FROM k WHERE k IS NOT NULL GROUP BY event_type"
+
   val eventsWindow: Q = (s, dir) =>
     graft.streaming.EventsStream.windowedStats(s.read.parquet(s"$dir/events.parquet"))
 
@@ -1009,6 +1023,7 @@ object Queries {
     "conv_flatten" -> convFlatten,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
+    "events_props" -> eventsProps,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier
@@ -1056,6 +1071,7 @@ object Queries {
     "conv_flatten" -> convFlattenSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,
+    "events_props" -> eventsPropsSql,
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql

@@ -54,6 +54,35 @@ object EventsStream {
   def windowedStatsStreaming(events: DataFrame): DataFrame =
     windowedStats(events.withWatermark("ts", "2 minutes"))
 
+  /** Schema-on-read parsing of the semi-structured `props` JSON column:
+    * the integer `k` field is pulled with a codegen'd JSON-path
+    * expression (get_json_object — a one-field probe never pays
+    * from_json's full-schema row materialization), then exact integer
+    * stats per event_type. Output:
+    * (event_type, n, sum_k, min_k, max_k, avg_k_milli).
+    *
+    * Shape at scale: extraction is a per-row projection inside the
+    * scan; the aggregate is one partial-aggregated exchange on the
+    * tiny event_type key. Unparseable or absent fields become NULLs
+    * and are excluded from the stats by the explicit filter — the
+    * rule both engines share.
+    */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .where(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k")
+      )
+      .withColumn("avg_k_milli", expr("(1000 * sum_k) div n"))
+
   /** Sessionization: per-user event runs split where the gap to the
     * previous event exceeds `gapMinutes` (the classic 30-minute web
     * session rule), rolled up to one row per session — (user_id,

@@ -79,6 +79,22 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.head.getLong(2) == 1000L)
   }
 
+  test("redact: planted PII is scrubbed with audit counts; clean text untouched") {
+    val fx = Seq(
+      (1L, "contact bob.smith@mail.co or 555-123-4567 today"),
+      (2L, "two mails a@b.io c@d.org one phone 111-222-3333"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Curation.redact(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 1L, "contact <email> or <phone> today"),
+      (2L, 2L, 1L, "two mails <email> <email> one phone <phone>"),
+      (3L, 0L, 0L, "nothing sensitive here")
+    ))
+  }
+
   test("hardNegatives: top similar different-label vectors, same-label excluded") {
     val fx = Seq(
       (0L, Seq(1.0f, 0.0f), 0), // query

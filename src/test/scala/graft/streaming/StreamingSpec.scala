@@ -187,6 +187,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("propsStats: JSON-path extraction with exact per-type stats; bad JSON excluded") {
+    def ts0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val ev = Seq(
+      (1L, ts0, 1L, "click", 0.0, """{"k": 10}"""),
+      (2L, ts0, 1L, "click", 0.0, """{"k": 25}"""),
+      (3L, ts0, 2L, "view", 0.0, """{"k": 7}"""),
+      (4L, ts0, 2L, "view", 0.0, "not json"), // unparseable -> excluded
+      (5L, ts0, 3L, "error", 0.0, """{"other": 1}""") // k absent -> excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.propsStats(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // click: n=2 sum=35 min=10 max=25 avg=17500; view: n=1 sum=7 avg=7000
+    assert(got == Set(
+      ("click", 2L, 35L, 10L, 25L, 17500L),
+      ("view", 1L, 7L, 7L, 7L, 7000L)
+    ))
+  }
+
   test("sessionize splits on gaps over the threshold and rolls up per session") {
     import org.apache.spark.sql.functions.col
     // user 1: events at 10:00, 10:10, 10:50 with 30-min gap rule ->
