@@ -615,6 +615,53 @@ object Analytics {
     lab.select(col("v").as("entity"), col("label").as("community"))
   }
 
+  /** Per-community structural rollup over the LPA partition — the
+    * community-level summary table (size, internal cohesion, external
+    * coupling) a KG browser or a modularity check reads: for every
+    * community, its entity count, the number of distinct undirected
+    * edges with BOTH endpoints inside it, and the number with exactly
+    * one endpoint inside (each cross edge counts once for each of its
+    * two communities). Output:
+    * (community, n_entities, n_internal, n_cross).
+    *
+    * Shape at scale: the label table is staged once; edges join it
+    * twice (ordinary equi-joins on the entity key — AQE handles hub
+    * skew), and the three aggregates are partial-aggregated exchanges
+    * on the community key.
+    */
+  def communityStats(triples: DataFrame, iterations: Int = 4): DataFrame = {
+    val lab = graft.util.Materialize.stage(labelPropagation(triples, iterations))
+    val ed = triples
+      .select(
+        least(col("subject"), col("obj")).as("a"),
+        greatest(col("subject"), col("obj")).as("b")
+      )
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val labeled = ed
+      .join(lab.select(col("entity").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("entity").as("b"), col("community").as("cb")), "b")
+    val sizes = lab.groupBy("community").agg(count(lit(1)).as("n_entities"))
+    val internal = labeled
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("n_internal"))
+    val cross = labeled
+      .where(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_cross"))
+    sizes
+      .join(internal, Seq("community"), "left")
+      .join(cross, Seq("community"), "left")
+      .select(
+        col("community"),
+        col("n_entities"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        coalesce(col("n_cross"), lit(0L)).as("n_cross")
+      )
+  }
+
   /** Negative-sample generation for KG-embedding training (the corrupt-
     * triple pass TransE-family trainers run over the graph): each triple
     * (s, p, o) is paired with a pseudo-random OTHER object of the same

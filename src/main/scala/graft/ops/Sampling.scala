@@ -92,6 +92,38 @@ object Sampling {
       .where(expr("pmod(doc_id * 2246822519L + 11L, 4294967296L) % 1000") < col("quality_milli"))
       .select("doc_id", "quality_milli")
 
+  /** Curriculum quality binning: every document's exact quality DECILE
+    * (1..10), the ordering key curriculum-learning schedules consume
+    * (train easy/high-quality bins first, or anneal mixture weights per
+    * bin). Rule shared with the oracle: decile =
+    * ceil(10 * cum / n) where cum = number of docs whose quality_milli
+    * is <= this doc's — ties share a decile by construction. Output:
+    * (doc_id, quality_milli, decile).
+    *
+    * Shape at scale: the same histogram-cumulative trick as exact
+    * percentiles — the only data-sized exchanges are the
+    * groupBy(quality value) count and the value-keyed join back
+    * (AQE broadcasts the tiny cumulative table); the rank window runs
+    * over DISTINCT QUALITY VALUES (bounded — quality_milli is capped at
+    * 1000), never over corpus rows. Exact global deciles with no global
+    * sort: the shape that stays payable at 100 TB.
+    */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_milli"))
+    val n = q.count()
+    val cum = q
+      .groupBy("quality_milli")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("quality_milli")))
+      .select(col("quality_milli"), col("cum"))
+    q.join(cum, "quality_milli")
+      .select(
+        col("doc_id"),
+        col("quality_milli"),
+        expr(s"(10 * cum + ${n}L - 1) div ${n}L").as("decile")
+      )
+  }
+
   /** Fixed-quota stratified sample: exactly `k` documents per source
     * (fewer only when the stratum is smaller), chosen as the k smallest
     * md5(doc_id) keys — a deterministic uniform draw whose membership

@@ -677,6 +677,20 @@ object OpsQueries {
       s"CAST((cum - 1) // $c AS BIGINT) AS seq_end FROM cm"
   }
 
+  /** Curriculum quality binning (Sampling.qualityDeciles): exact decile
+    * of each doc's quality_milli via the histogram-cumulative rule —
+    * decile = ceil(10*cum/n), ties share a bin.
+    */
+  val qualityDeciles: Q = (s, dir) => Sampling.qualityDeciles(docs(s, dir))
+
+  val qualityDecilesSql: String =
+    s"WITH qual AS ($textQualitySql), " +
+      "h AS (SELECT quality_milli, count(*) AS c FROM qual GROUP BY 1), " +
+      "cm AS (SELECT quality_milli, sum(c) OVER (ORDER BY quality_milli) AS cum FROM h), " +
+      "n AS (SELECT count(*) AS n FROM qual) " +
+      "SELECT q.doc_id, q.quality_milli, CAST((10 * cm.cum + n.n - 1) // n.n AS BIGINT) AS decile " +
+      "FROM qual q JOIN cm USING (quality_milli) CROSS JOIN n"
+
   val qualitySample: Q = (s, dir) => Sampling.qualitySample(docs(s, dir))
 
   val qualitySampleSql: String =
@@ -818,6 +832,7 @@ object OpsQueries {
     "source_overlap" -> sourceOverlap,
     "seq_pack" -> seqPack,
     "quality_sample" -> qualitySample,
+    "quality_deciles" -> qualityDeciles,
     "corpus_keep" -> corpusKeep,
     "text_redact" -> textRedact,
     "multimodal_meta" -> multimodalMeta,
@@ -868,6 +883,7 @@ object OpsQueries {
     "source_overlap" -> sourceOverlapSql,
     "seq_pack" -> seqPackSql,
     "quality_sample" -> qualitySampleSql,
+    "quality_deciles" -> qualityDecilesSql,
     "corpus_keep" -> corpusKeepSql,
     "text_redact" -> textRedactSql,
     "multimodal_meta" -> multimodalMetaSql,

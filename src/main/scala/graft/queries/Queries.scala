@@ -957,6 +957,32 @@ object Queries {
       s"SELECT v AS entity, label AS community FROM l$lpaRounds"
   }
 
+  /** Per-community rollup (Analytics.communityStats): sizes + internal/
+    * cross undirected-edge counts over the LPA partition; the oracle
+    * composes the unrolled LPA rounds with the same distinct
+    * least/greatest edge set and two label joins.
+    */
+  val kgCommStats: Q = (s, dir) =>
+    Analytics.communityStats(TokenRules.triples(docs(s, dir)), iterations = lpaRounds)
+
+  val kgCommStatsSql: String = {
+    // same unrolled-LPA CTE chain as kg_communities, plus the rollup
+    val lpaIdx = kgCommunitiesSql.indexOf("SELECT v AS entity")
+    val ctes = kgCommunitiesSql.substring(0, lpaIdx)
+    ctes +
+      s", lab AS (SELECT v AS entity, label AS community FROM l$lpaRounds), " +
+      "edu AS (SELECT DISTINCT least(subject, obj) AS a, greatest(subject, obj) AS b FROM tr WHERE subject <> obj), " +
+      "lb AS (SELECT e.a, e.b, la.community AS ca, lbj.community AS cb FROM edu e " +
+      "JOIN lab la ON la.entity = e.a JOIN lab lbj ON lbj.entity = e.b), " +
+      "sz AS (SELECT community, CAST(count(*) AS BIGINT) AS n_entities FROM lab GROUP BY 1), " +
+      "inn AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS n_internal FROM lb WHERE ca = cb GROUP BY 1), " +
+      "crx AS (SELECT community, CAST(count(*) AS BIGINT) AS n_cross FROM " +
+      "(SELECT unnest([ca, cb]) AS community FROM lb WHERE ca <> cb) GROUP BY 1) " +
+      "SELECT sz.community, sz.n_entities, CAST(coalesce(inn.n_internal, 0) AS BIGINT) AS n_internal, " +
+      "CAST(coalesce(crx.n_cross, 0) AS BIGINT) AS n_cross " +
+      "FROM sz LEFT JOIN inn ON inn.community = sz.community LEFT JOIN crx ON crx.community = sz.community"
+  }
+
   /** Deterministic negative samples for KG-embedding training
     * (Analytics.negativeSamples): within-relation tail corruption via a
     * seeded md5 shuffle, wrap-around pairing, and a filtered anti-join
@@ -1015,6 +1041,7 @@ object Queries {
     "kg_walk_cooc" -> kgWalkCooc,
     "kg_negatives" -> kgNegatives,
     "kg_communities" -> kgCommunities,
+    "kg_comm_stats" -> kgCommStats,
     "events_sessions" -> eventsSessions,
     "events_funnel" -> eventsFunnel,
     "events_cohorts" -> eventsCohorts,
@@ -1063,6 +1090,7 @@ object Queries {
     "kg_walk_cooc" -> kgWalkCoocSql,
     "kg_negatives" -> kgNegativesSql,
     "kg_communities" -> kgCommunitiesSql,
+    "kg_comm_stats" -> kgCommStatsSql,
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_cohorts" -> eventsCohortsSql,

@@ -310,6 +310,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("x" -> "y", "y" -> "x", "z" -> "y"))
   }
 
+  test("communityStats: sizes, internal edges, and shared cross edge") {
+    // two triangles bridged by c-d; communities {a,b,c}->a, {d,e,f}->c
+    // (hand-unrolled above); each triangle has 3 internal edges, the
+    // bridge counts once for EACH side
+    val tr = triplesDf(
+      ("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"),
+      ("d", "r", "e"), ("e", "r", "f"), ("f", "r", "d"),
+      ("c", "r", "d")
+    )
+    val got = Analytics.communityStats(tr, iterations = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("a", 3L, 3L, 1L), ("c", 3L, 3L, 1L)))
+  }
+
   test("negativeSamples: exact replay of the seeded window rule, filtered") {
     // sparse bipartite 'likes' graph (skip (i+j)%3==0 pairs so real
     // triples exist for the anti-join to catch) + one singleton relation

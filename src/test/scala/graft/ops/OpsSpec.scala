@@ -457,6 +457,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 3L, 777L, 666L), (2L, 1L, 333L, 333L)))
   }
 
+  test("qualityDeciles: exact ceil(10*cum/n) replay; ties share a bin") {
+    val quality = TextAnalysis.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val n = quality.size.toLong
+    def cum(v: Long): Long = quality.values.count(_ <= v).toLong
+    val expected = quality.map { case (id, v) => (id, v, (10 * cum(v) + n - 1) / n) }.toSet
+    val got = Sampling.qualityDeciles(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // deciles are within 1..10 and monotone in the quality value
+    assert(got.forall(t => t._3 >= 1 && t._3 <= 10))
+    val byV = got.toSeq.sortBy(_._2).map(_._3)
+    assert(byV == byV.sorted)
+  }
+
   test("lmBigrams: top-k per head keeps (cnt desc, w2 asc) order") {
     val fixture = Seq((1L, "x a x b x b x c")).toDF("doc_id", "text")
     // from x: (x,a) 1, (x,b) 2, (x,c) 1; also (a,x),(b,x)x2,(c? none)
