@@ -487,6 +487,49 @@ object OpsQueries {
       "SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_milli FROM top WHERE rank <= 10"
   }
 
+  /** BPE merge learning (Bpe.learnMerges, 4 rounds). The oracle unrolls
+    * the identical rounds positionally: per round, weighted adjacent-
+    * pair counts, (cnt desc, pair) argmax, leftmost-greedy merge via
+    * run-parity flags (merges at even offsets of each equal-symbol run
+    * — exactly the Spark fold's greedy rule), consumed-row drop and
+    * re-index. MATERIALIZED per round for the usual anti-inlining
+    * reason.
+    */
+  val BpeRounds = 4
+
+  val bpeMerges: Q = (s, dir) => graft.ops.Bpe.learnMerges(docs(s, dir), BpeRounds)
+
+  val bpeMergesSql: String = {
+    val base =
+      "WITH w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents) GROUP BY word), " +
+        "s1 AS MATERIALIZED (SELECT word, freq, CAST(unnest(range(1, length(word) + 1)) AS BIGINT) AS i, " +
+        "unnest(list_transform(range(1, length(word) + 1), i -> word[i:i])) AS sym FROM w0)"
+    val rounds = (1 to BpeRounds).map { r =>
+      s"p$r AS MATERIALIZED (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+        s"SELECT freq, sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY i) AS b FROM s$r) " +
+        "WHERE b IS NOT NULL GROUP BY 1, 2), " +
+        s"m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1), " +
+        s"rs$r AS MATERIALIZED (SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS run_start FROM (" +
+        s"SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp FROM s$r " +
+        s"WHERE sym = (SELECT a FROM m$r))), " +
+        s"f$r AS MATERIALIZED (SELECT s.word, s.freq, s.i, s.sym, " +
+        "lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.i) AS nsym, " +
+        "CASE WHEN s.sym = m.a AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.i) = m.b " +
+        "AND (m.a <> m.b OR ((s.i - rs.run_start) % 2) = 0) THEN 1 ELSE 0 END AS mstart " +
+        s"FROM s$r s CROSS JOIN m$r m LEFT JOIN rs$r rs ON rs.word = s.word AND rs.i = s.i), " +
+        s"s${r + 1} AS MATERIALIZED (SELECT word, freq, " +
+        "CAST(row_number() OVER (PARTITION BY word ORDER BY i) AS BIGINT) AS i, " +
+        "CASE WHEN mstart = 1 THEN sym || nsym ELSE sym END AS sym " +
+        s"FROM (SELECT *, lag(mstart, 1, 0) OVER (PARTITION BY word ORDER BY i) AS consumed FROM f$r) " +
+        "WHERE consumed = 0)"
+    }.mkString(", ", ", ", " ")
+    val sel = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS rnk, a AS lhs, b AS rhs, a || b AS merged, cnt FROM m$r")
+      .mkString(" UNION ALL ")
+    base + rounds + sel
+  }
+
   val stratifiedSample: Q = (s, dir) => Sampling.stratifiedSample(docs(s, dir))
 
   val stratifiedSampleSql: String =
@@ -829,6 +872,7 @@ object OpsQueries {
     "data_split" -> dataSplit,
     "length_histogram" -> lengthHistogram,
     "vocab_topk" -> vocabTopK,
+    "bpe_merges" -> bpeMerges,
     "source_overlap" -> sourceOverlap,
     "seq_pack" -> seqPack,
     "quality_sample" -> qualitySample,
@@ -880,6 +924,7 @@ object OpsQueries {
     "data_split" -> dataSplitSql,
     "length_histogram" -> lengthHistogramSql,
     "vocab_topk" -> vocabTopKSql,
+    "bpe_merges" -> bpeMergesSql,
     "source_overlap" -> sourceOverlapSql,
     "seq_pack" -> seqPackSql,
     "quality_sample" -> qualitySampleSql,

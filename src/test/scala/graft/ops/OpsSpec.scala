@@ -457,6 +457,24 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 3L, 777L, 666L), (2L, 1L, 333L, 333L)))
   }
 
+  test("bpe merges: hand-computed rounds with greedy equal-run merging, early stop") {
+    // words: aaab x2, ab x1
+    // r1: pairs (a,a):4 (two per 'aaab'), (a,b):3 -> merge (a,a)->aa
+    //     greedy on aaab: [aa, a, b] (first two a's merge, third stays)
+    // r2: (aa,a):2, (a,b):3 -> merge (a,b)->ab; aaab -> [aa, ab], ab -> [ab]
+    // r3: (aa,ab):2 -> merge -> aaab
+    // r4: no pairs left -> early stop at 3 rows
+    val fx = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = graft.ops.Bpe.learnMerges(fx, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)
+    ))
+  }
+
   test("qualityDeciles: exact ceil(10*cum/n) replay; ties share a bin") {
     val quality = TextAnalysis.quality(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(5)).toMap
