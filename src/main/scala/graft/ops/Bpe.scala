@@ -48,13 +48,15 @@ object Bpe {
       st => st.getField("acc")
     )
 
-  /** Learn `rounds` merges over the corpus; output one row per learned
-    * merge: (rnk, lhs, rhs, merged, cnt). Stops early if the vocabulary
-    * runs out of adjacent pairs (every word fully merged).
+  /** The trainer loop shared by [[learnMerges]] and [[segment]]:
+    * returns the learned merge list and the FINAL per-word symbol
+    * table. Stops early if the vocabulary runs out of adjacent pairs
+    * (every word fully merged).
     */
-  def learnMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  private def train(
+      docs: DataFrame,
+      rounds: Int
+  ): (Seq[(Long, String, String, String, Long)], DataFrame) = {
     var syms = graft.util.Materialize.stage(
       docs
         .select(explode(TokenRules.tokens(col("text"))).as("word"))
@@ -98,6 +100,43 @@ object Bpe {
         r += 1
       }
     }
-    out.toSeq.toDF("rnk", "lhs", "rhs", "merged", "cnt")
+    (out.toSeq, syms)
+  }
+
+  /** Learn `rounds` merges over the corpus; output one row per learned
+    * merge: (rnk, lhs, rhs, merged, cnt).
+    */
+  def learnMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, rounds)._1.toDF("rnk", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Segment the corpus with the merges learned by [[learnMerges]]:
+    * per document, the whitespace token count and the BPE symbol count
+    * after applying all `rounds` merges — the number the batch planner
+    * actually packs on (compression ratio = n_tokens / n_bpe_syms).
+    * Output: (doc_id, n_tokens, n_bpe_syms) for non-empty docs.
+    *
+    * Shape at scale: the merges are learned once (vocab-bound rounds,
+    * see learnMerges); segmentation itself is ONE corpus scan — the
+    * per-word symbol counts live in the vocab-sized table the trainer
+    * already built, and each document joins its distinct words against
+    * it (AQE broadcasts the vocab when it fits), then re-aggregates on
+    * doc_id weighted by per-doc word counts.
+    */
+  def segment(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val wordSyms = train(docs, rounds)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    docs
+      .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("n"))
+      .join(wordSyms, "word")
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_tokens"),
+        sum(col("n") * col("n_syms")).as("n_bpe_syms")
+      )
   }
 }

@@ -499,7 +499,10 @@ object OpsQueries {
 
   val bpeMerges: Q = (s, dir) => graft.ops.Bpe.learnMerges(docs(s, dir), BpeRounds)
 
-  val bpeMergesSql: String = {
+  /** CTE chain shared by the merge-table and segmentation oracles:
+    * ends with the final symbol table s{BpeRounds + 1}.
+    */
+  private val bpeCtes: String = {
     val base =
       "WITH w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
         "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents) GROUP BY word), " +
@@ -524,11 +527,27 @@ object OpsQueries {
         s"FROM (SELECT *, lag(mstart, 1, 0) OVER (PARTITION BY word ORDER BY i) AS consumed FROM f$r) " +
         "WHERE consumed = 0)"
     }.mkString(", ", ", ", " ")
-    val sel = (1 to BpeRounds)
+    base + rounds
+  }
+
+  val bpeMergesSql: String =
+    bpeCtes + (1 to BpeRounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS rnk, a AS lhs, b AS rhs, a || b AS merged, cnt FROM m$r")
       .mkString(" UNION ALL ")
-    base + rounds + sel
-  }
+
+  /** BPE segmentation stats (Bpe.segment): per-doc whitespace token and
+    * post-merge BPE symbol counts, via the final symbol table of the
+    * shared unrolled trainer chain.
+    */
+  val bpeSegment: Q = (s, dir) => graft.ops.Bpe.segment(docs(s, dir), BpeRounds)
+
+  val bpeSegmentSql: String =
+    bpeCtes +
+      s", ws AS (SELECT word, CAST(count(*) AS BIGINT) AS n_syms FROM s${BpeRounds + 1} GROUP BY word), " +
+      "dt AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents), " +
+      "dwc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1, 2) " +
+      "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(n * n_syms) AS BIGINT) AS n_bpe_syms " +
+      "FROM dwc JOIN ws USING (word) GROUP BY doc_id"
 
   val stratifiedSample: Q = (s, dir) => Sampling.stratifiedSample(docs(s, dir))
 
@@ -873,6 +892,7 @@ object OpsQueries {
     "length_histogram" -> lengthHistogram,
     "vocab_topk" -> vocabTopK,
     "bpe_merges" -> bpeMerges,
+    "bpe_segment" -> bpeSegment,
     "source_overlap" -> sourceOverlap,
     "seq_pack" -> seqPack,
     "quality_sample" -> qualitySample,
@@ -925,6 +945,7 @@ object OpsQueries {
     "length_histogram" -> lengthHistogramSql,
     "vocab_topk" -> vocabTopKSql,
     "bpe_merges" -> bpeMergesSql,
+    "bpe_segment" -> bpeSegmentSql,
     "source_overlap" -> sourceOverlapSql,
     "seq_pack" -> seqPackSql,
     "quality_sample" -> qualitySampleSql,

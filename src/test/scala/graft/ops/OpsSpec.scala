@@ -475,6 +475,29 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("bpe segment: per-doc symbol counts after the learned merges") {
+    // same corpus as the merge test: after 3 merges aaab -> [aaab] (1
+    // symbol), ab -> [ab] (1 symbol)
+    val fx = Seq((1L, "aaab aaab ab"), (2L, "ab ab")).toDF("doc_id", "text")
+    // merges learned over BOTH docs: (a,a):4, (a,b):5 -> r1 (a,b)!
+    // recompute: words aaab x2, ab x3; pairs: (a,a): 2*2=4, (a,b): 2+3=5
+    // r1 merge (a,b)->ab: aaab -> [a,a,ab], ab -> [ab]
+    // r2 pairs: (a,a):2, (a,ab):2 -> tie on cnt, (a,a) < (a,ab) -> merge (a,a)->aa
+    //    aaab -> [aa, ab]
+    // r3 pairs: (aa,ab):2 -> merge -> [aaab]
+    // r4: dry
+    // final syms: aaab -> 1, ab -> 1
+    // doc 1: n_tokens 3, syms 3; doc 2: n_tokens 2, syms 2
+    val got = graft.ops.Bpe.segment(fx, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 3L), (2L, 2L, 2L)))
+    // fewer rounds leave words partially merged: with 1 round (a,b)->ab,
+    // aaab = [a,a,ab] (3 syms), ab = [ab] (1 sym)
+    val got1 = graft.ops.Bpe.segment(fx, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got1 == Set((1L, 3L, 7L), (2L, 2L, 2L)))
+  }
+
   test("qualityDeciles: exact ceil(10*cum/n) replay; ties share a bin") {
     val quality = TextAnalysis.quality(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(5)).toMap
