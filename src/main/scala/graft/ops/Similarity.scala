@@ -109,6 +109,56 @@ object Similarity {
       .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Per-label embedding centroids in long format (label, dim, cval) —
+    * the exact floor-mean of each label's quantized vectors per
+    * dimension (same integer mean rule as the IVF trainer, so both
+    * engines agree bit-for-bit). The per-class centroid table is what
+    * domain-drift monitors and prototype classifiers read.
+    *
+    * Shape at scale: one posexplode (constant ×dims fan-out) and ONE
+    * partial-aggregated exchange on (label, dim) — label count × dims
+    * output rows, corpus passes: one.
+    */
+  def centroids(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum("x").as("s"), count(lit(1)).as("c"))
+      .select(
+        col("label").cast("long").as("label"),
+        col("dim").cast("long").as("dim"),
+        // floor division that is exact for negative sums too (same
+        // expression the IVF/PQ trainers and their oracles share)
+        expr("(s - (((s % c) + c) % c)) div c").as("cval")
+      )
+
+  /** Within-class scatter per label: vector count and the exact summed
+    * squared distance to the label centroid — the intra-class variance
+    * numerator (in quantized-unit²) a clustering-quality or
+    * embedding-collapse monitor tracks. Output: (label, n, spread_d2).
+    *
+    * Shape at scale: the centroid table is label×dims rows (tiny — AQE
+    * broadcasts it); the corpus is exploded once and joined on
+    * (label, dim), then one partial-aggregated exchange on label.
+    */
+  def centroidSpread(embeddings: DataFrame): DataFrame = {
+    val cent = centroids(embeddings)
+    quantized(embeddings)
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        posexplode(col("v")).as(Seq("dim", "x"))
+      )
+      .withColumn("dim", col("dim").cast("long"))
+      .join(cent, Seq("label", "dim"))
+      .withColumn("d", col("x") - col("cval"))
+      .groupBy("label")
+      .agg(
+        count_distinct(col("vec_id")).as("n"),
+        sum(col("d") * col("d")).as("spread_d2")
+      )
+  }
+
   val Planes = 8
 
   /** Deterministic integer hyperplane weight for (plane j, dim d) —

@@ -431,6 +431,43 @@ object TextAnalysis {
       .groupBy("source", "bucket")
       .agg(max("rank").as("max_rank"))
 
+  /** Count-min sketch depth (rows) and width (columns). */
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** Mergeable count-min sketch of the corpus token-frequency
+    * distribution: `CmsDepth` independent md5-routed rows of `CmsWidth`
+    * counters; a token occurrence adds 1 to one counter per row.
+    * Registers merge by SUM — sketch(A ∪ B) = sketch(A) + sketch(B)
+    * (OpsSpec asserts it), and a point estimate min over rows never
+    * under-counts (the CMS one-sided guarantee, also asserted). The
+    * companion to [[distinctSketch]] (HLL shape, max-merge): together
+    * they are the pair of mergeable register artifacts a 100 TB corpus
+    * profile stores per shard instead of exact value-level shuffles.
+    * Output: (row, col, cnt) — CmsDepth × CmsWidth rows total.
+    *
+    * Shape at scale: one scan, a constant ×CmsDepth row fan-out inside
+    * the projection, and ONE partial-aggregated exchange on the tiny
+    * (row, col) key — per-partition registers combine map-side exactly
+    * like production sketch pipelines.
+    */
+  def cmSketch(docs: DataFrame): DataFrame = {
+    val rows = (0 until CmsDepth).map { r =>
+      val h = md5(concat(lit(s"$r:"), col("tok")))
+      struct(
+        lit(r.toLong).as("row"),
+        pmod(ascii(substring(h, 1, 1)) * lit(256) + ascii(substring(h, 2, 1)), lit(CmsWidth))
+          .cast("long")
+          .as("col")
+      )
+    }
+    docs
+      .select(explode(TokenRules.tokens(col("text"))).as("tok"))
+      .select(explode(array(rows: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     val n = docs.count()
     // tf feeds both the document-frequency aggregate and the final

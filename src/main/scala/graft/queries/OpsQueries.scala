@@ -369,6 +369,49 @@ object OpsQueries {
       "SELECT source, bucket, max(rank) AS max_rank FROM r GROUP BY source, bucket"
   }
 
+  /** Count-min sketch registers (TextAnalysis.cmSketch) — identical md5
+    * routing in the oracle; merge-by-sum and the one-sided point-query
+    * guarantee are asserted in OpsSpec.
+    */
+  val textCms: Q = (s, dir) => TextAnalysis.cmSketch(docs(s, dir))
+
+  val textCmsSql: String = {
+    val w = TextAnalysis.CmsWidth
+    val rows = (0 until TextAnalysis.CmsDepth)
+      .map { r =>
+        s"SELECT CAST($r AS BIGINT) AS row, " +
+          s"CAST((ascii(substr(md5('$r:' || tok), 1, 1)) * 256 + ascii(substr(md5('$r:' || tok), 2, 1))) % $w AS BIGINT) AS col FROM tks"
+      }
+      .mkString(" UNION ALL ")
+    "WITH tks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), " +
+      s"rc AS ($rows) " +
+      "SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM rc GROUP BY 1, 2"
+  }
+
+  /** Per-label centroids + within-class scatter (Similarity.centroids /
+    * .centroidSpread) — the same exact floor-mean rule as the IVF/PQ
+    * trainers, replayed dimension-wise in the oracle.
+    */
+  val embCentroids: Q = (s, dir) => Similarity.centroids(emb(s, dir))
+
+  private val centroidCtes: String =
+    s"$quantCte, " +
+      "exd AS (SELECT CAST(label AS BIGINT) AS label, vec_id, " +
+      "CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim, unnest(v) AS x FROM q), " +
+      "cen AS (SELECT label, dim, CAST((s - (((s % c) + c) % c)) // c AS BIGINT) AS cval FROM " +
+      "(SELECT label, dim, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c FROM exd GROUP BY 1, 2))"
+
+  val embCentroidsSql: String =
+    s"WITH $centroidCtes SELECT label, dim, cval FROM cen"
+
+  val embSpread: Q = (s, dir) => Similarity.centroidSpread(emb(s, dir))
+
+  val embSpreadSql: String =
+    s"WITH $centroidCtes " +
+      "SELECT e.label, CAST(count(DISTINCT e.vec_id) AS BIGINT) AS n, " +
+      "CAST(sum((e.x - c.cval) * (e.x - c.cval)) AS BIGINT) AS spread_d2 " +
+      "FROM exd e JOIN cen c ON c.label = e.label AND c.dim = e.dim GROUP BY e.label"
+
   /** Bigram LM table — top-5 continuations per head word with integer
     * conditional probability and collocation lift
     * (TextAnalysis.lmBigrams); the oracle replays the identical
@@ -872,6 +915,9 @@ object OpsQueries {
     "text_token_counts" -> textTokenCounts,
     "text_keywords" -> textKeywords,
     "text_sketch" -> textSketch,
+    "text_cms" -> textCms,
+    "emb_centroids" -> embCentroids,
+    "emb_spread" -> embSpread,
     "lm_bigrams" -> lmBigrams,
     "text_lm_score" -> textLmScore,
     "source_drift" -> sourceDrift,
@@ -925,6 +971,9 @@ object OpsQueries {
     "text_token_counts" -> textTokenCountsSql,
     "text_keywords" -> textKeywordsSql,
     "text_sketch" -> textSketchSql,
+    "text_cms" -> textCmsSql,
+    "emb_centroids" -> embCentroidsSql,
+    "emb_spread" -> embSpreadSql,
     "lm_bigrams" -> lmBigramsSql,
     "text_lm_score" -> textLmScoreSql,
     "source_drift" -> sourceDriftSql,

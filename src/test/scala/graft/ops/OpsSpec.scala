@@ -95,6 +95,41 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("cmSketch: registers merge by sum; point estimate never under-counts") {
+    val a = Seq((1L, "x x y"), (2L, "z")).toDF("doc_id", "text")
+    val b = Seq((3L, "x w w")).toDF("doc_id", "text")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cmSketch(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ra = regs(a); val rb = regs(b); val rab = regs(a.unionByName(b))
+    val keys = ra.keySet ++ rb.keySet
+    assert(rab == keys.map(k => k -> (ra.getOrElse(k, 0L) + rb.getOrElse(k, 0L))).toMap)
+    // CMS guarantee: min-over-rows point query >= true count
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def est(tok: String): Long = (0 until TextAnalysis.CmsDepth).map { r =>
+      val h = md5hex(s"$r:$tok")
+      val col = math.floorMod(h(0).toInt * 256 + h(1).toInt, TextAnalysis.CmsWidth).toLong
+      rab.getOrElse((r.toLong, col), 0L)
+    }.min
+    val truth = Map("x" -> 3L, "y" -> 1L, "z" -> 1L, "w" -> 2L)
+    truth.foreach { case (t, c) => assert(est(t) >= c, s"under-count for $t") }
+  }
+
+  test("centroids and spread: exact floor-mean and within-class scatter") {
+    val fx = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cent = Similarity.centroids(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cent == Set((0L, 0L, 50L), (0L, 1L, 50L), (1L, 0L, 90L), (1L, 1L, 10L)))
+    val spread = Similarity.centroidSpread(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spread == Set((0L, 2L, 10000L), (1L, 1L, 0L)))
+  }
+
   test("hardNegatives: top similar different-label vectors, same-label excluded") {
     val fx = Seq(
       (0L, Seq(1.0f, 0.0f), 0), // query
