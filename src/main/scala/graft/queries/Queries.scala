@@ -726,6 +726,19 @@ object Queries {
       "(1000 * CAST(sum(k) AS BIGINT)) // count(*) AS avg_k_milli " +
       "FROM k WHERE k IS NOT NULL GROUP BY event_type"
 
+  /** First-order event-transition matrix (EventsStream.transitions):
+    * per-user consecutive-event pairs, integer conditional probability.
+    */
+  val eventsTransitions: Q = (s, dir) =>
+    graft.streaming.EventsStream.transitions(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsTransitionsSql: String =
+    "WITH nx AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), " +
+      "p AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS cnt FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2), " +
+      "h AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS head_cnt FROM p GROUP BY 1) " +
+      "SELECT p.event_type, p.next_type, p.cnt, (1000 * p.cnt) // h.head_cnt AS p_cond_milli " +
+      "FROM p JOIN h USING (event_type)"
+
   val eventsWindow: Q = (s, dir) =>
     graft.streaming.EventsStream.windowedStats(s.read.parquet(s"$dir/events.parquet"))
 
@@ -1051,6 +1064,7 @@ object Queries {
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
     "events_props" -> eventsProps,
+    "events_transitions" -> eventsTransitions,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier
@@ -1100,6 +1114,7 @@ object Queries {
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,
     "events_props" -> eventsPropsSql,
+    "events_transitions" -> eventsTransitionsSql,
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.model.Triple
@@ -53,6 +54,36 @@ object EventsStream {
     */
   def windowedStatsStreaming(events: DataFrame): DataFrame =
     windowedStats(events.withWatermark("ts", "2 minutes"))
+
+  /** Per-user event-transition matrix — the first-order Markov table a
+    * product-analytics or next-event-prediction job estimates: for every
+    * ordered pair of consecutive events of the SAME user (by ts, event_id
+    * tiebreak), the transition count and integer conditional probability
+    * p(next | current) in milli. Output:
+    * (event_type, next_type, cnt, p_cond_milli).
+    *
+    * Shape at scale: ONE exchange keyed by user for the lead window
+    * (per-user partitions — millions of small sorts, never global),
+    * then a partial-aggregated count on the tiny (type, type) key; the
+    * per-head marginal re-aggregates the already-tiny transition table.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("cnt"))
+    val heads = pairs.groupBy("event_type").agg(sum("cnt").as("head_cnt"))
+    pairs
+      .join(heads, "event_type")
+      .select(
+        col("event_type"),
+        col("next_type"),
+        col("cnt"),
+        expr("(1000 * cnt) div head_cnt").as("p_cond_milli")
+      )
+  }
 
   /** Schema-on-read parsing of the semi-structured `props` JSON column:
     * the integer `k` field is pulled with a codegen'd JSON-path

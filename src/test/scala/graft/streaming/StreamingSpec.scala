@@ -206,6 +206,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("transitions: per-user consecutive pairs with exact conditional probability") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: click -> view -> click; user 2: click -> buy
+    // pairs: (click,view) 1, (view,click) 1, (click,buy) 1
+    // heads: click 2, view 1 -> p(view|click)=500, p(buy|click)=500, p(click|view)=1000
+    val ev = Seq(
+      (1L, t(0), 1L, "click", 0.0, ""),
+      (2L, t(1), 1L, "view", 0.0, ""),
+      (3L, t(2), 1L, "click", 0.0, ""),
+      (4L, t(0), 2L, "click", 0.0, ""),
+      (5L, t(5), 2L, "buy", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("click", "view", 1L, 500L),
+      ("click", "buy", 1L, 500L),
+      ("view", "click", 1L, 1000L)
+    ))
+  }
+
   test("sessionize splits on gaps over the threshold and rolls up per session") {
     import org.apache.spark.sql.functions.col
     // user 1: events at 10:00, 10:10, 10:50 with 30-min gap rule ->
