@@ -289,6 +289,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(Analytics.linkPredict(tr, maxWedgeDegree = 2L).isEmpty)
   }
 
+  test("negativeSamples: properties hold on random graphs (seeded sampling)") {
+    // random sparse graphs over a small alphabet: valid negatives only,
+    // deterministic, and every emitted (s, p, o) is a real triple
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(3, 30)
+      tr <- org.scalacheck.Gen.listOfN(
+        n,
+        for {
+          s <- org.scalacheck.Gen.oneOf("n1", "n2", "n3", "n4", "n5", "n6")
+          p <- org.scalacheck.Gen.oneOf("p1", "p2")
+          o <- org.scalacheck.Gen.oneOf("n1", "n2", "n3", "n4", "n5", "n6")
+        } yield (s, p, o)
+      )
+    } yield tr.distinct
+    new graft.GenSampling {}.forAllSamples(gen, n = 12) { rows =>
+      val tr = triplesDf(rows: _*)
+      val got = Analytics.negativeSamples(tr).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      val real = rows.toSet
+      got.foreach { case (s, p, o, ng) =>
+        assert(real.contains((s, p, o)), "emitted a non-input triple")
+        assert(ng != o, "self negative")
+        assert(!real.contains((s, p, ng)), "corruption exists in the graph")
+      }
+      val again = Analytics.negativeSamples(tr).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      assert(got.sorted.sameElements(again.sorted), "nondeterministic")
+    }
+  }
+
   test("labelPropagation: two triangles + bridge converge to two communities") {
     // triangle {a,b,c}, triangle {d,e,f}, bridge c-d; sync LPA with
     // min-tie — hand-unrolled 4 rounds: {a,b,c} -> a, {d,e,f} -> c

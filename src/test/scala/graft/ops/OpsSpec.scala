@@ -548,6 +548,35 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(byV == byV.sorted)
   }
 
+  test("lmScore: bounds and bigram-count totals hold on random corpora") {
+    val gen = for {
+      nDocs <- org.scalacheck.Gen.choose(1, 8)
+      texts <- org.scalacheck.Gen.listOfN(
+        nDocs,
+        org.scalacheck.Gen
+          .listOf(org.scalacheck.Gen.oneOf("a", "b", "c", "dd", "ee"))
+          .map(_.mkString(" "))
+      )
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    new graft.GenSampling {}.forAllSamples(gen, n = 10) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val got = TextAnalysis.lmScore(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      got.foreach { case (_, n, mean, mn) =>
+        assert(n >= 1)
+        // probabilities are milli-ratios of counts: (0, 1000]
+        assert(mn >= 0 && mn <= 1000 && mean >= mn && mean <= 1000)
+      }
+      // per-doc bigram totals: every doc with >= 2 tokens appears with
+      // exactly (tokens - 1) scored bigrams (the LM join is total)
+      val expectedN = rows.collect {
+        case (id, t) if t.split("\\s+").count(_.nonEmpty) >= 2 =>
+          id -> (t.split("\\s+").count(_.nonEmpty) - 1).toLong
+      }.toMap
+      assert(got.map(g => g._1 -> g._2).toMap == expectedN)
+    }
+  }
+
   test("lmBigrams: top-k per head keeps (cnt desc, w2 asc) order") {
     val fixture = Seq((1L, "x a x b x b x c")).toDF("doc_id", "text")
     // from x: (x,a) 1, (x,b) 2, (x,c) 1; also (a,x),(b,x)x2,(c? none)
