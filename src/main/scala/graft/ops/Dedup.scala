@@ -314,6 +314,35 @@ object Dedup {
     }
   }
 
+  /** The near-dup dedup endgame artifact: the per-document keep/drop
+    * list a curation run writes after [[minhashGroups]] — keep = the
+    * cluster's min doc_id (the deterministic representative) or any
+    * document in no cluster; dup_group is NULL for singletons. Output:
+    * (doc_id, dup_group, keep) for every input document.
+    *
+    * Shape at scale: the group table is the (small) duplicate subset —
+    * the left join back to the corpus is AQE-broadcastable; everything
+    * upstream is the banded-LSH + CC shape documented on
+    * [[minhashGroups]].
+    */
+  def nearDupKeep(
+      docs: DataFrame,
+      thetaPct: Int = 90,
+      seeds: Int = 16,
+      bands: Int = 8,
+      cap: Int = 10
+  ): DataFrame =
+    docs
+      .select(col("doc_id"))
+      .join(minhashGroups(docs, thetaPct, seeds, bands, cap), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("dup_group"),
+        when(col("dup_group").isNull || col("dup_group") === col("doc_id"), 1L)
+          .otherwise(0L)
+          .as("keep")
+      )
+
   val SimhashBits = 16
 
   /** 16-bit SimHash per document over the token multiset. Bit j of a

@@ -36,6 +36,32 @@ object Temporal {
     * engines that have it natively. Output values are quantized
     * integers so the oracle replays it bit-identically.
     */
+  /** SCD2 dimension build — the slowly-changing-dimension pass a
+    * lakehouse warehouse runs to turn an event stream into validity
+    * intervals: per user, each `quoteType` event opens a version row
+    * (user_id, value_milli, valid_from, valid_to) whose valid_to is the
+    * NEXT version's start (NULL = current). The standard
+    * effective-dating shape joins and as-of lookups read from. Values
+    * are quantized to integer milli so both engines agree exactly.
+    *
+    * Shape at scale: one exchange keyed by user + one lead window per
+    * partition — the same single-sort pattern as sessionize; no join,
+    * no global sort.
+    */
+  def scd2(events: DataFrame, quoteType: String = "view"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .where(col("event_type") === quoteType)
+      .select(col("user_id"), col("ts"), col("event_id"), vMilli.as("value_milli"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("value_milli"),
+        col("ts").as("valid_from"),
+        col("valid_to")
+      )
+  }
+
   def asofJoin(
       events: DataFrame,
       probeType: String = "purchase",

@@ -468,6 +468,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Word2vec skip-gram pair table over raw text (the text-side analog
+    * of the graph walk co-occurrence table): for every token, its
+    * neighbors within ±`window` positions, counted over the corpus and
+    * cut to the top `k` contexts per center (cnt desc, context asc) so
+    * the emitted table is vocab-bounded. Output:
+    * (center, context, cnt, rnk).
+    *
+    * Shape at scale: pairs are built INSIDE the scan projection
+    * (flatten of per-position windows — constant ×2·window fan-out, no
+    * join), then one partial-aggregated exchange on (center, context)
+    * and a per-center rank window over the already-aggregated table.
+    */
+  def skipgrams(docs: DataFrame, window: Int = 2, k: Int = 5): DataFrame = {
+    val pairs = docs
+      .select(TokenRules.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(
+        explode(
+          expr(
+            s"""flatten(transform(sequence(1, size(toks)), i ->
+                filter(
+                  transform(sequence(greatest(1, i - $window), least(size(toks), i + $window)),
+                            j -> IF(j = i, CAST(NULL AS struct<center: string, context: string>),
+                                    struct(element_at(toks, i) AS center, element_at(toks, j) AS context))),
+                  x -> x IS NOT NULL)))"""
+          )
+        ).as("p")
+      )
+      .select("p.*")
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+    val byCenter = Window.partitionBy("center").orderBy(col("cnt").desc, col("context"))
+    pairs
+      .withColumn("rnk", row_number().over(byCenter).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     val n = docs.count()
     // tf feeds both the document-frequency aggregate and the final

@@ -106,6 +106,37 @@ object OpsQueries {
       "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node) " +
       "SELECT node AS doc_id, min(label) AS dup_group FROM walk GROUP BY node"
 
+  /** Near-dup keep list (Dedup.nearDupKeep): the dedup verdict table —
+    * composes the shared MinHash pair CTEs + the CC walk + a left join
+    * back to every document.
+    */
+  val dedupKeep: Q = (s, dir) => Dedup.nearDupKeep(docs(s, dir), thetaPct = 90)
+
+  val dedupKeepSql: String =
+    s"WITH RECURSIVE $minhashPairCtes, " +
+      "e AS (SELECT a AS src, b AS dst FROM mhp UNION SELECT b, a FROM mhp), " +
+      "gnodes AS (SELECT DISTINCT src AS node FROM e), " +
+      "walk(node, label) AS (SELECT node, node FROM gnodes " +
+      "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node), " +
+      "grp AS (SELECT node AS doc_id, min(label) AS dup_group FROM walk GROUP BY node) " +
+      "SELECT d.doc_id, grp.dup_group, " +
+      "CAST(CASE WHEN grp.dup_group IS NULL OR grp.dup_group = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+      "FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id"
+
+  /** Word2vec skip-gram pair table (TextAnalysis.skipgrams, window ±2,
+    * top-5 contexts per center).
+    */
+  val textSkipgrams: Q = (s, dir) => TextAnalysis.skipgrams(docs(s, dir))
+
+  val textSkipgramsSql: String =
+    s"WITH $toksCte, " +
+      "ij AS (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM tk WHERE len(toks) >= 2), " +
+      "pr AS (SELECT toks[CAST(i AS INT)] AS center, toks[CAST(j AS INT)] AS context FROM " +
+      "(SELECT toks, i, unnest(range(greatest(1, i - 2), least(len(toks), i + 2) + 1)) AS j FROM ij) WHERE j <> i), " +
+      "c AS (SELECT center, context, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2), " +
+      "r AS (SELECT center, context, cnt, CAST(row_number() OVER (PARTITION BY center ORDER BY cnt DESC, context) AS BIGINT) AS rnk FROM c) " +
+      "SELECT center, context, cnt, rnk FROM r WHERE rnk <= 5"
+
   private val hexHigh = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
 
   private val simhashCtes: String = {
@@ -900,6 +931,8 @@ object OpsQueries {
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_groups" -> dedupGroups,
+    "dedup_keep" -> dedupKeep,
+    "text_skipgrams" -> textSkipgrams,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "emb_neardup" -> embNearDup,
@@ -956,6 +989,8 @@ object OpsQueries {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_groups" -> dedupGroupsSql,
+    "dedup_keep" -> dedupKeepSql,
+    "text_skipgrams" -> textSkipgramsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "emb_neardup" -> embNearDupSql,

@@ -726,6 +726,19 @@ object Queries {
       "(1000 * CAST(sum(k) AS BIGINT)) // count(*) AS avg_k_milli " +
       "FROM k WHERE k IS NOT NULL GROUP BY event_type"
 
+  /** SCD2 dimension build (Temporal.scd2): per-user validity intervals
+    * of the quote value — valid_to = next version's start, NULL open.
+    */
+  val eventsScd: Q = (s, dir) =>
+    graft.ops.Temporal.scd2(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsScdSql: String =
+    "WITH q AS (SELECT user_id, ts, event_id, " +
+      "CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS value_milli " +
+      "FROM events WHERE event_type = 'view') " +
+      "SELECT user_id, value_milli, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM q"
+
   /** First-order event-transition matrix (EventsStream.transitions):
     * per-user consecutive-event pairs, integer conditional probability.
     */
@@ -1065,6 +1078,7 @@ object Queries {
     "events_user_stats" -> eventsUserStats,
     "events_props" -> eventsProps,
     "events_transitions" -> eventsTransitions,
+    "events_scd" -> eventsScd,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier
@@ -1115,6 +1129,7 @@ object Queries {
     "events_user_stats" -> eventsUserStatsSql,
     "events_props" -> eventsPropsSql,
     "events_transitions" -> eventsTransitionsSql,
+    "events_scd" -> eventsScdSql,
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql

@@ -533,6 +533,38 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got1 == Set((1L, 3L, 7L), (2L, 2L, 2L)))
   }
 
+  test("skipgrams: window-2 pairs, counted and ranked per center") {
+    val fx = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    // positions: a(1) b(2) c(3) a(4); window ±2 pairs per position:
+    // 1: (a,b)(a,c); 2: (b,a)(b,c)(b,a); 3: (c,a)(c,b)(c,a); 4: (a,b)(a,c)
+    // counts: (a,b)2 (a,c)2 (b,a)2 (b,c)1 (c,a)2 (c,b)1
+    val got = TextAnalysis.skipgrams(fx, window = 2, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", "b", 2L, 1L), ("a", "c", 2L, 2L),
+      ("b", "a", 2L, 1L), ("b", "c", 1L, 2L),
+      ("c", "a", 2L, 1L), ("c", "b", 1L, 2L)
+    ))
+  }
+
+  test("nearDupKeep: verdict list matches the group assignment") {
+    val groups = Dedup.minhashGroups(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    val got = Dedup.nearDupKeep(docs).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))
+      .toSet
+    val expected = ids.map { id =>
+      val g = groups.get(id)
+      (id, g, if (g.isEmpty || g.contains(id)) 1L else 0L)
+    }
+    assert(got == expected)
+    // exactly one kept representative per multi-doc group
+    groups.values.toSet.foreach { (g: Long) =>
+      assert(got.count(t => t._2.contains(g) && t._3 == 1L) == 1)
+    }
+  }
+
   test("qualityDeciles: exact ceil(10*cum/n) replay; ties share a bin") {
     val quality = TextAnalysis.quality(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(5)).toMap

@@ -14,6 +14,29 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("ts", timestamp_seconds(col("sec")))
       .drop("sec")
 
+  test("scd2: validity intervals chain per user, open-ended current row") {
+    val events = ev(
+      Seq(
+        (1L, 1L, "view", 10L, 1.5),
+        (2L, 1L, "view", 20L, 2.0),
+        (3L, 1L, "purchase", 15L, 9.9), // other type: ignored
+        (4L, 2L, "view", 30L, 0.25)
+      )
+    )
+    val got = Temporal.scd2(events).collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2).getTime / 1000,
+          Option(r.getTimestamp(3)).map(_.getTime / 1000))
+      )
+      .toSet
+    assert(got == Set(
+      (1L, 1500L, 10L, Some(20L)),
+      (1L, 2000L, 20L, None),
+      (2L, 250L, 30L, None)
+    ))
+  }
+
   test("asofJoin: at-or-before with tie inclusion, per-user isolation, same-ts quote tiebreak") {
     val events = ev(
       Seq(
