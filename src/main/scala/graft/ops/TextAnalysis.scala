@@ -787,7 +787,11 @@ object TextAnalysis {
     * everything to |query| terms per doc before scoring, and the top-k
     * is a TakeOrderedAndProject, never a global sort.
     */
-  def bm25(docs: DataFrame, query: String, k: Int = 10): DataFrame = {
+  /** The full BM25 score table (doc_id, score_milli) for every document
+    * matching at least one query term — shared by [[bm25]] (top-k) and
+    * the hybrid rank-fusion retrieval (Hybrid.rrfSearch).
+    */
+  private[ops] def bm25Scores(docs: DataFrame, query: String): DataFrame = {
     val terms = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val tf = graft.util.Materialize.stage(
@@ -816,6 +820,10 @@ object TextAnalysis {
       )
       .groupBy("doc_id")
       .agg(sum("term_score").as("score_milli"))
+  }
+
+  def bm25(docs: DataFrame, query: String, k: Int = 10): DataFrame =
+    bm25Scores(docs, query)
       .orderBy(col("score_milli").desc, col("doc_id"))
       .limit(k)
       .withColumn(
@@ -823,7 +831,6 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("score_milli").desc, col("doc_id"))).cast("long")
       )
       .select("rank", "doc_id", "score_milli")
-  }
 
   /** Inverted-index construction — the retrieval artifact behind
     * [[bm25]]: per term, the document frequency and the sorted posting

@@ -544,9 +544,12 @@ object OpsQueries {
 
   val textBm25: Q = (s, dir) => TextAnalysis.bm25(docs(s, dir), Bm25Query, k = 10)
 
-  val textBm25Sql: String = {
+  /** CTE chain ending in `s(doc_id, score_milli)` — the full BM25 score
+    * table; shared by the top-k and hybrid-RRF oracles.
+    */
+  private val bm25ScoreCtes: String = {
     val terms = Bm25Query.split(" ").map(t => s"'$t'").mkString(", ")
-    s"WITH $toksCte, " +
+    s"$toksCte, " +
       "tq AS (SELECT doc_id, unnest(toks) AS term FROM tk), " +
       "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tq GROUP BY 1, 2), " +
       "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
@@ -556,10 +559,33 @@ object OpsQueries {
       s"FROM tf t JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf WHERE term IN ($terms) GROUP BY 1) df USING (term) " +
       "JOIN dl USING (doc_id) CROSS JOIN st), " +
       "s AS (SELECT doc_id, CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * (250 + (750 * r) // 1000)) // 1000)) AS BIGINT) AS score_milli " +
-      "FROM sc GROUP BY 1), " +
+      "FROM sc GROUP BY 1)"
+  }
+
+  val textBm25Sql: String =
+    s"WITH $bm25ScoreCtes, " +
       "top AS (SELECT doc_id, score_milli, row_number() OVER (ORDER BY score_milli DESC, doc_id) AS rank FROM s) " +
       "SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_milli FROM top WHERE rank <= 10"
-  }
+
+  /** Hybrid BM25 → dense-rerank → RRF retrieval (Hybrid.rrfSearch):
+    * sparse candidates from the shared BM25 score CTEs, cosine to the
+    * vec_id-0 query vector, reciprocal-rank fusion at k=60.
+    */
+  val textRankFusion: Q = (s, dir) =>
+    graft.ops.Hybrid.rrfSearch(docs(s, dir), emb(s, dir), Bm25Query)
+
+  val textRankFusionSql: String =
+    s"WITH $bm25ScoreCtes, $quantCte, " +
+      "br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS bm25_rank FROM s), " +
+      "qv AS (SELECT v AS qv FROM q WHERE vec_id = 0), " +
+      "cand AS (SELECT br.doc_id, br.bm25_rank, " +
+      s"(1000 * ${listDot("q.v", "qv.qv")} * abs(${listDot("q.v", "qv.qv")})) // (${listNorm("q.v")} * ${listNorm("qv.qv")}) AS cos_milli " +
+      "FROM br JOIN q ON q.vec_id = br.doc_id CROSS JOIN qv), " +
+      "cr AS (SELECT doc_id, bm25_rank, CAST(row_number() OVER (ORDER BY cos_milli DESC, doc_id) AS BIGINT) AS cos_rank FROM cand), " +
+      "f AS (SELECT doc_id, bm25_rank, cos_rank, " +
+      "CAST(1000000 // (60 + bm25_rank) + 1000000 // (60 + cos_rank) AS BIGINT) AS rrf_micro FROM cr), " +
+      "top AS (SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank FROM f) " +
+      "SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_rank, cos_rank, rrf_micro FROM top WHERE rank <= 10"
 
   /** BPE merge learning (Bpe.learnMerges, 4 rounds). The oracle unrolls
     * the identical rounds positionally: per round, weighted adjacent-
@@ -958,6 +984,7 @@ object OpsQueries {
     "line_dedup" -> lineDedup,
     "dup_grams" -> dupGrams,
     "text_bm25" -> textBm25,
+    "text_rank_fusion" -> textRankFusion,
     "stratified_sample" -> stratifiedSample,
     "inverted_index" -> invertedIndex,
     "domain_rollup" -> domainRollup,
@@ -1016,6 +1043,7 @@ object OpsQueries {
     "line_dedup" -> lineDedupSql,
     "dup_grams" -> dupGramsSql,
     "text_bm25" -> textBm25Sql,
+    "text_rank_fusion" -> textRankFusionSql,
     "stratified_sample" -> stratifiedSampleSql,
     "inverted_index" -> invertedIndexSql,
     "domain_rollup" -> domainRollupSql,

@@ -130,6 +130,33 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(spread == Set((0L, 2L, 10000L), (1L, 1L, 0L)))
   }
 
+  test("rrfSearch: fusion replays from engine BM25 ranks + independent cosine") {
+    val query = "spark join merge"
+    val bm25 = TextAnalysis.bm25(docs, query, k = Int.MaxValue).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap // doc_id -> bm25_rank
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100 + 0.5).toLong))
+      .toMap
+    val qv = vecs(0L)
+    def cos(v: Seq[Long]): Long = {
+      val dot = v.zip(qv).map { case (a, b) => a * b }.sum
+      val nn = v.map(x => x * x).sum; val qn = qv.map(x => x * x).sum
+      // Spark's `div` truncates toward zero (Scala Long `/` semantics)
+      (1000L * dot * math.abs(dot)) / (nn * qn)
+    }
+    val cands = bm25.keys.filter(vecs.contains).toSeq
+    val cosRank = cands.map(id => id -> cos(vecs(id))).sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val fused = cands.map { id =>
+      val r = 1000000L / (60 + bm25(id)) + 1000000L / (60 + cosRank(id))
+      (id, bm25(id), cosRank(id), r)
+    }.sortBy { case (id, _, _, r) => (-r, id) }.take(10)
+      .zipWithIndex.map { case ((id, b, c, r), i) => ((i + 1).toLong, id, b, c, r) }.toSet
+    val got = graft.ops.Hybrid.rrfSearch(docs, emb, query).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == fused)
+  }
+
   test("hardNegatives: top similar different-label vectors, same-label excluded") {
     val fx = Seq(
       (0L, Seq(1.0f, 0.0f), 0), // query
