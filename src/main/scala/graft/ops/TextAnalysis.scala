@@ -875,6 +875,33 @@ object TextAnalysis {
         col("total_tokens")
       )
 
+  /** Wide-format corpus composition: one row per source, one column per
+    * predicted language (the fixed marker-vocabulary set + 'und'),
+    * value = document count — the `pivot` relational shape a
+    * composition dashboard reads directly. The pivot value list is
+    * EXPLICIT, so Spark skips the extra distinct-values job and the
+    * output schema is deterministic; the aggregation itself is one
+    * partial-aggregated exchange on source (pivot compiles to a single
+    * HashAggregate with one conditional count per column).
+    */
+  def domainPivot(docs: DataFrame): DataFrame = {
+    val langs = markers.keys.toSeq.sorted :+ "und"
+    docs
+      .select(col("source"), TokenRules.tokens(col("text")).as("toks"))
+      .select(
+        col("source"),
+        markerCount("en"),
+        markerCount("de"),
+        markerCount("es"),
+        markerCount("fr")
+      )
+      .withColumn("lang_pred", expr(LangVote))
+      .groupBy("source")
+      .pivot("lang_pred", langs)
+      .agg(count(lit(1)))
+      .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+  }
+
   /** Exact integer token-length percentiles (p50/p90/p99, the
     * percentile_disc rule: smallest length whose cumulative doc count
     * reaches ceil(q·n/100)) — via the distinct-length histogram, so the

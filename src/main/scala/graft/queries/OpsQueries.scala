@@ -685,6 +685,33 @@ object OpsQueries {
       "FROM l GROUP BY ROLLUP(source, lang_pred)"
   }
 
+  /** Wide-format pivot of the source × language composition
+    * (TextAnalysis.domainPivot) — the oracle expresses the same matrix
+    * as one conditional count per column (the semantics Spark's pivot
+    * compiles to).
+    */
+  val domainPivot: Q = (s, dir) => TextAnalysis.domainPivot(docs(s, dir))
+
+  val domainPivotSql: String = {
+    def cnt(lang: String): String = {
+      val set = TextAnalysis.markers(lang).map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($set))) AS c_$lang"
+    }
+    val langs = TextAnalysis.markers.keys.toSeq.sorted :+ "und"
+    val cols = langs
+      .map(l => s"CAST(sum(CASE WHEN lang_pred = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+      .mkString(", ")
+    s"WITH $toksCte, " +
+      s"c AS (SELECT source, ${cnt("en")}, ${cnt("de")}, ${cnt("es")}, ${cnt("fr")} FROM tk), " +
+      "l AS (SELECT source, CASE " +
+      "WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en' " +
+      "WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de' " +
+      "WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es' " +
+      "WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr' " +
+      "ELSE 'und' END AS lang_pred FROM c) " +
+      s"SELECT source, $cols FROM l GROUP BY source"
+  }
+
   val lengthQuantiles: Q = (s, dir) => TextAnalysis.lengthQuantiles(docs(s, dir))
 
   val lengthQuantilesSql: String =
@@ -988,6 +1015,7 @@ object OpsQueries {
     "stratified_sample" -> stratifiedSample,
     "inverted_index" -> invertedIndex,
     "domain_rollup" -> domainRollup,
+    "domain_pivot" -> domainPivot,
     "length_quantiles" -> lengthQuantiles,
     "text_repetition" -> textRepetition,
     "text_decontam" -> textDecontam,
@@ -1047,6 +1075,7 @@ object OpsQueries {
     "stratified_sample" -> stratifiedSampleSql,
     "inverted_index" -> invertedIndexSql,
     "domain_rollup" -> domainRollupSql,
+    "domain_pivot" -> domainPivotSql,
     "length_quantiles" -> lengthQuantilesSql,
     "text_repetition" -> textRepetitionSql,
     "text_decontam" -> textDecontamSql,

@@ -560,6 +560,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got1 == Set((1L, 3L, 7L), (2L, 2L, 2L)))
   }
 
+  test("domainPivot: wide source x language matrix with zero fills") {
+    val fx = Seq(
+      (1L, "the cat and the dog is here", "s1"),
+      (2L, "der hund ist nicht da und die katze", "s1"),
+      (3L, "xyz qrs", "s2") // no markers -> und
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.domainPivot(fx).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // columns: source, n_de, n_en, n_es, n_fr, n_und
+    assert(got == Set(("s1", 1L, 1L, 0L, 0L, 0L), ("s2", 0L, 0L, 0L, 0L, 1L)))
+  }
+
   test("skipgrams: window-2 pairs, counted and ranked per center") {
     val fx = Seq((1L, "a b c a")).toDF("doc_id", "text")
     // positions: a(1) b(2) c(3) a(4); window ±2 pairs per position:
