@@ -726,6 +726,42 @@ object Queries {
       "(1000 * CAST(sum(k) AS BIGINT)) // count(*) AS avg_k_milli " +
       "FROM k WHERE k IS NOT NULL GROUP BY event_type"
 
+  /** Sliding-window stats (EventsStream.slidingStats): 2-minute windows
+    * every minute; the oracle enumerates the two epoch-aligned starts
+    * each event belongs to.
+    */
+  val eventsSliding: Q = (s, dir) =>
+    graft.streaming.EventsStream.slidingStats(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsSlidingSql: String =
+    "WITH w AS (SELECT event_type, unnest([date_trunc('minute', ts), date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS w_start FROM events) " +
+      "SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n_events FROM w GROUP BY 1, 2"
+
+  /** Calendar-exact 3-day rolling daily activity
+    * (EventsStream.rollingDaily) — RANGE frame over integer epoch days.
+    */
+  val eventsRolling: Q = (s, dir) =>
+    graft.streaming.EventsStream.rollingDaily(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsRollingSql: String =
+    "WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events, " +
+      "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1), " +
+      "i AS (SELECT day, n_events, n_users, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_idx FROM d) " +
+      "SELECT day, n_events, n_users, CAST(sum(n_events) OVER " +
+      "(ORDER BY day_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_3d_events FROM i"
+
+  /** Telemetry debounce (EventsStream.debounce): drop events whose
+    * direct same-(user,type) predecessor is within 5 minutes.
+    */
+  val eventsDebounce: Q = (s, dir) =>
+    graft.streaming.EventsStream.debounce(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsDebounceSql: String =
+    "WITH l AS (SELECT event_id, user_id, event_type, ts, " +
+      "lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts FROM events) " +
+      "SELECT event_id, user_id, event_type, ts FROM l " +
+      "WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 300"
+
   /** SCD2 dimension build (Temporal.scd2): per-user validity intervals
     * of the quote value — valid_to = next version's start, NULL open.
     */
@@ -1079,6 +1115,9 @@ object Queries {
     "events_props" -> eventsProps,
     "events_transitions" -> eventsTransitions,
     "events_scd" -> eventsScd,
+    "events_sliding" -> eventsSliding,
+    "events_rolling" -> eventsRolling,
+    "events_debounce" -> eventsDebounce,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier
@@ -1130,6 +1169,9 @@ object Queries {
     "events_props" -> eventsPropsSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_scd" -> eventsScdSql,
+    "events_sliding" -> eventsSlidingSql,
+    "events_rolling" -> eventsRollingSql,
+    "events_debounce" -> eventsDebounceSql,
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql

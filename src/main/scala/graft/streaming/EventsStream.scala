@@ -55,6 +55,63 @@ object EventsStream {
   def windowedStatsStreaming(events: DataFrame): DataFrame =
     windowedStats(events.withWatermark("ts", "2 minutes"))
 
+  /** Sliding-window stats (2-minute windows sliding every minute): each
+    * event lands in exactly duration/slide windows — the overlapping-
+    * window shape alerting and rate monitors read (tumbling windows
+    * miss bursts straddling a boundary). Spark plans the slide as a
+    * window-list generator inside the scan projection (constant ×2
+    * fan-out) plus one partial-aggregated exchange; the oracle
+    * enumerates the same two epoch-aligned starts per event.
+    */
+  def slidingStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Daily activity with an exact 3-CALENDAR-DAY rolling event count:
+    * the day table is aggregated first (one exchange on the tiny day
+    * key), then the rolling sum runs a RANGE frame over integer epoch
+    * days — gaps in the calendar shrink the frame correctly, unlike a
+    * ROWS frame over observed days. The window orders the bounded
+    * per-day table (hundreds of rows at any corpus size), never events.
+    * Output: (day, n_events, n_users, rolling_3d_events).
+    */
+  def rollingDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
+      .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy("day_idx").rangeBetween(-2, 0)
+    daily.select(
+      col("day"),
+      col("n_events"),
+      col("n_users"),
+      sum("n_events").over(w).as("rolling_3d_events")
+    )
+  }
+
+  /** Telemetry debounce — drop an event when the immediately previous
+    * event of the same (user, type) is within `gapSeconds` (the
+    * duplicate-ping suppression rule collectors apply; deliberately
+    * NON-chained — each drop looks only at its direct predecessor, so
+    * the rule is order-independent per row and exactly SQL-expressible
+    * on both engines). Output: the surviving events.
+    *
+    * Shape at scale: one exchange keyed by (user, type) + one lag
+    * window per partition; a per-row filter after — no joins.
+    */
+  def debounce(events: DataFrame, gapSeconds: Long = 300): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(
+        col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds
+      )
+      .select("event_id", "user_id", "event_type", "ts")
+  }
+
   /** Per-user event-transition matrix — the first-order Markov table a
     * product-analytics or next-event-prediction job estimates: for every
     * ordered pair of consecutive events of the SAME user (by ts, event_id

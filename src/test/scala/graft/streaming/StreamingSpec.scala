@@ -206,6 +206,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("slidingStats: each event lands in exactly two overlapping windows") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:30"), 1L, "click", 0.0, ""),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:10"), 1L, "click", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.slidingStats(ev).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    // event 1 -> windows starting 09:59 and 10:00; event 2 -> 10:00 and 10:01
+    assert(got == Set(
+      ("2024-01-01 09:59:00.0", "click", 1L),
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 10:01:00.0", "click", 1L)
+    ))
+  }
+
+  test("rollingDaily: RANGE frame respects calendar gaps") {
+    def d(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // days 1 (2 events), 2 (1), 5 (1): day 2 rolls days 1-2; day 5 rolls
+    // only itself (days 3-4 empty — a ROWS frame would wrongly include day 2)
+    val ev = Seq(
+      (1L, d(1, 9), 1L, "click", 0.0, ""),
+      (2L, d(1, 10), 2L, "click", 0.0, ""),
+      (3L, d(2, 9), 1L, "click", 0.0, ""),
+      (4L, d(5, 9), 1L, "click", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.rollingDaily(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("2024-01-01", 2L, 2L, 2L),
+      ("2024-01-02", 1L, 1L, 3L),
+      ("2024-01-05", 1L, 1L, 1L)
+    ))
+  }
+
+  test("debounce: drops events within the gap of their direct predecessor only") {
+    def t(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    val ev = Seq(
+      (1L, t(0, 0), 1L, "click", 0.0, ""),
+      (2L, t(2, 0), 1L, "click", 0.0, ""), // 120s after 1 -> dropped
+      (3L, t(7, 1), 1L, "click", 0.0, ""), // 301s after 2 -> kept (non-chained rule)
+      (4L, t(0, 30), 1L, "view", 0.0, ""), // other type: independent
+      (5L, t(1, 0), 2L, "click", 0.0, "") // other user: independent
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val kept = EventsStream.debounce(ev, gapSeconds = 300).select("event_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
   test("transitions: per-user consecutive pairs with exact conditional probability") {
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
     // user 1: click -> view -> click; user 2: click -> buy
