@@ -132,4 +132,33 @@ object Multimodal {
       .select(col("doc_id"), posexplode(col("hist")).as(Seq("bin", "n")))
       .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n"))
   }
+
+  /** Perceptual-hash-style payload fingerprint (the aHash rule on the
+    * byte-histogram feature vector): bit j of the `bins`-bit hash is set
+    * iff bin j's mass exceeds the per-payload mean bin mass — the
+    * threshold-against-mean construction average-hash uses on pixel
+    * blocks, applied to the codec-free byte histogram. Near-identical
+    * payloads land within a small hamming distance, so the SimHash
+    * pigeonhole pair machinery applies to media exactly as to text.
+    * Integer-exact: bit j = (bins * hist[j] > total). Output:
+    * (doc_id, phash).
+    *
+    * Shape at scale: one exchange keyed by doc_id, shared by the
+    * per-payload total window and the bit-sum aggregate that follows
+    * on the same partitioning.
+    */
+  def perceptualHash(media: Dataset[MediaRow], bins: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    extractFeatures(media, bins)
+      .withColumn("total", sum("n").over(w))
+      .groupBy("doc_id")
+      .agg(
+        sum(
+          when(
+            lit(bins) * col("n") > col("total"),
+            expr("CAST(1 AS BIGINT) << CAST(bin AS INT)")
+          ).otherwise(0L)
+        ).as("phash")
+      )
+  }
 }

@@ -977,6 +977,22 @@ object OpsQueries {
       "SELECT g.doc_id, g.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n " +
       "FROM g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bin = g.bin"
 
+  /** Perceptual payload hash (Multimodal.perceptualHash): the aHash
+    * threshold-against-mean rule on the 16-bin byte histogram.
+    */
+  val multimodalPhash: Q = (s, dir) =>
+    Multimodal.perceptualHash(Multimodal.mediaTable(docs(s, dir)))
+
+  val multimodalPhashSql: String =
+    "WITH b AS (SELECT doc_id, (ord(substr(text, CAST(i AS INT), 1)) * 16) // 256 AS bin " +
+      "FROM documents CROSS JOIN UNNEST(range(1, strlen(text) + 1)) AS t(i)), " +
+      "c AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), " +
+      "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(coalesce(sum(CASE WHEN 16 * c.n > tot.total " +
+      "THEN (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) ELSE 0 END), 0) AS BIGINT) AS phash " +
+      "FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id LEFT JOIN tot ON tot.doc_id = d.doc_id " +
+      "GROUP BY d.doc_id"
+
   // ----- registry -----
 
   val all: Map[String, Q] = Map(
@@ -1036,7 +1052,8 @@ object OpsQueries {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
-    "multimodal_features" -> multimodalFeatures
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_phash" -> multimodalPhash
   )
 
   val oracles: Map[String, String] = Map(
@@ -1096,6 +1113,7 @@ object OpsQueries {
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,
-    "multimodal_features" -> multimodalFeaturesSql
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_phash" -> multimodalPhashSql
   )
 }

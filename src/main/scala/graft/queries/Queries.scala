@@ -726,6 +726,20 @@ object Queries {
       "(1000 * CAST(sum(k) AS BIGINT)) // count(*) AS avg_k_milli " +
       "FROM k WHERE k IS NOT NULL GROUP BY event_type"
 
+  /** Per-type value stats with exact integer variance
+    * (EventsStream.valueStats).
+    */
+  val eventsValueStats: Q = (s, dir) =>
+    graft.streaming.EventsStream.valueStats(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsValueStatsSql: String =
+    "WITH v AS (SELECT event_type, CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v FROM events), " +
+      "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_centi, " +
+      "CAST(min(v) AS BIGINT) AS min_centi, CAST(max(v) AS BIGINT) AS max_centi, " +
+      "CAST(sum(v * v) AS BIGINT) AS ss FROM v GROUP BY 1) " +
+      "SELECT event_type, n, sum_centi, min_centi, max_centi, " +
+      "CAST(CASE WHEN n > 1 THEN (n * ss - sum_centi * sum_centi) // (n * (n - 1)) ELSE 0 END AS BIGINT) AS var_centi2 FROM a"
+
   /** Sliding-window stats (EventsStream.slidingStats): 2-minute windows
     * every minute; the oracle enumerates the two epoch-aligned starts
     * each event belongs to.
@@ -1116,6 +1130,7 @@ object Queries {
     "events_transitions" -> eventsTransitions,
     "events_scd" -> eventsScd,
     "events_sliding" -> eventsSliding,
+    "events_value_stats" -> eventsValueStats,
     "events_rolling" -> eventsRolling,
     "events_debounce" -> eventsDebounce,
     "q1_agg" -> q1Agg,
@@ -1170,6 +1185,7 @@ object Queries {
     "events_transitions" -> eventsTransitionsSql,
     "events_scd" -> eventsScdSql,
     "events_sliding" -> eventsSlidingSql,
+    "events_value_stats" -> eventsValueStatsSql,
     "events_rolling" -> eventsRollingSql,
     "events_debounce" -> eventsDebounceSql,
     "q1_agg" -> q1AggSql,

@@ -55,6 +55,38 @@ object EventsStream {
   def windowedStatsStreaming(events: DataFrame): DataFrame =
     windowedStats(events.withWatermark("ts", "2 minutes"))
 
+  /** Per-type value-distribution monitor with EXACT integer variance:
+    * n, sum/min/max (centi units) and the sample variance
+    * var = (n·Σv² − (Σv)²) div (n·(n−1)) in centi² — the drift alarm a
+    * metrics pipeline keeps per event type. Centi (not milli)
+    * quantization keeps n·Σv² inside BIGINT at the bench scales; the
+    * production-scale variant lifts the two products to DECIMAL(38,0)
+    * (or Welford in log space) — noted, not silently wrong. Output:
+    * (event_type, n, sum_centi, min_centi, max_centi, var_centi2).
+    *
+    * Shape at scale: one partial-aggregated exchange on the tiny
+    * event_type key; all five aggregates share the pass.
+    */
+  def valueStats(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        expr("CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)").as("v")
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("v").as("sum_centi"),
+        min("v").as("min_centi"),
+        max("v").as("max_centi"),
+        sum(expr("v * v")).as("ss")
+      )
+      .withColumn(
+        "var_centi2",
+        expr("IF(n > 1, (n * ss - sum_centi * sum_centi) div (n * (n - 1)), 0L)")
+      )
+      .select("event_type", "n", "sum_centi", "min_centi", "max_centi", "var_centi2")
+
   /** Sliding-window stats (2-minute windows sliding every minute): each
     * event lands in exactly duration/slide windows — the overlapping-
     * window shape alerting and rate monitors read (tumbling windows

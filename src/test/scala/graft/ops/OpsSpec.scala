@@ -184,6 +184,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == lsh2)
   }
 
+  test("perceptualHash: aHash rule on the byte histogram; near-identical payloads close") {
+    val got = Multimodal.perceptualHash(Multimodal.mediaTable(docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay of the rule from the feature table
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = feats.groupBy(_._1).map { case (id, rows) =>
+      val total = rows.map(_._3).sum
+      id -> rows.collect { case (_, bin, n) if 16 * n > total => 1L << bin.toInt }.sum
+    }
+    assert(got == expected)
+    // near-identical payloads: small hamming distance
+    val base = "the quick brown fox jumps over the lazy dog " * 10
+    val pair = Seq((1L, base, "s"), (2L, base + "!", "s")).toDF("doc_id", "text", "source")
+    val ph = Multimodal.perceptualHash(Multimodal.mediaTable(pair)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(2L)) <= 2)
+  }
+
   test("multimodal decode is batched and deterministic") {
     val meta = Multimodal.decode(Multimodal.mediaTable(docs), batchSize = 7)
     val m = meta.collect()

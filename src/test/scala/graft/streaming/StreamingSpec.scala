@@ -206,6 +206,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("valueStats: hand-computed exact integer variance") {
+    def ts0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // click values 1.00, 2.00, 3.00 -> centi 100, 200, 300:
+    // n=3 sum=600 ss=140000 -> var = (3*140000 - 360000) div 6 = 10000
+    // view single value -> var 0
+    val ev = Seq(
+      (1L, ts0, 1L, "click", 1.0, ""),
+      (2L, ts0, 1L, "click", 2.0, ""),
+      (3L, ts0, 2L, "click", 3.0, ""),
+      (4L, ts0, 2L, "view", 5.5, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventsStream.valueStats(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      ("click", 3L, 600L, 100L, 300L, 10000L),
+      ("view", 1L, 550L, 550L, 550L, 0L)
+    ))
+  }
+
   test("slidingStats: each event lands in exactly two overlapping windows") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:30"), 1L, "click", 0.0, ""),
