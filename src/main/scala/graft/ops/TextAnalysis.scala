@@ -112,6 +112,52 @@ object TextAnalysis {
             acc -> named_struct('best', acc.best, 'nd', acc.nd))"""
     )
 
+  /** Over a SORTED gram array: (sum of squared run lengths, number of
+    * distinct values) — the Σn_i² fold lexical-diversity needs; runs
+    * are adjacent after the sort, so one linear pass suffices.
+    */
+  private def runSumSq(sortedArr: String): Column =
+    expr(
+      s"""aggregate(
+            $sortedArr,
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'ss', 0L, 'nd', 0L),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run',  IF(x <=> acc.prev, acc.run + 1L, 1L),
+              'ss',   IF(x <=> acc.prev, acc.ss, acc.ss + acc.run * acc.run),
+              'nd',   acc.nd + IF(x <=> acc.prev, 0L, 1L)),
+            acc -> named_struct('ss', acc.ss + acc.run * acc.run, 'nd', acc.nd))"""
+    )
+
+  /** Lexical diversity per document — the Gini–Simpson index in exact
+    * ppm: 10^6 − (10^6 · Σ n_i²) div n², where n_i are per-token
+    * occurrence counts. The probability two random token draws differ —
+    * a repetition/diversity quality signal orthogonal to
+    * [[repetition]]'s positional n-gram fractions (no log, so no float
+    * crosses the oracle). Output:
+    * (doc_id, n_tokens, distinct_tokens, simpson_ppm).
+    *
+    * Shape at scale: a pure per-row projection — the token array is
+    * sorted and folded inside one expression tree, ZERO exchanges (the
+    * oracle states the same rule as a per-token group-by; results are
+    * provably equal since runs of a sorted array are the groups).
+    */
+  def diversity(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        runSumSq("array_sort(toks)").as("r")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("r.nd").as("distinct_tokens"),
+        expr("1000000 - (1000000 * r.ss) div (n_tokens * n_tokens)").as("simpson_ppm")
+      )
+
   /** Gopher-style repetition signals per document: the fraction of
     * bigram occurrences taken by the single most frequent bigram, and
     * the fraction of trigram occurrences that are repeats (occurrences

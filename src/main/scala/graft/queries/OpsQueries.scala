@@ -737,6 +737,20 @@ object OpsQueries {
       s"SELECT DISTINCT doc_id, fp FROM fp WHERE pos >= $w"
   }
 
+  /** Gini–Simpson lexical diversity (TextAnalysis.diversity) — the
+    * oracle states the identical rule as a per-token group-by; the
+    * Spark side folds sorted-array runs in one zero-shuffle scan.
+    */
+  val textDiversity: Q = (s, dir) => TextAnalysis.diversity(docs(s, dir))
+
+  val textDiversitySql: String =
+    s"WITH $toksCte, " +
+      "c AS (SELECT doc_id, tok, count(*) AS n FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2), " +
+      "a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS distinct_tokens, " +
+      "CAST(sum(n * n) AS BIGINT) AS ss FROM c GROUP BY 1) " +
+      "SELECT doc_id, n_tokens, distinct_tokens, " +
+      "CAST(1000000 - (1000000 * ss) // (n_tokens * n_tokens) AS BIGINT) AS simpson_ppm FROM a"
+
   val textRepetition: Q = (s, dir) => TextAnalysis.repetition(docs(s, dir))
 
   val textRepetitionSql: String =
@@ -1034,6 +1048,7 @@ object OpsQueries {
     "domain_pivot" -> domainPivot,
     "length_quantiles" -> lengthQuantiles,
     "text_repetition" -> textRepetition,
+    "text_diversity" -> textDiversity,
     "text_decontam" -> textDecontam,
     "domain_stats" -> domainStats,
     "corpus_curate" -> corpusCurate,
@@ -1095,6 +1110,7 @@ object OpsQueries {
     "domain_pivot" -> domainPivotSql,
     "length_quantiles" -> lengthQuantilesSql,
     "text_repetition" -> textRepetitionSql,
+    "text_diversity" -> textDiversitySql,
     "text_decontam" -> textDecontamSql,
     "domain_stats" -> domainStatsSql,
     "corpus_curate" -> corpusCurateSql,

@@ -579,6 +579,22 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got1 == Set((1L, 3L, 7L), (2L, 2L, 2L)))
   }
 
+  test("diversity: hand-computed Gini-Simpson ppm; empty docs excluded") {
+    val fx = Seq(
+      (1L, "a a b"), // n=3, counts {a:2, b:1}, ss=5 -> 1e6 - 5e6 div 9 = 444445
+      (2L, "x x x"), // all same -> 0
+      (3L, "p q r"), // all distinct -> 1e6 - 3e6 div 9 = 666667
+      (4L, "") // empty -> excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.diversity(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 3L, 2L, 444445L),
+      (2L, 3L, 1L, 0L),
+      (3L, 3L, 3L, 666667L)
+    ))
+  }
+
   test("domainPivot: wide source x language matrix with zero fills") {
     val fx = Seq(
       (1L, "the cat and the dog is here", "s1"),
