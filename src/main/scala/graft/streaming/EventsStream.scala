@@ -123,6 +123,18 @@ object EventsStream {
     )
   }
 
+  /** Stream-static enrichment: join a live event stream against a
+    * static dimension table (event_type → attributes) — the standard
+    * streaming lookup-join. The static side is broadcast per
+    * micro-batch (Spark re-plans it each batch, so a refreshed
+    * dimension snapshot is picked up without restarting the query);
+    * works identically on batch frames, which is what the parity test
+    * asserts. Left join: unknown event types pass through with NULL
+    * attributes rather than being dropped mid-stream.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
   /** Telemetry debounce — drop an event when the immediately previous
     * event of the same (user, type) is within `gapSeconds` (the
     * duplicate-ping suppression rule collectors apply; deliberately

@@ -53,6 +53,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrich: stream-static left join equals batch; unknown types pass through") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq(("click", 10L), ("view", 20L)).toDF("event_type", "weight")
+    val withUnknown = rows :+ EventRow(ts(3, 0), "mystery", 9L, 0.0)
+    val ms = MemoryStream[EventRow]
+    val q = EventsStream
+      .enrich(ms.toDF(), dim)
+      .writeStream
+      .format("memory")
+      .queryName("enrich_stream")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(withUnknown: _*)
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Long])))
+        .toSet
+      val streamed = shape(spark.table("enrich_stream"))
+      val batch = shape(EventsStream.enrich(withUnknown.toDF(), dim))
+      assert(streamed == batch)
+      assert(streamed.contains(("mystery", 9L, None))) // left join keeps unknowns
+      assert(streamed.contains(("click", 1L, Some(10L))))
+    } finally q.stop()
+  }
+
   test("newTriples: stateful streaming distinct emits each triple once") {
     implicit val sql = spark.sqlContext
     val ms = MemoryStream[Triple]
