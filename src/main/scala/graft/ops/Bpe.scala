@@ -14,16 +14,29 @@ import graft.extract.TokenRules
   * the oracle replays positionally.
   *
   * Shape at scale: BPE trains on the WORD-FREQUENCY table, not the
-  * corpus — one corpus scan builds (word, freq), and every one of the
-  * `rounds` iterations runs over the vocab-sized symbol table: a
-  * partial-aggregated pair count (map-side combined), a 1-row argmax to
-  * the driver (TakeOrderedAndProject — corpus-size-independent), and a
-  * zero-shuffle per-word fold applying the merge. Rounds re-stage
-  * through Materialize so iteration lineage never replays. This is
-  * exactly how production BPE trainers stay payable on 100 TB: the
-  * corpus is touched once, the loop is vocab-bound.
+  * corpus — one corpus scan builds (word, freq), and everything after is
+  * vocab-bound. The merge loop itself is ADAPTIVE (mirroring
+  * `Dedup.groupsFromCached`'s driver gate): when the vocabulary fits
+  * under `driverVocabThreshold` it is collected once and ALL merge
+  * rounds run in driver memory with incrementally-maintained pair
+  * counts — O(affected-word length) per round after the initial count,
+  * no per-round Spark job. That is how a real 32k-merge tokenizer stays
+  * payable: the alternative (one distributed aggregate + driver argmax
+  * PER ROUND) schedules ~64k jobs of pure coordination overhead. The
+  * distributed loop remains as the fallback for vocabularies too large
+  * to collect, and the two paths are merge-for-merge identical (same
+  * counts, same UTF-8-binary tie-break, same leftmost-greedy
+  * application — asserted by BpeSpec's parity test at 64 rounds).
   */
 object Bpe {
+
+  /** Vocabulary-size gate for the in-memory trainer: at or below this
+    * many distinct words the (word, freq) table collects to the driver
+    * (a few hundred MB at the default — same order as
+    * `Dedup.groupsFromCached`'s pair gate); above it the distributed
+    * per-round loop runs instead.
+    */
+  val DriverVocabThreshold: Long = 2L << 20
 
   /** Leftmost-greedy merge of pair (a, b) inside one symbol array,
     * as a single codegen'd fold: scan left to right, replacing the
@@ -48,25 +61,163 @@ object Bpe {
       st => st.getField("acc")
     )
 
+  /** UTF-8-binary string comparison (unsigned byte lexicographic) — the
+    * ordering Spark's UTF8String gives `asc(...)`, which differs from
+    * Java's UTF-16 `compareTo` above the BMP; the driver path must
+    * tie-break identically to the distributed argmax.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Leftmost-greedy merge on a plain array — the driver twin of
+    * [[applyMerge]], same rule verbatim.
+    */
+  private def mergeWord(syms: Array[String], a: String, b: String, ab: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out(out.length - 1) == a && x == b) out(out.length - 1) = ab
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** All merge rounds in driver memory over the collected
+    * word-frequency table. Pair counts are maintained incrementally: a
+    * round's merge touches only the words that contain the winning pair
+    * (tracked in an inverted pair→word-indices index), and a merge can
+    * never resurrect a zeroed pair (neighbors become adjacent to the
+    * NEW symbol, never to each other), so zero-count entries are dropped
+    * and the per-round argmax scans a shrinking vocab-bound map.
+    */
+  private def trainInMemory(
+      wordFreq: Array[(String, Long)],
+      rounds: Int
+  ): (Seq[(Long, String, String, String, Long)], Array[(String, Long, Array[String])]) = {
+    val nWords = wordFreq.length
+    val syms = new Array[Array[String]](nWords)
+    val freqs = new Array[Long](nWords)
+    var i = 0
+    while (i < nWords) {
+      // one symbol per CODE POINT, matching the SQL path's
+      // substr(word, i, 1) (character, not byte, indexing)
+      syms(i) = wordFreq(i)._1.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      freqs(i) = wordFreq(i)._2
+      i += 1
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(w: Int, sign: Long): Unit = {
+      val s = syms(w)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + sign * freqs(w))
+        if (sign > 0) index.getOrElseUpdate(p, scala.collection.mutable.Set.empty[Int]) += w
+        j += 1
+      }
+    }
+    i = 0
+    while (i < nWords) { addWord(i, 1L); i += 1 }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      var best: (String, String) = null
+      var bestCnt = 0L
+      counts.foreach { case (p, c) =>
+        if (c > 0) {
+          if (
+            best == null || c > bestCnt ||
+            (c == bestCnt && (utf8Lt(p._1, best._1) || (p._1 == best._1 && utf8Lt(p._2, best._2))))
+          ) { best = p; bestCnt = c }
+        }
+      }
+      if (best == null) dry = true
+      else {
+        val (a, b) = best
+        val ab = a + b
+        out += ((r.toLong, a, b, ab, bestCnt))
+        // merge only the words that (still) contain the pair; index
+        // entries can be stale after earlier merges, so re-check
+        val touched = index.getOrElse(best, scala.collection.mutable.Set.empty[Int]).toArray
+        touched.foreach { w =>
+          val s = syms(w)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) { has = s(j) == a && s(j + 1) == b; j += 1 }
+          if (has) {
+            addWord(w, -1L)
+            syms(w) = mergeWord(s, a, b, ab)
+            addWord(w, 1L)
+          }
+        }
+        counts.filterInPlace((_, c) => c > 0)
+        index.remove(best)
+        r += 1
+      }
+    }
+    val finalSyms = new Array[(String, Long, Array[String])](nWords)
+    i = 0
+    while (i < nWords) { finalSyms(i) = (wordFreq(i)._1, freqs(i), syms(i)); i += 1 }
+    (out.toSeq, finalSyms)
+  }
+
   /** The trainer loop shared by [[learnMerges]] and [[segment]]:
     * returns the learned merge list and the FINAL per-word symbol
     * table. Stops early if the vocabulary runs out of adjacent pairs
-    * (every word fully merged).
+    * (every word fully merged). Below `driverVocabThreshold` distinct
+    * words the rounds run in driver memory (see [[trainInMemory]]);
+    * above it, one distributed pair-count + 1-row argmax + zero-shuffle
+    * merge fold per round.
     */
   private def train(
       docs: DataFrame,
-      rounds: Int
+      rounds: Int,
+      driverVocabThreshold: Long = DriverVocabThreshold
   ): (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var syms = graft.util.Materialize.stage(
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = graft.util.Materialize.stage(
       docs
         .select(explode(TokenRules.tokens(col("text"))).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("freq"))
-        .select(
-          col("word"),
-          col("freq"),
-          expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms")
-        )
+    )
+    if (wordFreq.count() <= driverVocabThreshold) {
+      val collected = wordFreq.as[(String, Long)].collect()
+      val (merges, finalSyms) = trainInMemory(collected, rounds)
+      val symsDf = spark
+        .createDataset(finalSyms.toSeq.map { case (w, f, s) => (w, f, s.toSeq) })
+        .toDF("word", "freq", "syms")
+      (merges, symsDf)
+    } else trainDistributed(wordFreq, rounds)
+  }
+
+  private def trainDistributed(
+      wordFreq: DataFrame,
+      rounds: Int
+  ): (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var syms = graft.util.Materialize.stage(
+      wordFreq.select(
+        col("word"),
+        col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms")
+      )
     )
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
@@ -106,10 +257,14 @@ object Bpe {
   /** Learn `rounds` merges over the corpus; output one row per learned
     * merge: (rnk, lhs, rhs, merged, cnt).
     */
-  def learnMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
+  def learnMerges(
+      docs: DataFrame,
+      rounds: Int = 4,
+      driverVocabThreshold: Long = DriverVocabThreshold
+  ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    train(docs, rounds)._1.toDF("rnk", "lhs", "rhs", "merged", "cnt")
+    train(docs, rounds, driverVocabThreshold)._1.toDF("rnk", "lhs", "rhs", "merged", "cnt")
   }
 
   /** Segment the corpus with the merges learned by [[learnMerges]]:
@@ -125,8 +280,12 @@ object Bpe {
     * it (AQE broadcasts the vocab when it fits), then re-aggregates on
     * doc_id weighted by per-doc word counts.
     */
-  def segment(docs: DataFrame, rounds: Int = 4): DataFrame = {
-    val wordSyms = train(docs, rounds)._2
+  def segment(
+      docs: DataFrame,
+      rounds: Int = 4,
+      driverVocabThreshold: Long = DriverVocabThreshold
+  ): DataFrame = {
+    val wordSyms = train(docs, rounds, driverVocabThreshold)._2
       .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
     docs
       .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("word"))

@@ -366,7 +366,23 @@ object TextAnalysis {
     * corpus size), and a tiny n_sources²-row aggregate; the per-source
     * gram totals join back via AQE-chosen broadcast.
     */
-  def sourceOverlap(docs: DataFrame, gramLen: Int = TokenGramLen): DataFrame = {
+  def sourceOverlap(
+      docs: DataFrame,
+      gramLen: Int = TokenGramLen,
+      /** Hot-gram fan-out guard for many-source corpora: when set, grams
+        * present in MORE than `maxSources` sources are dropped before
+        * the self-join. A gram shared by s sources fans out to s·(s−1)/2
+        * pair rows — at thousands of sources one boilerplate gram is a
+        * multi-million-row explosion carrying ~no Jaccard signal (it
+        * raises every pair's numerator equally). With the cap the pair
+        * join is bounded by maxSources²·n_grams instead of n_sources².
+        * Per-source denominators still count ALL grams, so jaccard_pct
+        * becomes a lower bound under the cap. None (the default)
+        * preserves the exact measure — right at the current
+        * handful-of-sources design point.
+        */
+      maxSources: Option[Int] = None
+  ): DataFrame = {
     val grams = docs
       .select(col("source"), TokenRules.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= gramLen)
@@ -378,9 +394,19 @@ object TextAnalysis {
       )
       .distinct()
     val perSource = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    grams
+    val joinable = maxSources match {
+      case Some(k) =>
+        val hot = grams
+          .groupBy("gram")
+          .agg(count(lit(1)).as("ns"))
+          .where(col("ns") > k)
+          .select("gram")
+        grams.join(hot, Seq("gram"), "left_anti")
+      case None => grams
+    }
+    joinable
       .as("a")
-      .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .join(joinable.as("b"), col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("shared_grams"))
       .join(perSource.select(col("source").as("src_a"), col("n_grams").as("grams_a")), Seq("src_a"))
@@ -398,38 +424,56 @@ object TextAnalysis {
   val GramLen = 8
   val WinnowWindow = 4
 
-  /** Hash width kept in the sort/shuffle: 8 hex chars (32 bits), not the
-    * full 32-char md5 — per-doc fingerprint counts only need enough
-    * entropy to pick window minima, and the narrower key cuts the
-    * explode's sort input ~4x (text_length × hash_width bytes per doc).
+  /** Hash width carried per gram: 8 hex chars (32 bits), not the full
+    * 32-char md5 — window minima only need enough entropy to be
+    * distinct, and the narrow key keeps the per-row hash array small.
     */
   val HashHexLen = 8
 
   /** Winnowing fingerprints: truncated md5 of every 8-char gram,
     * robust-window minimum over each 4-gram window, distinct per
     * document. The standard containment-detection sketch (Schleimer et
-    * al.), here as explode + window-min — no UDF, no driver loop.
+    * al.).
+    *
+    * Shape at scale: winnowing is PER-DOCUMENT ROW-LOCAL, so the whole
+    * sketch — gram hashes, window minima, per-doc distinct — is computed
+    * inside array expressions on each row, and only the final (small)
+    * fingerprint set is exploded. Zero pre-aggregation Exchange: the
+    * round-3 explode+window formulation shuffled ~20 bytes per CHARACTER
+    * of corpus (a ~2 PB exchange at 100 TB) through Exchange+Sort to
+    * evaluate a window that never crosses a row boundary; this plan is
+    * scan → project → explode, the same zero-Exchange shape as
+    * `ann_buckets`. Same rule, same oracle.
     */
-  def fingerprints(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .where(length(col("text")) >= GramLen)
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      // need at least one complete window: WinnowWindow grams, i.e.
+      // GramLen + WinnowWindow - 1 chars (shorter docs produced no rows
+      // in the windowed formulation either — `pos >= WinnowWindow`
+      // filtered every incomplete window)
+      .where(length(col("text")) >= GramLen + WinnowWindow - 1)
+      .select(
+        col("doc_id"),
+        expr(
+          s"transform(sequence(1, length(text) - ${GramLen - 1}), " +
+            s"i -> substr(md5(CAST(substr(text, i, $GramLen) AS BINARY)), 1, $HashHexLen))"
+        ).as("hs")
+      )
       .select(
         col("doc_id"),
         explode(
-          expr(s"transform(sequence(1, length(text) - ${GramLen - 1}), i -> struct(i AS pos, substr(md5(CAST(substr(text, i, $GramLen) AS BINARY)), 1, $HashHexLen) AS h))")
-        ).as("g")
+          array_distinct(
+            expr(
+              s"transform(sequence($WinnowWindow, size(hs)), " +
+                s"p -> array_min(slice(hs, p - ${WinnowWindow - 1}, $WinnowWindow)))"
+            )
+          )
+        ).as("fp")
       )
-      .select(col("doc_id"), col("g.pos"), col("g.h"))
-    val w = Window
-      .partitionBy("doc_id")
-      .orderBy("pos")
-      .rowsBetween(-(WinnowWindow - 1), Window.currentRow)
-    grams
-      .withColumn("fp", min("h").over(w))
-      .where(col("pos") >= WinnowWindow) // complete windows only
-      .select(col("doc_id"), col("fp"))
-      .distinct()
-  }
+  // no trailing distinct: doc_id is the documents table's key (one row
+  // per document), so the per-row array_distinct IS the per-document
+  // distinct — a global .distinct() here would only re-add an
+  // output-sized Exchange to dedupe rows that cannot collide.
 
   /** TF-IDF keyword extraction: the top-`k` most distinctive tokens per
     * document, scored with the integer-exact surrogate

@@ -146,23 +146,37 @@ object Queries {
     */
   val kgStats: Q = (s, dir) => {
     val d = docs(s, dir)
+    // single derivation of the triple set, staged once (round-3 version
+    // re-derived it for each of four separate aggregates — ~4 source
+    // passes for a 1-row result); n_triples and n_edges come from ONE
+    // multi-aggregate pass over the staged table, and n_entities /
+    // n_isolated from ONE pass over the entity set left-joined to the
+    // (small) distinct endpoint set.
+    val tr = graft.util.Materialize.stage(TokenRules.triples(d))
     val ents = kgEntities(s, dir)
-    val tr = TokenRules.triples(d)
     val endpoints = tr.select(col("subject").as("entity"))
       .union(tr.select(col("obj").as("entity")))
       .distinct()
-    val nEnt = ents.agg(count(lit(1)).as("n_entities"))
-    val nTri = tr.agg(count(lit(1)).as("n_triples"))
-    val nEdg = tr.select("predicate").distinct().agg(count(lit(1)).as("n_edges"))
-    val nIso = ents
-      .join(endpoints, Seq("entity"), "left_anti")
-      .agg(count(lit(1)).as("n_isolated"))
-    nEnt
-      .crossJoin(nTri)
-      .crossJoin(nEdg)
-      .crossJoin(nIso)
-      .withColumn("avg_degree_milli", expr("2000 * n_triples div n_entities"))
-      .withColumn("density_micro", expr("1000000 * n_triples div (n_entities * (n_entities - 1))"))
+    val triAgg = tr.agg(
+      count(lit(1)).as("n_triples"),
+      count_distinct(col("predicate")).as("n_edges")
+    )
+    val entAgg = ents
+      .join(endpoints.withColumn("hit", lit(1)), Seq("entity"), "left")
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_isolated")
+      )
+    entAgg
+      .crossJoin(triAgg)
+      .select(
+        col("n_entities"),
+        col("n_triples"),
+        col("n_edges"),
+        col("n_isolated"),
+        expr("2000 * n_triples div n_entities").as("avg_degree_milli"),
+        expr("1000000 * n_triples div (n_entities * (n_entities - 1))").as("density_micro")
+      )
   }
 
   val kgStatsSql: String =

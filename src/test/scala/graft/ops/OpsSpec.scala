@@ -452,6 +452,24 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Map(("A", "B") -> ((1L, 2L, 2L, 33L))))
   }
 
+  test("sourceOverlap maxSources guard: hot boilerplate grams dropped before the pair join") {
+    // "h h" is boilerplate present in all 6 sources (6*5/2 = 15 pair
+    // fan-out rows from ONE gram); "u v" is a genuine 2-source signal
+    val fixture = (1 to 6).map(i => (i.toLong, "h h", s"S$i")) ++
+      Seq((10L, "u v", "S1"), (11L, "u v", "S2"))
+    val fx = fixture.toDF("doc_id", "text", "source")
+    // uncapped: the hot gram produces all 15 source pairs
+    val full = TextAnalysis.sourceOverlap(fx, gramLen = 2).collect()
+    assert(full.length == 15)
+    // capped at 3 sources: the boilerplate gram is dropped entirely;
+    // only the real signal pair survives, and its shared count excludes
+    // the hot gram while denominators still count ALL grams per source
+    val capped = TextAnalysis.sourceOverlap(fx, gramLen = 2, maxSources = Some(3)).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(capped == Map(("S1", "S2") -> ((1L, 2L, 2L, 33L))))
+  }
+
   test("corpusDecision: verdict precedence quality > duplicate > sampling") {
     val healthy = "the quick brown fox jumps over a lazy dog while rain falls on green hills and birds sing songs today"
     val fixture = Seq(
@@ -577,6 +595,35 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     val got1 = graft.ops.Bpe.segment(fx, rounds = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got1 == Set((1L, 3L, 7L), (2L, 2L, 2L)))
+  }
+
+  test("bpe adaptive trainer: driver path == distributed path at 64 rounds") {
+    // deterministic synthetic corpus rich enough to sustain >= 64 merge
+    // rounds, with deliberate frequency ties (syllable re-use) so the
+    // UTF-8-binary tie-break is exercised, not just the count argmax
+    val syl = Vector("ka", "to", "mi", "ru", "se", "an", "pol", "qu", "zed", "ix")
+    val rng = new scala.util.Random(42)
+    val docsTxt = (1L to 60L).map { id =>
+      val words = (0 until 40).map { _ =>
+        (0 until (2 + rng.nextInt(3))).map(_ => syl(rng.nextInt(syl.size))).mkString
+      }
+      (id, words.mkString(" "))
+    }
+    val fx = docsTxt.toDF("doc_id", "text")
+    def merges(thr: Long) =
+      graft.ops.Bpe.learnMerges(fx, rounds = 64, driverVocabThreshold = thr)
+        .orderBy("rnk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+    val driver = merges(Long.MaxValue)
+    val distributed = merges(0L)
+    assert(driver.size == 64, s"fixture too small to sustain 64 rounds: ${driver.size}")
+    assert(driver == distributed)
+    // segmentation parity too: the final symbol tables must agree
+    def seg(thr: Long) =
+      graft.ops.Bpe.segment(fx, rounds = 64, driverVocabThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(seg(Long.MaxValue) == seg(0L))
   }
 
   test("diversity: hand-computed Gini-Simpson ppm; empty docs excluded") {
