@@ -340,12 +340,38 @@ object Bench {
       .map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map(n => s""""$n"""").mkString("[", ",", "]")
+    var snapJson = "null"
     def emit(kggenJson: String): Unit = println(
-      s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","kggen":$kggenJson}"""
+      s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"queries_snapshot_backed":$snapJson,"sf":"$sfDir","kggen":$kggenJson}"""
     )
     // flush phase-1 results NOW: a timeout during the scaling phase must
     // not lose the finished query phase (round-2 failure mode)
     if (!skipQueries) emit("null")
+
+    // --- phase 1b: snapshot-backed kg_* analytics — the queries read a
+    // committed derived-triples/entities snapshot instead of re-deriving
+    // from text per run (the 100 TB read path: analytics over the
+    // pipeline's canonical tables). One run each; materialization cost
+    // reported separately.
+    if (!skipQueries && elapsedSec < budgetSec / 3.0) {
+      val droot = Files.createTempDirectory(tmpBase, "graft-derived")
+      try {
+        graft.queries.Queries.derivedRootOverride = Some(droot.toString)
+        val tMat = System.nanoTime()
+        graft.queries.Queries.ensureDerived(spark32, sfDir)
+        val matSec = (System.nanoTime() - tMat) / 1e9
+        val snapTimes = queryList
+          .filter(_._1.startsWith("kg_"))
+          .flatMap { case (n, fn) => timeOnce(n, fn).map(n -> _) }
+        val snapQs = snapTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+        snapJson =
+          s"""{"materialize_sec":${fmt(matSec)},"total_sec":${fmt(snapTimes.map(_._2).sum)},"queries":$snapQs}"""
+        emit("null")
+      } finally {
+        graft.queries.Queries.derivedRootOverride = None
+        deleteRecursively(droot)
+      }
+    }
 
     // --- phase 2: kg-gen pipeline throughput, one child JVM per level ---
     if (!skipScaling) {
@@ -408,6 +434,16 @@ object Bench {
           r4n = merge(r4n, measure(c4n)); retries += 1
         } else progress = false
       }
+      // third scaling point (a curve, not one ratio): 4N -> 16N when the
+      // box has the cores and the budget has room. The 16N level is the
+      // cheapest to measure (runs ~4x faster than 4N), so it rides the
+      // tail of the budget; its efficiency is reported alongside the
+      // primary N->4N gate rather than replacing it.
+      val c16n = scaleN * 16
+      val r16n: Option[LevelResult] =
+        if (c16n <= Runtime.getRuntime.availableProcessors() && budgetSec - elapsedSec > 180)
+          Some(measure(c16n))
+        else None
       val tp4n = r4n.triples / r4n.best
       val tpn = rn.triples / rn.best
       val eff = (tp4n / tpn) / 4.0
@@ -423,8 +459,16 @@ object Bench {
           r4n.runs.nonEmpty && rn.runs.nonEmpty)
           s""""scaling_efficiency_steal_adjusted_upper_bound":${fmt(adjBest(rn.runs, rn.steals) / adjBest(r4n.runs, r4n.steals) / 4.0)},"""
         else ""
+      val json16 = r16n.map { r =>
+        val tp16 = r.triples / r.best
+        s""""sec_local16N":${fmt(r.best, 2)},"runs_local16N":[${r.runs.map(fmt(_, 2)).mkString(",")}],""" +
+          s""""steal_pct_local16N":[${r.steals.map(fmt(_, 1)).mkString(",")}],""" +
+          s""""mode_local16N":"${r.mode}","triples_per_sec_local16N":${fmt(tp16, 1)},""" +
+          s""""scaling_efficiency_4N_16N":${fmt((tp16 / tp4n) / 4.0)},"""
+      }.getOrElse("")
       val kggenJson =
         s"""{"docs":$benchDocs,"triples":${r4n.triples},"n_cores":$scaleN,""" +
+          json16 +
           s""""sec_localN":${fmt(rn.best, 2)},"sec_local4N":${fmt(r4n.best, 2)},""" +
           s""""runs_localN":[${rn.runs.map(fmt(_, 2)).mkString(",")}],""" +
           s""""runs_local4N":[${r4n.runs.map(fmt(_, 2)).mkString(",")}],""" +

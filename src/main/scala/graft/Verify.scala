@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // snapshot-backed mode: when SPARK_GRAFT_DERIVED_ROOT is set, commit
+    // the derived triple/entity tables once and let every kg_* query
+    // read them instead of re-deriving from text — the dump must
+    // hash-match the same oracles either way (same rows by construction)
+    graft.queries.Queries.ensureDerived(spark, sfDir)
     // dev iteration knob: comma-separated query names to dump (all when
     // unset — the driver contract). The oracle json always carries every
     // oracle, so a filtered dump still pairs with its SQL.

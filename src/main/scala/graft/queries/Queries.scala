@@ -26,6 +26,55 @@ object Queries {
     s.read.parquet(s"$dir/documents.parquet")
 
   // ---------------------------------------------------------------
+  // Snapshot-backed derived tables: at 100 TB the kg_* analytics must
+  // read the pipeline's committed canonical tables, not re-pay triple
+  // extraction from raw text on every query. When a derived-table root
+  // is configured (env SPARK_GRAFT_DERIVED_ROOT, or programmatically via
+  // `derivedRootOverride` — Bench sets it for its snapshot-backed phase)
+  // and the snapshot for this scale dir is committed, `triples`/
+  // `entities` read it; otherwise they derive from text exactly as
+  // before. The snapshot IS the committed output of the same derivation,
+  // so both paths are row-identical and every query hash-matches the
+  // same oracle either way (Verify re-checks this whenever the root is
+  // set).
+  // ---------------------------------------------------------------
+
+  @volatile var derivedRootOverride: Option[String] = None
+  private def derivedRoot: Option[String] =
+    derivedRootOverride.orElse(sys.env.get("SPARK_GRAFT_DERIVED_ROOT"))
+
+  private def snapshotOr(s: SparkSession, dir: String, stage: String)(
+      derive: => DataFrame
+  ): DataFrame =
+    derivedRoot match {
+      case Some(root) =>
+        val t = new graft.store.SnapshotTable(s, root)
+        if (t.exists(stage, dir)) t.read(stage, dir) else derive
+      case None => derive
+    }
+
+  private def deriveTriples(s: SparkSession, dir: String): DataFrame =
+    TokenRules.triples(docs(s, dir))
+
+  private[graft] def triples(s: SparkSession, dir: String): DataFrame =
+    snapshotOr(s, dir, "derived_triples")(deriveTriples(s, dir))
+
+  private[graft] def entities(s: SparkSession, dir: String): DataFrame =
+    snapshotOr(s, dir, "derived_entities")(deriveEntities(s, dir))
+
+  /** Materialize the derived triple/entity tables for `dir` under the
+    * configured root (no-op without one) — resume-safe: an existing
+    * committed snapshot is never recomputed.
+    */
+  def ensureDerived(s: SparkSession, dir: String): Unit =
+    derivedRoot.foreach { root =>
+      val t = new graft.store.SnapshotTable(s, root)
+      t.resumeOrCompute("derived_triples", dir)(deriveTriples(s, dir))
+      t.resumeOrCompute("derived_entities", dir)(deriveEntities(s, dir))
+      ()
+    }
+
+  // ---------------------------------------------------------------
   // Extraction operators (SURVEY §2.3): E1/E2/E3/E4/E5 as token rules
   // ---------------------------------------------------------------
 
@@ -37,12 +86,14 @@ object Queries {
       "m AS (SELECT doc_id, unnest(toks) AS entity FROM t) " +
       s"SELECT DISTINCT doc_id, entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}"
 
-  /** E1/E4 — global entity set (union of per-chunk results + distinct). */
-  val kgEntities: Q = (s, dir) =>
+  private def deriveEntities(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(TokenRules.tokens(col("text"))).as("entity"))
       .where(TokenRules.isEntity(col("entity")))
       .distinct()
+
+  /** E1/E4 — global entity set (union of per-chunk results + distinct). */
+  val kgEntities: Q = (s, dir) => entities(s, dir)
 
   val kgEntitiesSql: String =
     s"WITH t AS (${TokenRules.Sql.toksCte}), " +
@@ -52,13 +103,13 @@ object Queries {
   /** E2+E3+E4 — global valid triples (sliding window + membership filter
     * + set semantics).
     */
-  val kgTriples: Q = (s, dir) => TokenRules.triples(docs(s, dir))
+  val kgTriples: Q = (s, dir) => triples(s, dir)
 
   val kgTriplesSql: String =
     TokenRules.Sql.withTriples + "SELECT subject, predicate, obj FROM tr"
 
   /** E5 — derived edge set: distinct predicates. */
-  val kgEdges: Q = (s, dir) => TokenRules.edges(TokenRules.triples(docs(s, dir)))
+  val kgEdges: Q = (s, dir) => TokenRules.edges(triples(s, dir))
 
   val kgEdgesSql: String =
     TokenRules.Sql.withTriples + "SELECT DISTINCT predicate FROM tr"
@@ -89,7 +140,7 @@ object Queries {
     * (visualize_kg.py:97-120), one pass via endpoint explode.
     */
   val kgDegree: Q = (s, dir) => {
-    val tr = TokenRules.triples(docs(s, dir))
+    val tr = triples(s, dir)
     tr.select(
         explode(
           array(
@@ -145,15 +196,14 @@ object Queries {
     * boundary).
     */
   val kgStats: Q = (s, dir) => {
-    val d = docs(s, dir)
     // single derivation of the triple set, staged once (round-3 version
     // re-derived it for each of four separate aggregates — ~4 source
     // passes for a 1-row result); n_triples and n_edges come from ONE
     // multi-aggregate pass over the staged table, and n_entities /
     // n_isolated from ONE pass over the entity set left-joined to the
     // (small) distinct endpoint set.
-    val tr = graft.util.Materialize.stage(TokenRules.triples(d))
-    val ents = kgEntities(s, dir)
+    val tr = graft.util.Materialize.stage(triples(s, dir))
+    val ents = entities(s, dir)
     val endpoints = tr.select(col("subject").as("entity"))
       .union(tr.select(col("obj").as("entity")))
       .distinct()
@@ -200,7 +250,7 @@ object Queries {
 
   /** A3 — top-10 relations by (-count, predicate). */
   val kgTopRelations: Q = (s, dir) =>
-    Analytics.topRelations(TokenRules.triples(docs(s, dir)))
+    Analytics.topRelations(triples(s, dir))
 
   val kgTopRelationsSql: String =
     TokenRules.Sql.withTriples +
@@ -211,7 +261,7 @@ object Queries {
     * deterministic relation.
     */
   val kgNxEdges: Q = (s, dir) =>
-    Analytics.collapsedEdges(TokenRules.triples(docs(s, dir)))
+    Analytics.collapsedEdges(triples(s, dir))
 
   val kgNxEdgesSql: String =
     TokenRules.Sql.withTriples +
@@ -220,7 +270,7 @@ object Queries {
   /** G4 — 2-hop BFS context sentences around a fixed seed. */
   private val hopSeed = "data"
   val kg2Hop: Q = (s, dir) =>
-    Analytics.twoHopContext(TokenRules.triples(docs(s, dir)), hopSeed)
+    Analytics.twoHopContext(triples(s, dir), hopSeed)
 
   private def twoHopSql(seedsCte: String): String =
     ", s AS (SELECT subject, obj, subject || ' ' || predicate || ' ' || obj || '.' AS sentence FROM tr), " +
@@ -236,7 +286,7 @@ object Queries {
 
   /** G8 — case-insensitive substring retrieval, deterministic cap 10. */
   val kgSubstring: Q = (s, dir) =>
-    Analytics.substringEntities(kgEntities(s, dir), "ar")
+    Analytics.substringEntities(entities(s, dir), "ar")
 
   val kgSubstringSql: String =
     s"WITH t AS (${TokenRules.Sql.toksCte}), m AS (SELECT unnest(toks) AS entity FROM t), " +
@@ -244,7 +294,7 @@ object Queries {
       "SELECT entity FROM ents WHERE lower(entity) LIKE '%ar%' ORDER BY entity LIMIT 10"
 
   /** G2 — long-format deterministic node embeddings (entity, dim, cnt). */
-  val kgEmbed: Q = (s, dir) => Analytics.nodeEmbeddings(kgEntities(s, dir))
+  val kgEmbed: Q = (s, dir) => Analytics.nodeEmbeddings(entities(s, dir))
 
   private val embSqlCte: String =
     "emb AS (SELECT entity, " + Analytics.trigramDimSqlExpr("tri") + " AS dim, " +
@@ -263,7 +313,7 @@ object Queries {
     * `ents`.
     */
   val kgEmbedRel: Q = (s, dir) =>
-    Analytics.relationEmbeddings(TokenRules.triples(docs(s, dir)))
+    Analytics.relationEmbeddings(triples(s, dir))
 
   val kgEmbedRelSql: String =
     TokenRules.Sql.withTriples +
@@ -275,7 +325,7 @@ object Queries {
     * per-entity degrees, component, md5-seeded color, top-10 flag.
     */
   val kgViz: Q = (s, dir) =>
-    Analytics.vizModel(kgEntities(s, dir), TokenRules.triples(docs(s, dir)))
+    Analytics.vizModel(entities(s, dir), triples(s, dir))
 
   val kgVizSql: String =
     "WITH RECURSIVE toks_cte AS (" + TokenRules.Sql.toksCte + "), " +
@@ -302,7 +352,7 @@ object Queries {
   /** G3 — top-8 nodes by cosine to a fixed query, integer micro-score. */
   private val retrieveQuery = "stream data"
   val kgRetrieve: Q = (s, dir) =>
-    Analytics.retrieveRelevantNodes(kgEntities(s, dir), retrieveQuery, 8)
+    Analytics.retrieveRelevantNodes(entities(s, dir), retrieveQuery, 8)
 
   private def qvSqlCte: String = {
     val qv = Analytics.embedQuery(retrieveQuery).toSeq.sorted
@@ -325,10 +375,8 @@ object Queries {
   /** G5 — retrieve: top-3 seeds -> union of 2-hop contexts -> one sorted
     * context string.
     */
-  val kgRetrieveContext: Q = (s, dir) => {
-    val d = docs(s, dir)
-    Analytics.retrieve(kgEntities(s, dir), TokenRules.triples(d), retrieveQuery, 3)
-  }
+  val kgRetrieveContext: Q = (s, dir) =>
+    Analytics.retrieve(entities(s, dir), triples(s, dir), retrieveQuery, 3)
 
   val kgRetrieveContextSql: String = {
     val qNorm = Analytics.embedQuery(retrieveQuery).values.map(c => c * c).sum
@@ -359,7 +407,7 @@ object Queries {
 
   /** C1 (blocking key) — normalized surface form per entity. */
   val kgNormalize: Q = (s, dir) =>
-    kgEntities(s, dir).withColumn("norm", expr(normExpr("entity")))
+    entities(s, dir).withColumn("norm", expr(normExpr("entity")))
 
   val kgNormalizeSql: String =
     s"WITH t AS (${TokenRules.Sql.toksCte}), m AS (SELECT unnest(toks) AS entity FROM t), " +
@@ -395,7 +443,7 @@ object Queries {
     * keeps the SQL-checkable core).
     */
   val kgClusterAssign: Q = (s, dir) =>
-    assignDf(kgEntities(s, dir).select(col("entity").as("member")))
+    assignDf(entities(s, dir).select(col("entity").as("member")))
 
   private val entityItemsCte: String =
     s"SELECT DISTINCT entity AS member FROM (SELECT unnest(toks) AS entity FROM toks_cte) " +
@@ -413,7 +461,7 @@ object Queries {
     * JSON sink (GraphJson) still gets the real dict-of-sets shape.
     */
   val kgClusterMap: Q = (s, dir) =>
-    assignDf(kgEntities(s, dir).select(col("entity").as("member")))
+    assignDf(entities(s, dir).select(col("entity").as("member")))
       .groupBy("representative")
       .agg(
         array_join(sort_array(collect_list(col("member"))), "|").as("members"),
@@ -430,8 +478,8 @@ object Queries {
     * predicate dictionaries are broadcast (north-star requirement).
     */
   val kgClusterRewrite: Q = (s, dir) => {
-    val tr = TokenRules.triples(docs(s, dir))
-    val entAssign = assignDf(kgEntities(s, dir).select(col("entity").as("member")))
+    val tr = triples(s, dir)
+    val entAssign = assignDf(entities(s, dir).select(col("entity").as("member")))
     val predAssign = assignDf(tr.select(col("predicate").as("member")))
     def bc(df: DataFrame): DataFrame = graft.util.PlanHints.maybeBroadcast(df)
     tr.join(bc(entAssign.select(col("member").as("sM"), col("representative").as("sR"))),
@@ -463,7 +511,7 @@ object Queries {
     * oracle — both yield min reachable label).
     */
   val kgComponents: Q = (s, dir) => {
-    val tr = TokenRules.triples(docs(s, dir))
+    val tr = triples(s, dir)
     val edges = tr.select(col("subject").as("src"), col("obj").as("dst"))
     val nodes = tr.select(col("subject").as("node"))
       .union(tr.select(col("obj").as("node"))).distinct()
@@ -491,7 +539,7 @@ object Queries {
   private val prIterations = 5
 
   val kgPageRank: Q = (s, dir) =>
-    Analytics.pageRank(TokenRules.triples(docs(s, dir)), prIterations)
+    Analytics.pageRank(triples(s, dir), prIterations)
 
   val kgPageRankSql: String = {
     val base =
@@ -521,7 +569,7 @@ object Queries {
 
   val kgLinkPredict: Q = (s, dir) =>
     Analytics.linkPredict(
-      TokenRules.triples(docs(s, dir)).where(col("predicate").startsWith("d")),
+      triples(s, dir).where(col("predicate").startsWith("d")),
       lpWedgeCap
     )
 
@@ -546,7 +594,7 @@ object Queries {
   private val pprSeed = "ar"
 
   val kgPpr: Q = (s, dir) =>
-    Analytics.personalizedPageRank(TokenRules.triples(docs(s, dir)), pprSeed, prIterations)
+    Analytics.personalizedPageRank(triples(s, dir), pprSeed, prIterations)
 
   val kgPprSql: String = {
     val base =
@@ -570,7 +618,7 @@ object Queries {
     * closing-edge EXISTS, so each triangle is found exactly once.
     */
   val kgTriangles: Q = (s, dir) =>
-    Analytics.triangleCounts(TokenRules.triples(docs(s, dir)))
+    Analytics.triangleCounts(triples(s, dir))
 
   val kgTrianglesSql: String =
     TokenRules.Sql.withTriples +
@@ -592,7 +640,7 @@ object Queries {
       "LEFT JOIN (SELECT entity, count(*) AS cnt FROM x GROUP BY entity) c ON c.entity = uni.entity"
 
   val kgKcore: Q = (s, dir) =>
-    Analytics.kCore(TokenRules.triples(docs(s, dir)), k = 3)
+    Analytics.kCore(triples(s, dir), k = 3)
 
   /** The oracle unrolls the peel loop a fixed number of rounds; once
     * the fixpoint is reached every further round is a no-op, so the
@@ -616,7 +664,7 @@ object Queries {
   }
 
   val kgHarmonic: Q = (s, dir) =>
-    Analytics.harmonicCentrality(TokenRules.triples(docs(s, dir)), nSeeds = 8)
+    Analytics.harmonicCentrality(triples(s, dir), nSeeds = 8)
 
   /** Unrolled multi-source BFS: r{i+1} keeps the min distance over
     * r{i} plus one expansion step; rounds past the seeds' eccentricity
@@ -649,7 +697,7 @@ object Queries {
   private val rwSteps = 4
 
   val kgWalks: Q = (s, dir) =>
-    Analytics.randomWalks(TokenRules.triples(docs(s, dir)), rwSteps)
+    Analytics.randomWalks(triples(s, dir), rwSteps)
 
   /** CTE chain ending in `walks(start, node, step)` — shared by the walk
     * dump and the skip-gram co-occurrence oracle.
@@ -680,7 +728,7 @@ object Queries {
   private val rwWindow = 2
 
   val kgWalkCooc: Q = (s, dir) =>
-    Analytics.walkCooccurrence(TokenRules.triples(docs(s, dir)), rwSteps, rwWindow)
+    Analytics.walkCooccurrence(triples(s, dir), rwSteps, rwWindow)
 
   val kgWalkCoocSql: String =
     TokenRules.Sql.withTriples + walkCtes +
@@ -1028,7 +1076,7 @@ object Queries {
     * anti-exponential-inlining reason as kg_kcore.
     */
   val kgCommunities: Q = (s, dir) =>
-    Analytics.labelPropagation(TokenRules.triples(docs(s, dir)), iterations = lpaRounds)
+    Analytics.labelPropagation(triples(s, dir), iterations = lpaRounds)
 
   private val lpaRounds = 4
 
@@ -1053,7 +1101,7 @@ object Queries {
     * least/greatest edge set and two label joins.
     */
   val kgCommStats: Q = (s, dir) =>
-    Analytics.communityStats(TokenRules.triples(docs(s, dir)), iterations = lpaRounds)
+    Analytics.communityStats(triples(s, dir), iterations = lpaRounds)
 
   val kgCommStatsSql: String = {
     // same unrolled-LPA CTE chain as kg_communities, plus the rollup
@@ -1080,7 +1128,7 @@ object Queries {
     * window rule (same partition keys, same order, same wrap).
     */
   val kgNegatives: Q = (s, dir) =>
-    Analytics.negativeSamples(TokenRules.triples(docs(s, dir)))
+    Analytics.negativeSamples(triples(s, dir))
 
   val kgNegativesSql: String =
     TokenRules.Sql.withTriples +
