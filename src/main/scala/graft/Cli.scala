@@ -20,11 +20,11 @@ import graft.store.MemoryStore
   *   generate  <tableRoot> [nDocs] [master]         # pipeline run
   *   cluster   <in.json> <out.json>                 # cluster a graph file
   *   aggregate <out.json> <in1.json> <in2.json>...  # set-union graphs
-  *   visualize <in.json> <out.parquet>              # viz view model
+  *   visualize <in.json> <out.parquet> [out.html]   # viz view model (+ HTML artifact)
   *   memory-add      <storeRoot> <graph.json>       # merge into store
   *   memory-retrieve <storeRoot> <query>            # 2-hop context
   *   memory-stats    <storeRoot>                    # store counters
-  *   memory-visualize <storeRoot> <out.parquet>     # viz model of the store
+  *   memory-visualize <storeRoot> <out.parquet> [out.html]  # viz model of the store
   * }}}
   */
 object Cli {
@@ -61,14 +61,22 @@ object Cli {
         println(s"aggregated ${graphs.size} graphs -> $out")
 
       case "visualize" =>
+        // optional 4th arg: self-contained HTML artifact (reference
+        // parity: visualize_kg.py:261-304 writes an HTML dashboard)
         val Array(_, in, out) = args.take(3)
+        val htmlOut = args.lift(3)
         val spark = session()
         try {
           import spark.implicits._
           val g = GraphJson.read(in)
           val ents = g.entities.toSeq.toDF("entity")
           val tris = g.relations.toSeq.toDF("subject", "predicate", "obj")
-          Analytics.vizModel(ents, tris).coalesce(1).write.mode("overwrite").parquet(out)
+          val viz = Analytics.vizModel(ents, tris)
+          viz.coalesce(1).write.mode("overwrite").parquet(out)
+          htmlOut.foreach { h =>
+            graft.viz.HtmlViz.write(viz, tris, h)
+            println(s"rendered $in -> $h")
+          }
         } finally spark.stop()
         println(s"visualized $in -> $out")
 
@@ -103,11 +111,13 @@ object Cli {
         // parity with mcp/server.py:213-238 visualize_memories: the viz
         // view model computed over the persistent store's current version
         val Array(_, root, out) = args.take(3)
+        val htmlOut = args.lift(3)
         val spark = session()
         try {
           val store = new MemoryStore(spark, root)
-          Analytics.vizModel(store.entities, store.triples)
-            .coalesce(1).write.mode("overwrite").parquet(out)
+          val viz = Analytics.vizModel(store.entities, store.triples)
+          viz.coalesce(1).write.mode("overwrite").parquet(out)
+          htmlOut.foreach(graft.viz.HtmlViz.write(viz, store.triples, _))
         } finally spark.stop()
         println(s"visualized store $root -> $out")
 
