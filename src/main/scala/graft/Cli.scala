@@ -25,6 +25,7 @@ import graft.store.MemoryStore
   *   memory-retrieve <storeRoot> <query>            # 2-hop context
   *   memory-stats    <storeRoot>                    # store counters
   *   memory-visualize <storeRoot> <out.parquet> [out.html]  # viz model of the store
+  *   mcp-serve <storeRoot>                          # long-lived MCP stdio server
   * }}}
   */
 object Cli {
@@ -120,6 +121,11 @@ object Cli {
           htmlOut.foreach(graft.viz.HtmlViz.write(viz, store.triples, _))
         } finally spark.stop()
         println(s"visualized store $root -> $out")
+
+      case "mcp-serve" =>
+        // the reference CLI's only subcommand launches this server
+        // (src/kg_gen/cli.py -> mcp/server.py); blocks until stdin EOF
+        graft.server.McpServer.main(args.drop(1))
 
       case other =>
         System.err.println(s"unknown verb: $other"); sys.exit(2)

@@ -869,6 +869,32 @@ object OpsQueries {
       "FROM sh JOIN p pa ON pa.source = sh.src_a JOIN p pb ON pb.source = sh.src_b"
   }
 
+  /** Many-source fan-out guard on the overlap matrix, oracle-checked:
+    * grams present in more than [[SourceOverlapCap]] sources are dropped
+    * before the pair self-join (boilerplate shared by everyone carries
+    * no Jaccard signal and is pure s·(s−1)/2 fan-out). The per-source
+    * denominators still count every gram, so jaccard_pct is a lower
+    * bound under the cap — the documented semantics of the guard.
+    */
+  val SourceOverlapCap = 2
+
+  val sourceOverlapCapped: Q = (s, dir) =>
+    TextAnalysis.sourceOverlap(docs(s, dir), maxSources = Some(SourceOverlapCap))
+
+  val sourceOverlapCappedSql: String = {
+    val k = TextAnalysis.TokenGramLen
+    s"WITH $toksCte, " +
+      s"g AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(toks) - ${k - 2}), i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS gram FROM tk WHERE len(toks) >= $k), " +
+      "p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source), " +
+      s"hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > $SourceOverlapCap), " +
+      "j AS (SELECT source, gram FROM g WHERE gram NOT IN (SELECT gram FROM hot)), " +
+      "sh AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_grams " +
+      "FROM j a JOIN j b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) " +
+      "SELECT sh.src_a, sh.src_b, sh.shared_grams, pa.n_grams AS grams_a, pb.n_grams AS grams_b, " +
+      "(100 * sh.shared_grams) // (pa.n_grams + pb.n_grams - sh.shared_grams) AS jaccard_pct " +
+      "FROM sh JOIN p pa ON pa.source = sh.src_a JOIN p pb ON pb.source = sh.src_b"
+  }
+
   val seqPack: Q = (s, dir) => Sampling.seqPack(docs(s, dir))
 
   val seqPackSql: String = {
@@ -1059,6 +1085,7 @@ object OpsQueries {
     "bpe_merges" -> bpeMerges,
     "bpe_segment" -> bpeSegment,
     "source_overlap" -> sourceOverlap,
+    "source_overlap_capped" -> sourceOverlapCapped,
     "seq_pack" -> seqPack,
     "quality_sample" -> qualitySample,
     "quality_deciles" -> qualityDeciles,
@@ -1121,6 +1148,7 @@ object OpsQueries {
     "bpe_merges" -> bpeMergesSql,
     "bpe_segment" -> bpeSegmentSql,
     "source_overlap" -> sourceOverlapSql,
+    "source_overlap_capped" -> sourceOverlapCappedSql,
     "seq_pack" -> seqPackSql,
     "quality_sample" -> qualitySampleSql,
     "quality_deciles" -> qualityDecilesSql,
