@@ -148,6 +148,124 @@ object Dedup {
       expr(s"array_min(transform($toksCol, t -> md5(concat('$i:', t))))").as(s"mh$i")
     }
 
+  /** Distinct sorted token set per document without the `source` block
+    * column — the incremental path is corpus-global, not block-scoped.
+    */
+  private def tokenSetsSlim(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_sort(array_distinct(TokenRules.tokens(col("text")))).as("toks")
+    )
+
+  /** (doc_id, bandKey) LSH band index of a tokenSets frame — one scan,
+    * all band keys exploded, distinct. Shared by the batch pair
+    * generator and the incremental (delta-vs-committed-base) path.
+    */
+  private def bandedKeys(t: DataFrame, seeds: Int, bands: Int): DataFrame = {
+    val rows = seeds / bands
+    val sig = t.select(col("doc_id") +: col("toks") +: minhashSig("toks", seeds): _*)
+    val bandKeyCols = (0 until bands).map { bIdx =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"mh${bIdx * rows + r}")): _*)).as("bandKey")
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bandKey"))
+      .distinct()
+  }
+
+  /** The committable MinHash-LSH band index of a corpus: (doc_id,
+    * bandKey), one row per document per band. At 100 TB this table (and
+    * the token-set table next to it) IS the dedup state a pipeline
+    * checkpoints — a new crawl deduplicates against it without touching
+    * a byte of the already-ingested corpus (see [[incrementalKeep]]).
+    */
+  def bandIndex(docs: DataFrame, seeds: Int = 16, bands: Int = 8): DataFrame =
+    bandedKeys(tokenSetsSlim(docs), seeds, bands)
+
+  /** Incremental near-dup verdicts for a delta crawl against an
+    * already-ingested base corpus: for every delta document,
+    * (doc_id, dup_of = min verified base partner | NULL, keep 1/0).
+    * A delta doc is a duplicate iff it shares an LSH band with some base
+    * doc AND exact token-set Jaccard ≥ thetaPct — the same verify rule
+    * as the batch path, restricted to delta×base (dedup WITHIN the delta
+    * is [[nearDupKeep]] on the delta alone; composition of the two is
+    * the full recrawl story).
+    *
+    * Scale shape: the base side enters only through its committed band
+    * index and token-set table ([[bandIndex]] / snapshot tables) — the
+    * band join touches `|delta| × bands` probe rows against a
+    * bucket-partitioned index, and the verify join reads only the
+    * candidate-matched base token rows (a semi-join-pruned read at the
+    * storage layer). Nothing rescans base bodies. `maxBucket` optionally
+    * drops band buckets whose base population exceeds a cap — the
+    * standard hot-bucket guard (a bucket hit by half the corpus is a
+    * degenerate shingle, not a dup signal); default off = exact rule.
+    */
+  def incrementalKeep(
+      base: DataFrame,
+      delta: DataFrame,
+      thetaPct: Int = 90,
+      seeds: Int = 16,
+      bands: Int = 8,
+      maxBucket: Option[Int] = None
+  ): DataFrame =
+    incrementalKeepIndexed(
+      bandIndex(base, seeds, bands),
+      tokenSetsSlim(base),
+      delta,
+      thetaPct,
+      seeds,
+      bands,
+      maxBucket
+    )
+
+  /** [[incrementalKeep]] with the base corpus supplied as its committed
+    * artifacts: `baseIndex` = (doc_id, bandKey), `baseToks` =
+    * (doc_id, toks sorted-distinct). This is the production entry point
+    * — both frames come off snapshot tables, so the delta run's cost is
+    * O(delta) plus the pruned index/token reads.
+    */
+  def incrementalKeepIndexed(
+      baseIndex: DataFrame,
+      baseToks: DataFrame,
+      delta: DataFrame,
+      thetaPct: Int = 90,
+      seeds: Int = 16,
+      bands: Int = 8,
+      maxBucket: Option[Int] = None
+  ): DataFrame = {
+    val dt = tokenSetsSlim(delta)
+    val dband = bandedKeys(dt, seeds, bands)
+    val idx = maxBucket match {
+      case Some(k) =>
+        baseIndex
+          .withColumn("bc", count(lit(1)).over(Window.partitionBy("bandKey")))
+          .where(col("bc") <= k)
+          .drop("bc")
+      case None => baseIndex
+    }
+    val cand = dband
+      .select(col("doc_id").as("delta_id"), col("bandKey"))
+      .join(idx.select(col("doc_id").as("base_id"), col("bandKey")), "bandKey")
+      .select("delta_id", "base_id")
+      .distinct()
+    val inter = size(array_intersect(col("dtoks"), col("btoks")))
+    val uni = size(col("dtoks")) + size(col("btoks")) - inter
+    val ver = cand
+      .join(dt.select(col("doc_id").as("delta_id"), col("toks").as("dtoks")), "delta_id")
+      .join(baseToks.select(col("doc_id").as("base_id"), col("toks").as("btoks")), "base_id")
+      .where(lit(100) * inter >= lit(thetaPct) * uni)
+      .groupBy("delta_id")
+      .agg(min("base_id").as("dup_of"))
+    delta
+      .select(col("doc_id"))
+      .join(ver.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("keep")
+      )
+  }
+
   /** Global (un-blocked) MinHash+LSH near-duplicate pairs:
     * shingle->minhash->band->bucket-join, then exact token-set Jaccard
     * verification at thetaPct. Candidates inside a band bucket pair
@@ -161,20 +279,13 @@ object Dedup {
       bands: Int = 8,
       cap: Int = 10
   ): DataFrame = {
-    val rows = seeds / bands
     val t = tokenSets(docs)
-    val sig = t.select(col("doc_id") +: col("toks") +: minhashSig("toks", seeds): _*)
-    val bandKeyCols = (0 until bands).map { bIdx =>
-      md5(concat_ws("|", (0 until rows).map(r => col(s"mh${bIdx * rows + r}")): _*)).as("bandKey")
-    }
     // one scan emits all band keys (explode), and ONE window pass emits
     // all `cap` neighbors as an array (every lead shares the same frame,
     // so Catalyst plans a single Exchange+Sort+Window) — the round-1
     // shape union'd `cap` separate window passes, re-sorting the banded
     // table cap times
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bandKey"))
-      .distinct()
+    val banded = bandedKeys(t, seeds, bands)
     val w = Window.partitionBy("bandKey").orderBy("doc_id")
     val windowCands = banded
       .select(

@@ -93,6 +93,57 @@ object OpsQueries {
   val dedupMinhashSql: String =
     s"WITH $minhashPairCtes SELECT a, b, inter, uni FROM mhp"
 
+  /** Incremental dedup: the delta crawl (doc_id % 4 = 3) deduplicated
+    * against the committed base corpus (doc_id % 4 ≠ 3) through the base
+    * band index alone — Dedup.incrementalKeep. Duplicate iff an LSH band
+    * collides AND exact token-set Jaccard ≥ 90.
+    */
+  val dedupIncremental: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.incrementalKeep(
+      d.where(col("doc_id") % 4 =!= 3),
+      d.where(col("doc_id") % 4 === 3),
+      thetaPct = 90
+    )
+  }
+
+  /** Shared md5 minhash (16 seeds) + 8-band key CTEs over an input CTE
+    * `src` holding (doc_id, toks); emits `${p}band` = (doc_id, bandKey).
+    */
+  private def mhBandCtes(src: String, p: String): String = {
+    val seeds = 16
+    val bands = 8
+    val rows = seeds / bands
+    val mh = (0 until seeds)
+      .map(i => s"list_min(list_transform(toks, t -> md5('$i:' || t)))")
+      .mkString("[", ", ", "]")
+    val bandKeys = (0 until bands)
+      .map { b =>
+        val parts = (0 until rows).map(r => s"mh[${b * rows + r + 1}]").mkString(" || '|' || ")
+        s"md5($parts)"
+      }
+      .mkString("[", ", ", "]")
+    s"${p}sig AS (SELECT doc_id, $mh AS mh FROM $src), " +
+      s"${p}band AS (SELECT DISTINCT doc_id, unnest($bandKeys) AS bandKey FROM ${p}sig)"
+  }
+
+  val dedupIncrementalSql: String =
+    s"WITH $tsetCte, " +
+      "base AS (SELECT doc_id, toks FROM tset WHERE doc_id % 4 <> 3), " +
+      "delta AS (SELECT doc_id, toks FROM tset WHERE doc_id % 4 = 3), " +
+      s"${mhBandCtes("base", "b")}, ${mhBandCtes("delta", "d")}, " +
+      "cand AS (SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id " +
+      "FROM dband d JOIN bband b ON d.bandKey = b.bandKey), " +
+      "ver AS (SELECT c.delta_id, min(c.base_id) AS dup_of FROM cand c " +
+      "JOIN delta td ON td.doc_id = c.delta_id JOIN base tb ON tb.doc_id = c.base_id " +
+      "WHERE 100 * len(list_intersect(td.toks, tb.toks)) >= " +
+      "90 * (len(td.toks) + len(tb.toks) - len(list_intersect(td.toks, tb.toks))) " +
+      "GROUP BY c.delta_id) " +
+      "SELECT d.doc_id, v.dup_of, " +
+      "CAST(CASE WHEN v.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) d " +
+      "LEFT JOIN ver v ON v.delta_id = d.doc_id"
+
   val dedupGroups: Q = (s, dir) => Dedup.minhashGroups(docs(s, dir), thetaPct = 90)
 
   /** Recursive min-label walk over the verified pair graph — identical
@@ -1039,6 +1090,7 @@ object OpsQueries {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_groups" -> dedupGroups,
     "dedup_keep" -> dedupKeep,
     "text_skipgrams" -> textSkipgrams,
@@ -1102,6 +1154,7 @@ object OpsQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_groups" -> dedupGroupsSql,
     "dedup_keep" -> dedupKeepSql,
     "text_skipgrams" -> textSkipgramsSql,

@@ -132,6 +132,31 @@ object Queries {
     s"SELECT DISTINCT subject, predicate, obj FROM ((${side("doc_id % 2 = 0")}) UNION (${side("doc_id % 2 = 1")}))"
   }
 
+  /** Snapshot-to-snapshot triple delta (incremental KG maintenance):
+    * the "old" snapshot is the graph of documents doc_id % 3 ≠ 0, the
+    * "new" one doc_id % 3 ≠ 2 — so docs ≡ 1 (mod 3) are shared, ≡ 0 are
+    * arriving, ≡ 2 are departing, and both change directions are
+    * non-trivially populated. Single-shuffle ±1 classification — see
+    * [[graft.analytics.GraphDiff]].
+    */
+  val kgDiff: Q = (s, dir) => {
+    val d = docs(s, dir)
+    graft.analytics.GraphDiff.triples(
+      TokenRules.triples(d.where(col("doc_id") % 3 =!= 0)),
+      TokenRules.triples(d.where(col("doc_id") % 3 =!= 2))
+    )
+  }
+
+  val kgDiffSql: String = {
+    def side(pred: String): String =
+      s"WITH toks_cte AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents WHERE $pred), " +
+        s"raw_cte AS (${TokenRules.Sql.rawTriplesCte}) ${TokenRules.Sql.triplesCte}"
+    val oldT = side("doc_id % 3 <> 0")
+    val newT = side("doc_id % 3 <> 2")
+    s"SELECT subject, predicate, obj, 'added' AS change FROM (($newT) EXCEPT ($oldT)) " +
+      s"UNION ALL SELECT subject, predicate, obj, 'removed' AS change FROM (($oldT) EXCEPT ($newT))"
+  }
+
   // ---------------------------------------------------------------
   // Aggregation operators (SURVEY §2.4)
   // ---------------------------------------------------------------
@@ -1151,6 +1176,7 @@ object Queries {
     "kg_triples" -> kgTriples,
     "kg_edges" -> kgEdges,
     "kg_aggregate" -> kgAggregate,
+    "kg_diff" -> kgDiff,
     "kg_degree" -> kgDegree,
     "kg_pred_counts" -> kgPredCounts,
     "kg_top_entities" -> kgTopEntities,
@@ -1206,6 +1232,7 @@ object Queries {
     "kg_triples" -> kgTriplesSql,
     "kg_edges" -> kgEdgesSql,
     "kg_aggregate" -> kgAggregateSql,
+    "kg_diff" -> kgDiffSql,
     "kg_degree" -> kgDegreeSql,
     "kg_pred_counts" -> kgPredCountsSql,
     "kg_top_entities" -> kgTopEntitiesSql,

@@ -390,4 +390,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     // the singleton relation can only wrap to itself — never emitted
     assert(got.forall(_._2 == "likes"))
   }
+
+  test("graphDiff: added/removed classified, unchanged dropped") {
+    val oldT = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
+    val newT = triplesDf(("a", "r", "b"), ("c", "r", "d"), ("d", "r", "e"), ("e", "q", "a"))
+    val got = GraphDiff.triples(oldT, newT).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      ("b", "r", "c", "removed"),
+      ("d", "r", "e", "added"),
+      ("e", "q", "a", "added")
+    ))
+  }
+
+  test("graphDiff: identical snapshots yield an empty delta") {
+    val t = triplesDf(("a", "r", "b"), ("b", "r", "c"))
+    assert(GraphDiff.triples(t, t).count() == 0)
+  }
+
+  test("graphDiff plan shape: one exchange, no join operator") {
+    val oldT = triplesDf(("a", "r", "b"))
+    val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))
+    val plan = GraphDiff.triples(oldT, newT).queryExecution.executedPlan.toString
+    // the delta is a union + single groupBy, never an anti-join pair:
+    // exactly one shuffle of the tagged triple stream
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

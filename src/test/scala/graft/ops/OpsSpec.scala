@@ -929,4 +929,46 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(scores(0L) > scores(1L))
     assert(scores(0L) < 3L * scores(1L), s"saturation violated: $scores")
   }
+
+  test("incremental dedup: indexed path over committed artifacts equals the derive-from-base path") {
+    val base = docs.where(col("doc_id") % 4 =!= 3)
+    val delta = docs.where(col("doc_id") % 4 === 3)
+    val direct = Dedup.incrementalKeep(base, delta).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+    val indexed = Dedup.incrementalKeepIndexed(
+      Dedup.bandIndex(base),
+      base.select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+        .select(col("doc_id"), filter(col("toks"), t => t =!= lit("")).as("toks")),
+      delta
+    ).collect().map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+    assert(direct == indexed)
+    assert(direct.nonEmpty)
+  }
+
+  test("incremental dedup semantics: band-collision AND jaccard>=theta, min base partner") {
+    // base: two near-identical docs (1,2) and one unrelated (5);
+    // delta: a copy of the pair's text (dup of min(1,2)=1), and a novel doc
+    val t1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 39).map(i => s"tok$i").mkString(" ") + " tok40x"
+    val base = Seq((1L, t1), (2L, t2), (5L, "completely different words entirely"))
+      .toDF("doc_id", "text")
+    val delta = Seq((3L, t1), (7L, "zebra quark mamba lantern onyx"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalKeep(base, delta).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+    assert(got == Set((3L, Some(1L), 0L), (7L, None, 1L)))
+  }
+
+  test("incremental dedup: maxBucket drops hot band buckets (lossy guard)") {
+    // 50 identical base docs all land in the same band buckets; with a
+    // bucket cap below 50 the delta copy finds no candidate and is kept
+    val txt = (1 to 30).map(i => s"w$i").mkString(" ")
+    val base = (1L to 50L).map(i => (i, txt)).toDF("doc_id", "text")
+    val delta = Seq((100L, txt)).toDF("doc_id", "text")
+    val capped = Dedup.incrementalKeep(base, delta, maxBucket = Some(10)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(2))).toSet == Set((100L, 1L)))
+    val uncapped = Dedup.incrementalKeep(base, delta).collect()
+    assert(uncapped.map(r => (r.getLong(0), r.getLong(2))).toSet == Set((100L, 0L)))
+    assert(uncapped.head.getLong(1) == 1L) // min base partner
+  }
 }
