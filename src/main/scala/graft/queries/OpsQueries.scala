@@ -996,6 +996,68 @@ object OpsQueries {
       "FROM documents"
   }
 
+  /** URL canonicalization + canonical-url keep-list
+    * (textprep.UrlCanon): urls are synthesized deterministically from
+    * doc_id with case / default-port / utm / fragment / trailing-slash
+    * variants; consecutive doc pairs share scheme+host+path so they
+    * usually collide post-canonicalization — both keep outcomes
+    * populated (the ':8080' sliver stays distinct by design).
+    */
+  val urlCanon: Q = (s, dir) => {
+    val d2 = col("doc_id") / lit(2L)
+    val half = floor(d2).cast("long")
+    val schemeBase = when(half % 2 === 0, lit("https")).otherwise(lit("http"))
+    val scheme = when(col("doc_id") % 5 === 0, upper(schemeBase)).otherwise(schemeBase)
+    val defPort = when(half % 2 === 0, lit(":443")).otherwise(lit(":80"))
+    val port = when(col("doc_id") % 3 === 0, defPort)
+      .when(col("doc_id") % 7 === 0, lit(":8080"))
+      .otherwise(lit(""))
+    val path = concat(
+      lit("/docs/"),
+      half.cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit(""))
+    )
+    val ref = (half % 7).cast("string")
+    val qs = when(col("doc_id") % 4 === 0, concat(lit("?utm_source=feed&ref="), ref))
+      .when(col("doc_id") % 4 === 1, concat(lit("?ref="), ref, lit("&utm_campaign=x")))
+      .when(col("doc_id") % 4 === 2, lit("?utm_medium=a&utm_term=b&utm_x=c"))
+      .otherwise(lit(""))
+    val frag = when(col("doc_id") % 6 === 0, lit("#section-2")).otherwise(lit(""))
+    val host = concat(lit("site"), (half % 9).cast("string"), lit(".Example.COM"))
+    val url = concat(scheme, lit("://"), host, port, path, qs, frag)
+    graft.textprep.UrlCanon
+      .canonicalKeep(docs(s, dir).select(col("doc_id"), url.as("url")))
+      .select("doc_id", "url", "url_canon", "keep")
+  }
+
+  val urlCanonSql: String = {
+    val schemeBase = "CASE WHEN (doc_id // 2) % 2 = 0 THEN 'https' ELSE 'http' END"
+    val scheme = s"CASE WHEN doc_id % 5 = 0 THEN upper($schemeBase) ELSE $schemeBase END"
+    val defPort = "CASE WHEN (doc_id // 2) % 2 = 0 THEN ':443' ELSE ':80' END"
+    val port = s"CASE WHEN doc_id % 3 = 0 THEN $defPort WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END"
+    val path =
+      "'/docs/' || CAST(doc_id // 2 AS VARCHAR) || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+    val ref = "CAST((doc_id // 2) % 7 AS VARCHAR)"
+    val qs = s"CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=' || $ref " +
+      s"WHEN doc_id % 4 = 1 THEN '?ref=' || $ref || '&utm_campaign=x' " +
+      "WHEN doc_id % 4 = 2 THEN '?utm_medium=a&utm_term=b&utm_x=c' ELSE '' END"
+    val frag = "CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END"
+    val url =
+      s"$scheme || '://site' || CAST((doc_id // 2) % 9 AS VARCHAR) || '.Example.COM' || $port || $path || $qs || $frag"
+    "WITH u AS (SELECT doc_id, " + url + " AS url FROM documents), " +
+      "s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u), " +
+      "s2 AS (SELECT *, regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS head FROM s1), " +
+      "s3 AS (SELECT *, substr(nofrag, length(head) + 1) AS rest, lower(head) AS hl FROM s2), " +
+      "s4 AS (SELECT *, CASE WHEN hl LIKE 'http://%' AND hl LIKE '%:80' THEN substr(hl, 1, length(hl) - 3) " +
+      "WHEN hl LIKE 'https://%' AND hl LIKE '%:443' THEN substr(hl, 1, length(hl) - 4) ELSE hl END AS h2 FROM s3), " +
+      "s5 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(rest, '&utm_[^=&]*=[^&]*', '', 'g'), " +
+      "'\\?utm_[^=&]*=[^&]*&', '?'), '\\?utm_[^=&]*=[^&]*$', '') AS r3 FROM s4), " +
+      "s6 AS (SELECT *, CASE WHEN r3 NOT LIKE '%?%' THEN regexp_replace(r3, '/+$', '') ELSE r3 END AS r4 FROM s5), " +
+      "c AS (SELECT doc_id, url, CASE WHEN head = '' THEN url ELSE h2 || r4 END AS url_canon FROM s6) " +
+      "SELECT doc_id, url, url_canon, " +
+      "CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY url_canon) THEN 1 ELSE 0 END AS BIGINT) AS keep FROM c"
+  }
+
   val corpusKeep: Q = (s, dir) => Curation.corpusDecision(docs(s, dir), expr(mixRateExpr))
 
   /** Composes the curate, exact-dedup and mixture-sampling oracles into
@@ -1130,6 +1192,7 @@ object OpsQueries {
     "text_decontam" -> textDecontam,
     "domain_stats" -> domainStats,
     "corpus_curate" -> corpusCurate,
+    "url_canon" -> urlCanon,
     "mixture_sample" -> mixtureSample,
     "data_split" -> dataSplit,
     "length_histogram" -> lengthHistogram,
@@ -1194,6 +1257,7 @@ object OpsQueries {
     "text_decontam" -> textDecontamSql,
     "domain_stats" -> domainStatsSql,
     "corpus_curate" -> corpusCurateSql,
+    "url_canon" -> urlCanonSql,
     "mixture_sample" -> mixtureSampleSql,
     "data_split" -> dataSplitSql,
     "length_histogram" -> lengthHistogramSql,

@@ -1,0 +1,58 @@
+package graft.textprep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for Common-Crawl-style ingest: the same page is
+  * crawled under fragment/tracking-parameter/port/case variants, and a
+  * web-scale pipeline dedups by CANONICAL url before any content pass
+  * (the cheapest dedup tier — pure per-row string work, zero shuffle
+  * until the keep-list aggregate). The reference ingests pre-cleaned
+  * text and never faces this; it is part of the corpus-hygiene surface
+  * a 100 TB crawl table needs in front of generate().
+  *
+  * Canonical form (rule shared verbatim with the DuckDB oracle; each
+  * step is a plain regexp/CASE both engines evaluate identically):
+  *   1. drop the fragment (`#...`);
+  *   2. lowercase the `scheme://host[:port]` head (path/query case is
+  *      significant, host case is not);
+  *   3. drop a default port (`:80` on http, `:443` on https);
+  *   4. drop `utm_*` tracking parameters, fixing `?`/`&` stitching;
+  *   5. drop trailing slashes of a query-less path.
+  * A string with no `scheme://host` head is returned unchanged.
+  *
+  * All steps are codegen'd string expressions — no UDF, no shuffle.
+  */
+object UrlCanon {
+
+  def canonical(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val head = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = noFrag.substr(length(head) + 1, length(noFrag))
+    val hl = lower(head)
+    val h2 = when(hl.startsWith("http://") && hl.endsWith(":80"), hl.substr(lit(1), length(hl) - 3))
+      .when(hl.startsWith("https://") && hl.endsWith(":443"), hl.substr(lit(1), length(hl) - 4))
+      .otherwise(hl)
+    val r1 = regexp_replace(rest, "&utm_[^=&]*=[^&]*", "")
+    val r2 = regexp_replace(r1, "\\?utm_[^=&]*=[^&]*&", "?")
+    val r3 = regexp_replace(r2, "\\?utm_[^=&]*=[^&]*$", "")
+    val r4 = when(!r3.contains("?"), regexp_replace(r3, "/+$", "")).otherwise(r3)
+    when(head === "", u).otherwise(concat(h2, r4))
+  }
+
+  /** Keep-list by canonical url: adds `url_canon` and `keep` (1 for the
+    * minimum `idCol` of each canonical group — the deterministic "first
+    * crawl wins" representative). One exchange, keyed by the canonical
+    * string; at crawl scale the group cardinality ≈ corpus cardinality,
+    * so AQE's local hash aggregate absorbs almost all of it map-side.
+    */
+  def canonicalKeep(df: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("url_canon")
+    df.withColumn("url_canon", canonical(col(urlCol)))
+      .withColumn(
+        "keep",
+        when(col(idCol) === min(idCol).over(w), 1L).otherwise(0L)
+      )
+  }
+}
