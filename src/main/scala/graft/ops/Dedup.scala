@@ -148,10 +148,11 @@ object Dedup {
       expr(s"array_min(transform($toksCol, t -> md5(concat('$i:', t))))").as(s"mh$i")
     }
 
-  /** Distinct sorted token set per document without the `source` block
-    * column — the incremental path is corpus-global, not block-scoped.
+  /** Distinct sorted token set per document, (doc_id, toks) — the
+    * second committable dedup-state artifact next to [[bandIndex]]
+    * (corpus-global: no `source` block column).
     */
-  private def tokenSetsSlim(docs: DataFrame): DataFrame =
+  def tokenSetTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       array_sort(array_distinct(TokenRules.tokens(col("text")))).as("toks")
@@ -179,7 +180,7 @@ object Dedup {
     * a byte of the already-ingested corpus (see [[incrementalKeep]]).
     */
   def bandIndex(docs: DataFrame, seeds: Int = 16, bands: Int = 8): DataFrame =
-    bandedKeys(tokenSetsSlim(docs), seeds, bands)
+    bandedKeys(tokenSetTable(docs), seeds, bands)
 
   /** Incremental near-dup verdicts for a delta crawl against an
     * already-ingested base corpus: for every delta document,
@@ -210,7 +211,7 @@ object Dedup {
   ): DataFrame =
     incrementalKeepIndexed(
       bandIndex(base, seeds, bands),
-      tokenSetsSlim(base),
+      tokenSetTable(base),
       delta,
       thetaPct,
       seeds,
@@ -233,7 +234,7 @@ object Dedup {
       bands: Int = 8,
       maxBucket: Option[Int] = None
   ): DataFrame = {
-    val dt = tokenSetsSlim(delta)
+    val dt = tokenSetTable(delta)
     val dband = bandedKeys(dt, seeds, bands)
     val idx = maxBucket match {
       case Some(k) =>
