@@ -395,7 +395,18 @@ object Analytics {
     * volume; all joins are ordinary AQE-managed shuffles keyed by
     * node.
     */
-  def harmonicCentrality(triples: DataFrame, nSeeds: Int = 8, maxRounds: Int = 10): DataFrame = {
+  /** Multi-source BFS distance table over the undirected collapsed edge
+    * set: (seed, node, dist) with dist = minimum hop count ≤ maxRounds
+    * (the seed itself at dist 0). Seeds are the first `nSeeds` edge
+    * endpoints in deterministic (md5, value) order — the shared seed
+    * rule with every sampled-seed oracle.
+    *
+    * Scale shape: classic frontier BFS — each round is ONE equi-join of
+    * the (small) frontier against the neighbor table plus an anti-join
+    * against the reached set, staged through [[graft.util.Materialize]]
+    * so the plan depth stays constant; early-stops on an empty frontier.
+    */
+  def bfsDistances(triples: DataFrame, nSeeds: Int = 8, maxRounds: Int = 10): DataFrame = {
     // stage, then re-bind to fresh attributes: the repeated
     // union/anti-join of checkpointed rounds otherwise trips Spark's
     // Union constraint rewrite on stale expression ids ("key not
@@ -431,6 +442,10 @@ object Analytics {
       round += 1
     }
     reached
+  }
+
+  def harmonicCentrality(triples: DataFrame, nSeeds: Int = 8, maxRounds: Int = 10): DataFrame =
+    bfsDistances(triples, nSeeds, maxRounds)
       .where(col("dist") >= 1L)
       .groupBy("node")
       .agg(
@@ -438,7 +453,6 @@ object Analytics {
         sum(expr("1000000 div dist")).as("harmonic_micro")
       )
       .select(col("node").as("entity"), col("n_reached"), col("harmonic_micro"))
-  }
 
   def linkPredict(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
     val nb = graft.util.Materialize.stage(undirectedNb(triples))

@@ -715,6 +715,32 @@ object Queries {
       s"CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro FROM r$rounds WHERE dist >= 1 GROUP BY node"
   }
 
+  /** Single-source shortest-path distances (Analytics.bfsDistances with
+    * one seed): (entity, dist) for every node within 8 undirected hops
+    * of the deterministic (md5, value)-first seed — the frontier-BFS
+    * primitive harmonic centrality aggregates over, exposed as its own
+    * retrieval-depth operator.
+    */
+  val kgSssp: Q = (s, dir) =>
+    Analytics.bfsDistances(triples(s, dir), nSeeds = 1, maxRounds = 8)
+      .select(col("node").as("entity"), col("dist"))
+
+  val kgSsspSql: String = {
+    val rounds = 8
+    val base = TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
+      "nbq AS MATERIALIZED (SELECT subject AS v, obj AS u FROM ed UNION SELECT obj, subject FROM ed), " +
+      "sd AS MATERIALIZED (SELECT v AS seed FROM (SELECT DISTINCT v FROM nbq) ORDER BY md5(v), v LIMIT 1), " +
+      "r0 AS MATERIALIZED (SELECT seed AS node, CAST(0 AS BIGINT) AS dist FROM sd)"
+    val steps = (0 until rounds).map { i =>
+      s"r${i + 1} AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (" +
+        s"SELECT node, dist FROM r$i UNION ALL " +
+        s"SELECT g.u AS node, r.dist + 1 AS dist FROM r$i r JOIN nbq g ON g.v = r.node" +
+        ") GROUP BY node)"
+    }.mkString(", ", ", ", " ")
+    base + steps + s"SELECT node AS entity, dist FROM r$rounds"
+  }
+
   /** Deterministic random-walk corpus (Analytics.randomWalks), 4 steps
     * from every non-isolated node. The oracle unrolls the identical
     * md5-indexed neighbor choice per step, so walks are bit-identical.
@@ -1201,6 +1227,7 @@ object Queries {
     "kg_triangles" -> kgTriangles,
     "kg_kcore" -> kgKcore,
     "kg_harmonic" -> kgHarmonic,
+    "kg_sssp" -> kgSssp,
     "kg_walks" -> kgWalks,
     "kg_walk_cooc" -> kgWalkCooc,
     "kg_negatives" -> kgNegatives,
@@ -1257,6 +1284,7 @@ object Queries {
     "kg_triangles" -> kgTrianglesSql,
     "kg_kcore" -> kgKcoreSql,
     "kg_harmonic" -> kgHarmonicSql,
+    "kg_sssp" -> kgSsspSql,
     "kg_walks" -> kgWalksSql,
     "kg_walk_cooc" -> kgWalkCoocSql,
     "kg_negatives" -> kgNegativesSql,

@@ -391,6 +391,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_._2 == "likes"))
   }
 
+  test("bfsDistances: single-seed shortest distances, undirected, round-capped") {
+    // path a-b-c-d-e plus a shortcut a-c: dist(c)=1 via the shortcut,
+    // not 2 via b; seed = md5-first endpoint
+    val tr = triplesDf(
+      ("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"), ("d", "r", "e"), ("a", "q", "c"))
+    val nodes = Seq("a", "b", "c", "d", "e")
+    val seed = nodes.minBy(n => (java.security.MessageDigest.getInstance("MD5")
+      .digest(n.getBytes("UTF-8")).map("%02x".format(_)).mkString, n))
+    val got = Analytics.bfsDistances(tr, nSeeds = 1, maxRounds = 8).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.forall(_._1 == seed))
+    val dist = got.map(t => t._2 -> t._3).toMap
+    assert(dist(seed) == 0L)
+    // verify against a driver-side BFS over the same undirected edges
+    val adj = Seq("ab", "bc", "cd", "de", "ac")
+      .flatMap(e => Seq(e(0).toString -> e(1).toString, e(1).toString -> e(0).toString))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var expect = Map(seed -> 0L)
+    var frontier = Seq(seed)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1L
+      val next = frontier.flatMap(adj.getOrElse(_, Nil)).distinct.filterNot(expect.contains)
+      next.foreach(n => expect += n -> d)
+      frontier = next
+    }
+    assert(dist == expect)
+  }
+
   test("graphDiff: added/removed classified, unchanged dropped") {
     val oldT = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
     val newT = triplesDf(("a", "r", "b"), ("c", "r", "d"), ("d", "r", "e"), ("e", "q", "a"))
