@@ -57,6 +57,12 @@ object KgGenJob {
         * cluster_and_deduplication.py:61-126).
         */
       commitEmbeddings: Boolean = false,
+      /** Dedup ingested pages by canonical url before chunking
+        * (freshest crawl wins — [[graft.textprep.UrlCanon.dedupPages]]):
+        * the crawl-table hygiene pass a real Common-Crawl ingest runs
+        * first. Off by default (the synthetic corpus has unique urls).
+        */
+      dedupUrls: Boolean = false,
       /** When > 0, the canonical entities/triples/edges snapshots are
         * laid out as hash-bucket directory partitions
         * (`bucket = pmod(xxhash64(key), n)`, Iceberg bucket-transform
@@ -71,7 +77,9 @@ object KgGenJob {
       * upstream that shapes its output.
       */
     def corpusFp: String = corpus.toString
-    def chunksFp: String = s"$corpusFp|chunk=${extract.chunkSize}|lang=${extract.lang}"
+    def chunksFp: String =
+      s"$corpusFp|chunk=${extract.chunkSize}|lang=${extract.lang}" +
+        (if (dedupUrls) "|urldedup" else "")
     def extractFp: String = s"$chunksFp|scorer=pattern|batch=${extract.scoreBatchSize}"
     def clusterFp: String =
       s"$extractFp|${cluster.toString}" +
@@ -133,15 +141,21 @@ object KgGenJob {
         val pages = timed("pages") { table.resumeOrCompute("pages", cfg.corpusFp) {
           CorpusGen.pagesPartitioned(spark, cfg.corpus, cfg.parallelism).toDF()
         } }
+        val ingested =
+          if (cfg.dedupUrls) graft.textprep.UrlCanon.dedupPages(pages.as[Page]).toDF()
+          else pages
         val chunks = timed("chunks") { table.resumeOrCompute("chunks", cfg.chunksFp) {
-          Extract.chunks(pages.as[Page], cfg.extract).toDF()
+          Extract.chunks(ingested.as[Page], cfg.extract).toDF()
         } }
         timed("extracted") { table.resumeOrCompute("extracted", cfg.extractFp) {
           Extract.extractions(chunks.as[graft.model.Chunk], scorer, cfg.extract).toDF()
         } }
       } else {
         timed("extracted") { table.resumeOrCompute("extracted", cfg.extractFp) {
-          val pages = CorpusGen.pagesPartitioned(spark, cfg.corpus, cfg.parallelism)
+          val pages0 = CorpusGen.pagesPartitioned(spark, cfg.corpus, cfg.parallelism)
+          val pages =
+            if (cfg.dedupUrls) graft.textprep.UrlCanon.dedupPages(pages0)
+            else pages0
           Extract.extractions(Extract.chunks(pages, cfg.extract), scorer, cfg.extract).toDF()
         } }
       }

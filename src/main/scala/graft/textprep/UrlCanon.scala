@@ -1,8 +1,9 @@
 package graft.textprep
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.model.Page
 
 /** URL canonicalization for Common-Crawl-style ingest: the same page is
   * crawled under fragment/tracking-parameter/port/case variants, and a
@@ -54,5 +55,25 @@ object UrlCanon {
         "keep",
         when(col(idCol) === min(idCol).over(w), 1L).otherwise(0L)
       )
+  }
+
+  /** Crawl-table page dedup: one page per canonical url, freshest crawl
+    * wins (max warc_ts, ties broken by min raw url — fully
+    * deterministic). The ingest-side guard the KG pipeline runs before
+    * chunking when the same page was fetched under several url variants
+    * or across recrawls ([[graft.pipeline.KgGenJob.JobConfig.dedupUrls]]).
+    */
+  def dedupPages(pages: Dataset[Page]): Dataset[Page] = {
+    import pages.sparkSession.implicits._
+    val w = Window
+      .partitionBy("url_canon")
+      .orderBy(col("warc_ts").desc, col("url").asc)
+    pages
+      .toDF()
+      .withColumn("url_canon", canonical(col("url")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("url_canon", "rn")
+      .as[Page]
   }
 }

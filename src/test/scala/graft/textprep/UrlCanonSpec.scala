@@ -45,6 +45,20 @@ class UrlCanonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet == Set("https://example.com"))
   }
 
+  test("dedupPages: freshest crawl wins per canonical url, ties by min raw url") {
+    import graft.model.Page
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pages = Seq(
+      Page("https://a.com/x?utm_s=1", ts("2024-01-01 00:00:00"), Array[Byte](), "stale", "en"),
+      Page("HTTPS://A.COM/x", ts("2024-02-01 00:00:00"), Array[Byte](), "fresh", "en"),
+      Page("https://a.com/y", ts("2024-01-15 00:00:00"), Array[Byte](), "only", "en"),
+      // same canonical AND same warc_ts as the fresh one: min url wins
+      Page("https://a.com/x#f", ts("2024-02-01 00:00:00"), Array[Byte](), "tiebreak", "en")
+    ).toDS()
+    val kept = UrlCanon.dedupPages(pages).collect().map(_.text).toSet
+    assert(kept == Set("fresh", "only"))
+  }
+
   test("canonicalKeep: min doc_id per canonical group wins") {
     val df = Seq(
       (1L, "https://a.com/x?utm_s=1"),
