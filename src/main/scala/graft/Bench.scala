@@ -60,7 +60,19 @@ object Bench {
   /** Level-independent partition count for the scaling pipeline runs
     * (see methodology above).
     */
-  val ScalePartitions = 32
+  /** Identical at every level (a fixed input's partitioning is a
+    * property of the data, not the cluster — see object scaladoc).
+    * Measured (3M docs, warm child JVMs): raising this to 128 — four
+    * task waves at local[32] instead of one — moves NO level outside
+    * its noise band (local[2] 117 s, local[8] 35.0 s, local[32] 17.3 s
+    * vs 108.8/32.9-36/15.5-18.4 at 32), because the 16N wall is shared
+    * memory bandwidth plus the level-independent driver component, not
+    * task-wave imbalance; the finer shuffle only taxes the iterative
+    * cluster stages (+1.5 s). Env override for experiments:
+    * SPARK_GRAFT_SCALE_PARTS.
+    */
+  val ScalePartitions: Int =
+    sys.env.get("SPARK_GRAFT_SCALE_PARTS").map(_.toInt).getOrElse(32)
 
   private[graft] def tmpBase: Path = {
     val p = sys.env.get("SPARK_GRAFT_TMP").map(Paths.get(_)).getOrElse {
