@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.analytics.GraphDiff
+import graft.extract.TokenRules
+import graft.ops.Dedup
+import graft.store.SnapshotTable
+
+/** The incremental-maintenance capstone: a recrawl delta is deduplicated
+  * against the COMMITTED state of the previous ingest (band index +
+  * token sets, read back off the snapshot store — no base rescan), only
+  * the kept documents extend the corpus, and the new canonical triple
+  * set diffs against the committed v1 graph as (added, removed) rows.
+  * Composes Dedup.incrementalKeepIndexed + SnapshotTable + GraphDiff —
+  * each individually specced; this asserts the composed flow end to end.
+  */
+class RecrawlFlowSpec extends AnyFunSuite with SparkTestBase {
+
+  test("recrawl: committed dedup state -> incremental keep -> snapshot diff") {
+    val root = java.nio.file.Files.createTempDirectory("graft-recrawl").toString
+    val table = new SnapshotTable(spark, root)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = d.where(col("doc_id") % 4 =!= 3)
+    val delta = d.where(col("doc_id") % 4 === 3)
+
+    // ingest v1: canonical triples + the two dedup-state artifacts
+    val v1 = table.commit(TokenRules.triples(base), "canonical_triples", "v1")
+    table.commit(Dedup.bandIndex(base), "dedup_band_index", "v1")
+    table.commit(Dedup.tokenSetTable(base), "dedup_token_sets", "v1")
+
+    // recrawl: dedup the delta against the COMMITTED artifacts only
+    val verdicts = Dedup.incrementalKeepIndexed(
+      table.read("dedup_band_index", "v1"),
+      table.read("dedup_token_sets", "v1"),
+      delta
+    )
+    val keptIds = verdicts.where(col("keep") === 1L).select("doc_id")
+    val kept = delta.join(keptIds, "doc_id")
+    assert(verdicts.count() == delta.count())
+    assert(kept.count() < delta.count(), "fixture has no cross-crawl dups — weak test")
+    assert(kept.count() > 0, "every delta doc was a dup — weak test")
+
+    // v2 = base + kept delta; diff v2 against the committed v1 snapshot
+    val v2 = TokenRules.triples(base.unionByName(kept))
+    val diff = GraphDiff.triples(v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+
+    // growth is monotone: nothing removed, added = brute-force EXCEPT
+    assert(diff.forall(_._4 == "added"))
+    val v1set = v1.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val v2set = v2.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(diff.map(t => (t._1, t._2, t._3)).toSet == (v2set -- v1set))
+    assert(diff.nonEmpty, "kept delta contributed no new triples — weak test")
+  }
+}
