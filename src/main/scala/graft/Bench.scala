@@ -72,7 +72,11 @@ object Bench {
     * SPARK_GRAFT_SCALE_PARTS.
     */
   val ScalePartitions: Int =
-    sys.env.get("SPARK_GRAFT_SCALE_PARTS").map(_.toInt).getOrElse(32)
+    sys.env.get("SPARK_GRAFT_SCALE_PARTS").map { v =>
+      scala.util.Try(v.trim.toInt).getOrElse(
+        sys.error(s"SPARK_GRAFT_SCALE_PARTS must be an integer, got '$v'")
+      )
+    }.getOrElse(32)
 
   private[graft] def tmpBase: Path = {
     val p = sys.env.get("SPARK_GRAFT_TMP").map(Paths.get(_)).getOrElse {

@@ -208,16 +208,21 @@ object Dedup {
       seeds: Int = 16,
       bands: Int = 8,
       maxBucket: Option[Int] = None
-  ): DataFrame =
+  ): DataFrame = {
+    // one tokenization subtree for both base-side artifacts — Catalyst
+    // does not deduplicate common subtrees across joins, so deriving the
+    // band index from the same token-set frame halves the base scan
+    val bt = tokenSetTable(base)
     incrementalKeepIndexed(
-      bandIndex(base, seeds, bands),
-      tokenSetTable(base),
+      bandedKeys(bt, seeds, bands),
+      bt,
       delta,
       thetaPct,
       seeds,
       bands,
       maxBucket
     )
+  }
 
   /** [[incrementalKeep]] with the base corpus supplied as its committed
     * artifacts: `baseIndex` = (doc_id, bandKey), `baseToks` =
@@ -236,12 +241,17 @@ object Dedup {
   ): DataFrame = {
     val dt = tokenSetTable(delta)
     val dband = bandedKeys(dt, seeds, bands)
+    // map-side-combined count + semi-join, NOT a count-over-window: the
+    // window form sorts the hottest bucket's whole population in one
+    // task — the guard against skew must itself be skew-safe
     val idx = maxBucket match {
       case Some(k) =>
-        baseIndex
-          .withColumn("bc", count(lit(1)).over(Window.partitionBy("bandKey")))
+        val cool = baseIndex
+          .groupBy("bandKey")
+          .agg(count(lit(1)).as("bc"))
           .where(col("bc") <= k)
-          .drop("bc")
+          .select("bandKey")
+        baseIndex.join(cool, Seq("bandKey"), "left_semi")
       case None => baseIndex
     }
     val cand = dband

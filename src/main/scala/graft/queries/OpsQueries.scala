@@ -59,29 +59,16 @@ object OpsQueries {
     * MinHash-LSH pair set; shared by the pair and group oracles.
     */
   private val minhashPairCtes: String = {
-    val seeds = 16
-    val bands = 8
-    val rows = seeds / bands
     val cap = 10
-    val mh = (0 until seeds)
-      .map(i => s"list_min(list_transform(toks, t -> md5('$i:' || t)))")
-      .mkString("[", ", ", "]")
-    val bandKeys = (0 until bands)
-      .map { b =>
-        val parts = (0 until rows).map(r => s"mh[${b * rows + r + 1}]").mkString(" || '|' || ")
-        s"md5($parts)"
-      }
-      .mkString("[", ", ", "]")
     val leads = (1 to cap)
       .map(d =>
-        s"SELECT doc_id AS a, lead(doc_id, $d) OVER (PARTITION BY bandKey ORDER BY doc_id) AS b FROM banded"
+        s"SELECT doc_id AS a, lead(doc_id, $d) OVER (PARTITION BY bandKey ORDER BY doc_id) AS b FROM band"
       )
       .mkString(" UNION ALL ")
     val star =
-      "SELECT min(doc_id) OVER (PARTITION BY bandKey) AS a, doc_id AS b FROM banded"
+      "SELECT min(doc_id) OVER (PARTITION BY bandKey) AS a, doc_id AS b FROM band"
     s"$tsetCte, " +
-      s"sig AS (SELECT doc_id, $mh AS mh FROM tset), " +
-      s"banded AS (SELECT DISTINCT doc_id, unnest($bandKeys) AS bandKey FROM sig), " +
+      s"${mhBandCtes("tset", "")}, " +
       s"cand AS (SELECT DISTINCT a, b FROM ($leads UNION ALL $star) WHERE b IS NOT NULL AND a < b), " +
       "mhp AS (SELECT c.a, c.b, " +
       "CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter, " +
@@ -109,6 +96,16 @@ object OpsQueries {
 
   /** Shared md5 minhash (16 seeds) + 8-band key CTEs over an input CTE
     * `src` holding (doc_id, toks); emits `${p}band` = (doc_id, bandKey).
+    * The ONE SQL site for the signature/band rule (the Scala side's
+    * single site is Dedup.minhashSig/bandedKeys) — both the batch pair
+    * oracle and the incremental oracle compose it.
+    *
+    * NULL parity with Spark's concat_ws: an empty-token doc has ALL
+    * minhashes NULL (list_min of an empty list), and concat_ws skips
+    * NULLs, so every Spark band key is md5('') and empty docs share a
+    * bucket. DuckDB's `||` would yield NULL keys instead (dropped by
+    * equi-joins) — the CASE pins the md5('') rule. NULL minhashes are
+    * all-or-nothing per doc, so testing mh[1] suffices.
     */
   private def mhBandCtes(src: String, p: String): String = {
     val seeds = 16
@@ -120,7 +117,7 @@ object OpsQueries {
     val bandKeys = (0 until bands)
       .map { b =>
         val parts = (0 until rows).map(r => s"mh[${b * rows + r + 1}]").mkString(" || '|' || ")
-        s"md5($parts)"
+        s"md5(CASE WHEN mh[1] IS NULL THEN '' ELSE $parts END)"
       }
       .mkString("[", ", ", "]")
     s"${p}sig AS (SELECT doc_id, $mh AS mh FROM $src), " +

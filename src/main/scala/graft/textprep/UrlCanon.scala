@@ -58,16 +58,18 @@ object UrlCanon {
   }
 
   /** Crawl-table page dedup: one page per canonical url, freshest crawl
-    * wins (max warc_ts, ties broken by min raw url — fully
-    * deterministic). The ingest-side guard the KG pipeline runs before
-    * chunking when the same page was fetched under several url variants
-    * or across recrawls ([[graft.pipeline.KgGenJob.JobConfig.dedupUrls]]).
+    * wins (max warc_ts, ties broken by min raw url, then by content
+    * hash — fully deterministic even when a duplicated ingest row
+    * carries the same url+timestamp with divergent payloads). The
+    * ingest-side guard the KG pipeline runs before chunking when the
+    * same page was fetched under several url variants or across
+    * recrawls ([[graft.pipeline.KgGenJob.JobConfig.dedupUrls]]).
     */
   def dedupPages(pages: Dataset[Page]): Dataset[Page] = {
     import pages.sparkSession.implicits._
     val w = Window
       .partitionBy("url_canon")
-      .orderBy(col("warc_ts").desc, col("url").asc)
+      .orderBy(col("warc_ts").desc, col("url").asc, md5(col("text")).asc)
     pages
       .toDF()
       .withColumn("url_canon", canonical(col("url")))

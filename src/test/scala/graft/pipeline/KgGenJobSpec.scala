@@ -134,4 +134,27 @@ class KgGenJobSpec extends AnyFunSuite with SparkTestBase {
     // original still resumable and unchanged
     assert(KgGenJob.run(spark, small).triples.count() == a)
   }
+
+  test("dedupUrls wiring: no-op on a unique-url corpus, distinct fingerprint, both branches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-job-urls").toString
+    val base = KgGenJob.JobConfig(
+      tableRoot = root,
+      corpus = CorpusGen.Config(nDocs = 40L, seed = 7L)
+    )
+    val deduped = base.copy(dedupUrls = true)
+    // the flag is part of the stage identity: a resumed run must never
+    // serve a non-deduped snapshot to a dedupUrls config (or vice versa)
+    assert(base.chunksFp != deduped.chunksFp)
+    def triples(cfg: KgGenJob.JobConfig) =
+      KgGenJob.run(spark, cfg).triples.as[Triple].collect()
+        .map(t => (t.subject, t.predicate, t.obj)).toSet
+    // the synthetic corpus has unique urls, so dedup must be a no-op in
+    // BOTH commit branches — this drives the .as[Page] round-trip and
+    // the ingest placement through the real job
+    val plain = triples(base)
+    assert(triples(deduped) == plain)
+    assert(triples(deduped.copy(commitProvenance = true)) == plain)
+    assert(plain.nonEmpty)
+  }
 }
