@@ -44,17 +44,21 @@ object UrlCanon {
 
   /** Keep-list by canonical url: adds `url_canon` and `keep` (1 for the
     * minimum `idCol` of each canonical group — the deterministic "first
-    * crawl wins" representative). One exchange, keyed by the canonical
-    * string; at crawl scale the group cardinality ≈ corpus cardinality,
-    * so AQE's local hash aggregate absorbs almost all of it map-side.
+    * crawl wins" representative). Map-side-combined groupBy-min + an
+    * equi-join back, NOT a min-over-window: a hot canonical url (a page
+    * duplicated across the whole crawl) is exactly the skewed key here,
+    * and the window form would sort that group's full population in one
+    * task while the partial aggregate collapses it map-side.
     */
   def canonicalKeep(df: DataFrame, urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy("url_canon")
-    df.withColumn("url_canon", canonical(col(urlCol)))
-      .withColumn(
-        "keep",
-        when(col(idCol) === min(idCol).over(w), 1L).otherwise(0L)
-      )
+    val withCanon = df.withColumn("url_canon", canonical(col(urlCol)))
+    val minIds = withCanon
+      .groupBy("url_canon")
+      .agg(min(idCol).as("__min_id"))
+    withCanon
+      .join(minIds, Seq("url_canon"))
+      .withColumn("keep", when(col(idCol) === col("__min_id"), 1L).otherwise(0L))
+      .drop("__min_id")
   }
 
   /** Crawl-table page dedup: one page per canonical url, freshest crawl
@@ -67,15 +71,21 @@ object UrlCanon {
     */
   def dedupPages(pages: Dataset[Page]): Dataset[Page] = {
     import pages.sparkSession.implicits._
-    val w = Window
-      .partitionBy("url_canon")
-      .orderBy(col("warc_ts").desc, col("url").asc, md5(col("text")).asc)
-    pages
-      .toDF()
-      .withColumn("url_canon", canonical(col("url")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("url_canon", "rn")
+    val df = pages.toDF()
+    // min_by over a composite sort key (negated epoch-micros = freshest
+    // first, then url, then content hash) — ONE map-side-combined hash
+    // aggregate per canonical group. The row_number-window formulation
+    // would sort a hot canonical group's entire population in one task;
+    // a page duplicated across the crawl is exactly that hot key.
+    val ord = struct(
+      (-unix_micros(col("warc_ts"))).as("nts"),
+      col("url"),
+      md5(col("text")).as("h")
+    )
+    df.withColumn("url_canon", canonical(col("url")))
+      .groupBy("url_canon")
+      .agg(min_by(struct(df.columns.map(col): _*), ord).as("p"))
+      .select("p.*")
       .as[Page]
   }
 }
