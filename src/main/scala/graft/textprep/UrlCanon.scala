@@ -1,7 +1,6 @@
 package graft.textprep
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Page
 
