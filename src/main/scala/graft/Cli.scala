@@ -75,7 +75,10 @@ object Cli {
           val viz = Analytics.vizModel(ents, tris)
           viz.coalesce(1).write.mode("overwrite").parquet(out)
           htmlOut.foreach { h =>
-            graft.viz.HtmlViz.write(viz, tris, h)
+            // read the just-written parquet: the viz plan contains an
+            // iterative CC run, and collecting the lazy plan again would
+            // re-execute it from scratch
+            graft.viz.HtmlViz.write(spark.read.parquet(out), tris, h)
             println(s"rendered $in -> $h")
           }
         } finally spark.stop()
@@ -118,7 +121,9 @@ object Cli {
           val store = new MemoryStore(spark, root)
           val viz = Analytics.vizModel(store.entities, store.triples)
           viz.coalesce(1).write.mode("overwrite").parquet(out)
-          htmlOut.foreach(graft.viz.HtmlViz.write(viz, store.triples, _))
+          // read back rather than re-collect the lazy CC plan (see
+          // `visualize` above)
+          htmlOut.foreach(graft.viz.HtmlViz.write(spark.read.parquet(out), store.triples, _))
         } finally spark.stop()
         println(s"visualized store $root -> $out")
 

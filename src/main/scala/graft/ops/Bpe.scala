@@ -212,13 +212,18 @@ object Bpe {
       wordFreq: DataFrame,
       rounds: Int
   ): (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var syms = graft.util.Materialize.stage(
+    // wordFreq arrives already staged by train(); the initial symbol
+    // split is a narrow projection of it, so staging it AGAIN would
+    // materialize a second vocab-sized table on exactly the path that
+    // exists because the vocab is too big to collect. Round 1 reads the
+    // projection on the fly; every merge round re-stages below, keeping
+    // plan depth constant.
+    var syms =
       wordFreq.select(
         col("word"),
         col("freq"),
         expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms")
       )
-    )
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
     var dry = false

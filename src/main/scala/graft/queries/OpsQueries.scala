@@ -775,14 +775,23 @@ object OpsQueries {
 
   val textFingerprints: Q = (s, dir) => TextAnalysis.fingerprints(docs(s, dir))
 
+  /** Per-ROW winnowing, mirroring the Spark formulation exactly (gram
+    * hashes, window minima, and the distinct all inside list expressions
+    * on each row): the two sides now agree for ANY input, including a
+    * corpus that ever carried duplicate doc_id rows — the earlier
+    * windowed oracle applied a global SELECT DISTINCT that the
+    * zero-exchange Spark plan deliberately does not pay.
+    */
   val textFingerprintsSql: String = {
     val k = TextAnalysis.GramLen
     val w = TextAnalysis.WinnowWindow
     val hw = TextAnalysis.HashHexLen
-    s"WITH g AS (SELECT doc_id, unnest(range(1, length(text) - ${k - 2})) AS pos, text FROM documents WHERE length(text) >= $k), " +
-      s"h AS (SELECT doc_id, pos, substr(md5(substr(text, CAST(pos AS INT), $k)), 1, $hw) AS h FROM g), " +
-      s"fp AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp FROM h) " +
-      s"SELECT DISTINCT doc_id, fp FROM fp WHERE pos >= $w"
+    s"WITH hsx AS (SELECT doc_id, list_transform(range(1, length(text) - ${k - 2}), " +
+      s"i -> substr(md5(substr(text, CAST(i AS INT), $k)), 1, $hw)) AS hs " +
+      s"FROM documents WHERE length(text) >= ${k + w - 1}), " +
+      s"fps AS (SELECT doc_id, list_distinct(list_transform(range($w, len(hs) + 1), " +
+      s"p -> list_min(hs[p - ${w - 1} : p]))) AS f FROM hsx) " +
+      "SELECT doc_id, unnest(f) AS fp FROM fps"
   }
 
   /** Gini–Simpson lexical diversity (TextAnalysis.diversity) — the

@@ -43,13 +43,43 @@ object Queries {
   private def derivedRoot: Option[String] =
     derivedRootOverride.orElse(sys.env.get("SPARK_GRAFT_DERIVED_ROOT"))
 
+  /** Snapshot fingerprint for a scale dir: the path PLUS a digest of the
+    * source table's file statuses (name, length, mtime — a metadata-only
+    * listing, no data scan). A bare path fingerprint would silently serve
+    * a stale committed snapshot after the corpus at that path was
+    * regenerated; this keys the cache on what the files actually are,
+    * the same identity rule Iceberg manifests use.
+    */
+  private[graft] def derivedFp(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val p = new HPath(s"$dir/documents.parquet")
+    val digest =
+      try {
+        val fs = FileSystem.get(p.toUri, s.sparkContext.hadoopConfiguration)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile)
+            entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        }
+        java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(entries.sorted.mkString(",").getBytes("UTF-8"))
+          .map(b => f"$b%02x")
+          .mkString
+      } catch { case _: Exception => "unlistable" }
+    s"$dir|$digest"
+  }
+
   private def snapshotOr(s: SparkSession, dir: String, stage: String)(
       derive: => DataFrame
   ): DataFrame =
     derivedRoot match {
       case Some(root) =>
         val t = new graft.store.SnapshotTable(s, root)
-        if (t.exists(stage, dir)) t.read(stage, dir) else derive
+        val fp = derivedFp(s, dir)
+        if (t.exists(stage, fp)) t.read(stage, fp) else derive
       case None => derive
     }
 
@@ -69,8 +99,9 @@ object Queries {
   def ensureDerived(s: SparkSession, dir: String): Unit =
     derivedRoot.foreach { root =>
       val t = new graft.store.SnapshotTable(s, root)
-      t.resumeOrCompute("derived_triples", dir)(deriveTriples(s, dir))
-      t.resumeOrCompute("derived_entities", dir)(deriveEntities(s, dir))
+      val fp = derivedFp(s, dir)
+      t.resumeOrCompute("derived_triples", fp)(deriveTriples(s, dir))
+      t.resumeOrCompute("derived_entities", fp)(deriveEntities(s, dir))
       ()
     }
 
@@ -240,7 +271,10 @@ object Queries {
       .join(endpoints.withColumn("hit", lit(1)), Seq("entity"), "left")
       .agg(
         count(lit(1)).as("n_entities"),
-        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_isolated")
+        // count(when...), not sum(when...): sum over ZERO rows is NULL,
+        // and an empty entity set must report n_isolated = 0 like the
+        // oracle's count — not NULL
+        count(when(col("hit").isNull, lit(1))).as("n_isolated")
       )
     entAgg
       .crossJoin(triAgg)

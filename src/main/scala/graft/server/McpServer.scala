@@ -104,7 +104,9 @@ final class McpServer(spark: SparkSession, storeRoot: String) {
 
   private[server] def retrieveRelevant(query: String): String = {
     val s = store
-    if (s.stats.getOrElse("entities", 0L) == 0L)
+    // emptiness probe, not three full count() jobs (stats counts
+    // entities, triples AND edges — per tool call, on a large store)
+    if (s.entities.isEmpty)
       return "No memories stored yet. Use add_memories to store some memories first."
     val ents = s.searchEntities(query, 10).collect().map(_.getString(0))
     val q = query.toLowerCase
@@ -146,13 +148,14 @@ final class McpServer(spark: SparkSession, storeRoot: String) {
   }
 
   private[server] def memoryStats(): String = {
-    val st = store.stats
+    val s = store
+    val st = s.stats
     s"""Memory Statistics:
 - Total Entities: ${st.getOrElse("entities", 0L)}
 - Total Relations: ${st.getOrElse("triples", 0L)}
 - Edge Types: ${st.getOrElse("edges", 0L)}
 - Storage Path: $storeRoot
-- Version: ${store.version}"""
+- Version: ${s.version}"""
   }
 
   // ---- JSON-RPC 2.0 over newline-delimited stdio ----
@@ -198,6 +201,10 @@ final class McpServer(spark: SparkSession, storeRoot: String) {
     val id = msg.get("id")
     val method = Option(msg.get("method")).map(_.asText).getOrElse("")
     val isNotification = id == null || id.isNull
+    // JSON-RPC 2.0: a notification (no id) NEVER gets a response, even
+    // for request-shaped methods — a null-id reply is the shape reserved
+    // for parse errors and strict clients treat it as a protocol error
+    if (isNotification) return None
     method match {
       case "initialize" =>
         val o = resultNode(id)
@@ -245,10 +252,6 @@ final class McpServer(spark: SparkSession, storeRoot: String) {
               catch { case e: Exception => textResult(id, s"Error: ${e.getMessage}", isError = true) }
             Some(reply)
         }
-
-      case m if m.startsWith("notifications/") => None
-
-      case other if isNotification => None
 
       case other =>
         Some(errorResponse(id, -32601, s"method not found: $other"))

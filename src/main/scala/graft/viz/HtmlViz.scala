@@ -41,6 +41,11 @@ object HtmlViz {
       case '\n'          => sb.append("\\n")
       case '\r'          => sb.append("\\r")
       case '\t'          => sb.append("\\t")
+      // '<' must be escaped: the JSON is embedded in an inline <script>
+      // block, and a literal '</script>' inside a string value would
+      // terminate the block — broken artifact and stored XSS for
+      // attacker-supplied memory text. < is valid JSON for '<'.
+      case '<'           => sb.append("\\u003c")
       case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
       case c             => sb.append(c)
     }

@@ -33,8 +33,9 @@ class SnapshotBackedQueriesSpec extends AnyFunSuite with SparkTestBase {
       // the snapshot must actually be committed and used, not silently
       // falling back to the derive path
       val t = new graft.store.SnapshotTable(spark, root.toString)
-      assert(t.exists("derived_triples", sfDir))
-      assert(t.exists("derived_entities", sfDir))
+      val fp = Queries.derivedFp(spark, sfDir)
+      assert(t.exists("derived_triples", fp))
+      assert(t.exists("derived_entities", fp))
       val fromSnap = names.map(n => n -> rowsOf(n)).toMap
       names.foreach { n =>
         assert(fromSnap(n) == fromText(n), s"query $n diverged under snapshot-backed mode")
@@ -51,9 +52,10 @@ class SnapshotBackedQueriesSpec extends AnyFunSuite with SparkTestBase {
       Queries.derivedRootOverride = Some(root.toString)
       Queries.ensureDerived(spark, sfDir)
       val t = new graft.store.SnapshotTable(spark, root.toString)
-      val before = t.read("derived_triples", sfDir).inputFiles.toSet
+      val fp = Queries.derivedFp(spark, sfDir)
+      val before = t.read("derived_triples", fp).inputFiles.toSet
       Queries.ensureDerived(spark, sfDir)
-      val after = t.read("derived_triples", sfDir).inputFiles.toSet
+      val after = t.read("derived_triples", fp).inputFiles.toSet
       assert(before == after, "resume recomputed an already-committed snapshot")
     } finally {
       Queries.derivedRootOverride = None

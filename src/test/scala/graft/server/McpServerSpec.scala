@@ -118,4 +118,17 @@ class McpServerSpec extends AnyFunSuite with SparkTestBase {
     assert(mapper.readTree(lines(0)).at("/id").asInt == 1)
     assert(mapper.readTree(lines(1)).at("/id").asInt == 2)
   }
+
+  test("request-shaped methods without an id are notifications: no reply, no null-id response") {
+    val (srv, _) = newServer()
+    // JSON-RPC 2.0: a notification NEVER gets a response, even when the
+    // method would normally return a result
+    assert(srv.handle("""{"jsonrpc":"2.0","method":"ping"}""").isEmpty)
+    assert(srv.handle("""{"jsonrpc":"2.0","method":"tools/list"}""").isEmpty)
+    assert(
+      srv.handle("""{"jsonrpc":"2.0","method":"tools/call","params":{"name":"get_memory_stats","arguments":{}}}""").isEmpty
+    )
+    // a parse error still answers (null id is the reserved shape for it)
+    assert(srv.handle("{not json").nonEmpty)
+  }
 }

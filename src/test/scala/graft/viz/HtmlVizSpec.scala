@@ -36,6 +36,17 @@ class HtmlVizSpec extends AnyFunSuite with SparkTestBase {
     assert(!h1.contains("https://"), "no external fetches")
   }
 
+  test("script-breaking entity text is escaped (no literal </script> in the artifact)") {
+    import spark.implicits._
+    val evil = "</script><script>alert(1)</script>"
+    val ents = Seq(evil, "safe").toDF("entity")
+    val tris = Seq((evil, "pred", "safe")).toDF("subject", "predicate", "obj")
+    val html = HtmlViz.render(Analytics.vizModel(ents, tris), tris)
+    // the artifact has exactly ONE closing script tag — its own
+    assert("</script>".r.findAllIn(html).size == 1, "entity text broke out of the script block")
+    assert(html.contains("\\u003c/script>"), "JSON escaping for '<' missing")
+  }
+
   test("embedded view model carries nodes, edges, top lists and stats") {
     val (ents, tris) = fixture
     val html = HtmlViz.render(Analytics.vizModel(ents, tris), tris)
