@@ -41,13 +41,24 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def metaPath(id: String): Path = Paths.get(root, "meta", id + ".json")
   private def hintPath: Path = Paths.get(root, "version-hint.txt")
 
-  /** (file, rows) per data file, from parquet footers (driver-side
-    * metadata read — O(files), not O(rows)).
+  /** Per-column zone map of one data file: primitive type plus min/max
+    * rendered as strings (longs decimal, strings UTF-8). Only INT64 and
+    * BINARY columns carry stats — enough for every key column here.
     */
-  private def footerRowCounts(dir: Path): Array[(String, Long)] = {
+  private[store] final case class ColStat(tpe: String, min: String, max: String)
+
+  /** (file, rows, zone maps) per data file, from parquet footers
+    * (driver-side metadata read — O(files), not O(rows)). The zone maps
+    * are the Iceberg-manifest file-skipping statistics: at 100 TB,
+    * reading the manifest instead of the footers of ten thousand files
+    * is what makes a point lookup on a committed table a metadata
+    * operation.
+    */
+  private def footerRowCounts(dir: Path): Array[(String, Long, Map[String, ColStat])] = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val conf = spark.sparkContext.hadoopConfiguration
     val hdir = new HPath(dir.toString)
     val fs = FileSystem.get(hdir.toUri, conf)
@@ -69,8 +80,50 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     val reads = files.map { s =>
       Future {
         val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
-        try (s.getPath.toString, reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-        finally reader.close()
+        try {
+          val footer = reader.getFooter
+          val rows = footer.getBlocks.asScala.map(_.getRowCount).sum
+          // fold per-block column-chunk statistics into one per-file
+          // zone map; any chunk without usable stats poisons its column
+          // (a partial bound is not a bound)
+          val longs = scala.collection.mutable.Map.empty[String, (Long, Long)]
+          val bins = scala.collection.mutable.Map
+            .empty[String, (org.apache.parquet.io.api.Binary, org.apache.parquet.io.api.Binary)]
+          val poisoned = scala.collection.mutable.Set.empty[String]
+          footer.getBlocks.asScala.flatMap(_.getColumns.asScala).foreach { c =>
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            val ok = st != null && !st.isEmpty && st.hasNonNullValue
+            c.getPrimitiveType.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 if ok =>
+                val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+                val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+                val cur = longs.getOrElse(name, (Long.MaxValue, Long.MinValue))
+                longs(name) = (math.min(cur._1, mn), math.max(cur._2, mx))
+              case PrimitiveTypeName.BINARY if ok =>
+                val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                bins.get(name) match {
+                  case None => bins(name) = (mn, mx)
+                  case Some((a, b)) =>
+                    bins(name) = (
+                      if (mn.compareTo(a) < 0) mn else a,
+                      if (mx.compareTo(b) > 0) mx else b
+                    )
+                }
+              case PrimitiveTypeName.INT64 | PrimitiveTypeName.BINARY =>
+                poisoned += name
+              case _ => () // other types carry no zone map here
+            }
+          }
+          val stats =
+            (longs.view.filterKeys(!poisoned(_)).map { case (k, (mn, mx)) =>
+              k -> ColStat("long", mn.toString, mx.toString)
+            } ++ bins.view.filterKeys(!poisoned(_)).map { case (k, (mn, mx)) =>
+              k -> ColStat("string", mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+            }).toMap
+          (s.getPath.toString, rows, stats)
+        } finally reader.close()
       }
     }
     Await.result(Future.sequence(reads), Duration.Inf).toArray.sortBy(_._1)
@@ -155,7 +208,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       id: String,
       stage: String,
       fingerprint: String,
-      perFile: Array[(String, Long)],
+      perFile: Array[(String, Long, Map[String, ColStat])],
       totalRows: Long
   ): Unit = {
     val meta: ObjectNode = mapper.createObjectNode()
@@ -168,10 +221,21 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     meta.put("fileCount", perFile.length)
     meta.put("committedAtMs", System.currentTimeMillis())
     val files = mapper.createArrayNode()
-    perFile.foreach { case (f, n) =>
+    perFile.foreach { case (f, n, stats) =>
       val fn = mapper.createObjectNode()
       fn.put("file", f.replaceFirst("^file:", ""))
       fn.put("rows", n)
+      if (stats.nonEmpty) {
+        val sn = mapper.createObjectNode()
+        stats.toSeq.sortBy(_._1).foreach { case (colName, cs) =>
+          val cn = mapper.createObjectNode()
+          cn.put("type", cs.tpe)
+          cn.put("min", cs.min)
+          cn.put("max", cs.max)
+          sn.set[ObjectNode](colName, cn)
+        }
+        fn.set[ObjectNode]("stats", sn)
+      }
       files.add(fn)
     }
     meta.set[ObjectNode]("files", files)
@@ -232,6 +296,54 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     import spark.implicits._
     rows.toDF("snapshot_id", "stage", "file", "rows")
+  }
+
+  /** Manifest zone-map file skipping (the Iceberg data-skipping read
+    * path): return the snapshot restricted to data files whose
+    * per-column [min, max] from the commit-time manifest can contain
+    * `value` — a pure METADATA decision, no footer opens, no scan of
+    * skipped files. On a 100 TB canonical table laid out by key
+    * (repartitionByRange / bucketed commit), a point or range probe
+    * touches a handful of files instead of all of them. Files without
+    * stats for the column are kept (a missing bound prunes nothing);
+    * the result is always row-identical to
+    * `read(...).where(col(column) === value)` pre-filtered at file
+    * granularity — callers still apply their own predicate.
+    *
+    * `value`: Long/Int for INT64 columns, String for BINARY columns.
+    * String bounds compare in unsigned-byte (UTF-8) order — the order
+    * parquet statistics are written in (a JVM String compare would
+    * disagree beyond ASCII).
+    */
+  def prunedRead(stage: String, fingerprint: String, column: String, value: Any): DataFrame = {
+    val id = snapshotId(stage, fingerprint)
+    val full = read(stage, fingerprint)
+    def unsignedLeq(a: String, b: String): Boolean = {
+      val x = a.getBytes(StandardCharsets.UTF_8)
+      val y = b.getBytes(StandardCharsets.UTF_8)
+      java.util.Arrays.compareUnsigned(x, y) <= 0
+    }
+    val node = mapper.readTree(Files.readAllBytes(metaPath(id)))
+    val files = node.get("files").elements().asScala.toSeq
+    def keep(f: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+      val cs = Option(f.get("stats")).flatMap(s => Option(s.get(column)))
+      cs match {
+        case None => true
+        case Some(c) =>
+          val t = c.get("type").asText
+          val mn = c.get("min").asText
+          val mx = c.get("max").asText
+          (t, value) match {
+            case ("long", l: Long) => mn.toLong <= l && l <= mx.toLong
+            case ("long", i: Int)  => mn.toLong <= i && i <= mx.toLong
+            case ("string", s: String) => unsignedLeq(mn, s) && unsignedLeq(s, mx)
+            case _ => true // type mismatch: never prune on a guess
+          }
+      }
+    }
+    val kept = files.filter(keep).map(_.get("file").asText)
+    if (kept.isEmpty) full.where(lit(false))
+    else spark.read.schema(full.schema).parquet(kept: _*)
   }
 
   /** The snapshot chain from the current version hint back to the first

@@ -68,4 +68,44 @@ class SnapshotTableSpec extends AnyFunSuite with SparkTestBase {
     val h = t.history
     assert(h.map(x => (x._2, x._3)) == Seq(("b", 30L), ("a", 100L)), h.toString)
   }
+
+  test("prunedRead: manifest zone maps skip files, result identical to full scan + filter") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    // range-partitioned by key: each data file covers a disjoint key
+    // range, so a point probe must keep exactly one file per column type
+    val df = spark
+      .range(0, 1000)
+      .select(
+        col("id").as("k"),
+        concat(lit("key"), format_string("%04d", col("id"))).as("s"),
+        (col("id") * 3).as("v")
+      )
+      .repartitionByRange(8, col("k"))
+    val full = t.commit(df, "zm", "fp-zm")
+    val allFiles = full.inputFiles.toSet
+    assert(allFiles.size == 8)
+
+    // long-column point probe
+    val pl = t.prunedRead("zm", "fp-zm", "k", 777L)
+    assert(pl.inputFiles.length < allFiles.size, "no files were skipped")
+    val gotL = pl.where(col("k") === 777L).collect().map(_.getLong(2)).toSeq
+    assert(gotL == Seq(777L * 3))
+
+    // string-column point probe (files are range-laid-out on k, and s is
+    // monotone in k, so string zone maps prune too)
+    val ps = t.prunedRead("zm", "fp-zm", "s", "key0123")
+    assert(ps.inputFiles.length < allFiles.size)
+    assert(ps.where(col("s") === "key0123").count() == 1)
+
+    // out-of-range probe: zero files, empty frame, schema preserved
+    val none = t.prunedRead("zm", "fp-zm", "k", 10_000L)
+    assert(none.count() == 0)
+    assert(none.schema == full.schema)
+
+    // a column with no stats (missing from zone maps) prunes nothing
+    val noStats = t.prunedRead("zm", "fp-zm", "no_such_col", 1L)
+    assert(noStats.inputFiles.toSet == allFiles)
+  }
 }
