@@ -90,25 +90,43 @@ object CandidatePairs {
     * entirely (the jobs, not the semantics: results match [[edges]]
     * pair-for-pair, which the sbt parity test asserts).
     */
+  /** Spark-parity string semantics for the driver twin: Spark `length`/
+    * `substring` count CODE POINTS and its string comparison is UTF-8
+    * unsigned-byte order — JVM String.length/take/compareTo are UTF-16
+    * code units and disagree beyond the BMP (e.g. U+1D54F counts as 2,
+    * and U+E000..U+FFFF sort after astral chars in UTF-16 but before
+    * them in UTF-8). The twin must use these, or the adaptive path's
+    * clusters change when the dictionary crosses the driver threshold.
+    */
+  private[cluster] def cpLen(s: String): Int = s.codePointCount(0, s.length)
+  private def cpTake(s: String, n: Int): String =
+    if (cpLen(s) <= n) s else s.substring(0, s.offsetByCodePoints(0, n))
+  private[cluster] val utf8Order: Ordering[String] =
+    (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
   def edgesLocal(members: Seq[String], cfg: ClusterConfig = ClusterConfig()): Seq[(String, String)] = {
     val distinctMembers = members.distinct
     val withNorm = distinctMembers.map(m => (m, Normalize(m)))
+    implicit val ord: Ordering[String] = utf8Order
+    val pairOrd: Ordering[(String, String)] = Ordering.Tuple2(utf8Order, utf8Order)
+    val lenOrd: Ordering[(Int, String)] = Ordering.Tuple2(Ordering.Int, utf8Order)
 
     // 1. exact-norm star edges: member -> group root (min by (len, member))
     val byNorm = withNorm.groupBy(_._2)
     val exact = byNorm.iterator.flatMap { case (_, ms) =>
-      val root = ms.map(_._1).minBy(m => (m.length, m))
+      val root = ms.map(_._1).minBy(m => (cpLen(m), m))(lenOrd)
       ms.map(_._1).filter(_ != root).map(m => (m, root))
     }.toSeq
 
     // distinct norms carry one witness surface (their min member)
-    val norms = byNorm.map { case (n, ms) => (ms.map(_._1).min, n) }.toSeq
+    val norms = byNorm.map { case (n, ms) => (ms.map(_._1).min(utf8Order), n) }.toSeq
 
     // neighbors under a (norm, member) sort within a keyed block —
     // the driver twin of the leadNeighbors window pass
     def neighbors(keyed: Seq[(String, (String, String))], n: Int): Seq[((String, String), (String, String))] =
       keyed.groupBy(_._1).iterator.flatMap { case (_, block) =>
-        val sorted = block.map(_._2).sortBy { case (member, norm) => (norm, member) }
+        val sorted = block.map(_._2).sortBy { case (member, norm) => (norm, member) }(pairOrd)
         sorted.indices.flatMap { i =>
           (1 to n).flatMap { d =>
             if (i + d < sorted.length) Some((sorted(i), sorted(i + d))) else None
@@ -118,7 +136,7 @@ object CandidatePairs {
 
     // 2. sorted neighborhood within 2-char prefix blocks of the norm
     val neighborCand = neighbors(
-      norms.map { case (m, n) => (n.take(2), (m, n)) },
+      norms.map { case (m, n) => (cpTake(n, 2), (m, n)) },
       cfg.neighborWindow
     )
 
@@ -133,11 +151,18 @@ object CandidatePairs {
       case ((aM, aN), (bM, bN)) if acc(aN, bN, aM, bM) => (aM, bM)
     }
 
-    // 4. synonym edges over members actually present
+    // 4. synonym edges over members actually present. Full clique per
+    // set (sets are tiny driver config), NOT a star to the sorted head:
+    // a star disconnects the present members whenever the head surface
+    // is absent from the corpus, since absent-endpoint edges are
+    // filtered next.
     val present = distinctMembers.toSet
     val synEdges = cfg.synonymSets.flatMap { s =>
       val sorted = s.toSeq.sorted
-      sorted.drop(1).map(m => (m, sorted.head))
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+      } yield (sorted(j), sorted(i))
     }.filter { case (a, b) => present(a) && present(b) }
 
     (exact ++ verified ++ synEdges).distinct
@@ -210,9 +235,14 @@ object CandidatePairs {
 
     // 4. synonym edges (tiny, driver-provided config)
     val synEdges: DataFrame = {
+      // clique, not star-to-head — see edgesLocal: present members must
+      // stay connected when the head surface is absent
       val pairs = cfg.synonymSets.flatMap { s =>
         val sorted = s.toSeq.sorted
-        sorted.drop(1).map(m => (m, sorted.head))
+        for {
+          i <- sorted.indices
+          j <- (i + 1) until sorted.length
+        } yield (sorted(j), sorted(i))
       }
       if (pairs.isEmpty) Seq.empty[(String, String)].toDF("src", "dst")
       else {

@@ -55,12 +55,18 @@ object ClusterGraph {
         if (ra != rb) parent(ra) = rb
       }
       // representative: shortest surface, then lexicographic, per
-      // component — identical rule to the distributed path below
+      // component — identical rule to the distributed path below,
+      // including its string semantics: Spark length = code points and
+      // Spark string order = UTF-8 bytes (see CandidatePairs' parity
+      // note), so JVM String.length/compareTo would flip reps beyond
+      // the BMP when the dictionary crosses the driver threshold
+      val repOrd: Ordering[(Int, String)] =
+        Ordering.Tuple2(Ordering.Int, CandidatePairs.utf8Order)
       val assignments = members
         .groupBy(find)
         .iterator
         .flatMap { case (_, ms) =>
-          val rep = ms.minBy(m => (m.length, m))
+          val rep = ms.minBy(m => (CandidatePairs.cpLen(m), m))(repOrd)
           ms.map(m => (m, rep))
         }
         .toSeq

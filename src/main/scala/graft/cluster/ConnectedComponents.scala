@@ -130,6 +130,16 @@ object ConnectedComponents {
       iter += 1
     }
     und.unpersist(false)
+    // a capped-out run has NOT reached the fixpoint: labels are still
+    // mid-propagation and one component can surface as several — the
+    // silent-split result would diverge from the exact driver-side
+    // union-find twin. Fail loudly instead; the caller raises the bound
+    // (diameter-shaped: surface-variant clusters are single-digit).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIterations iterations; " +
+          "raise maxIterations (bound is O(graph diameter))"
+      )
     labels.withColumnRenamed("label", "component")
   }
 }

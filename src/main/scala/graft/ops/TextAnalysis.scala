@@ -284,17 +284,7 @@ object TextAnalysis {
         expr("IF(size(toks) >= 3, array_sort(transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))), array())").as("bg"),
         expr("IF(size(toks) >= 3, array_sort(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))), array())").as("tg")
       )
-      .withColumn(
-        "lang_pred",
-        expr(
-          """CASE
-             WHEN c_en > c_de AND c_en > c_es AND c_en > c_fr THEN 'en'
-             WHEN c_de > c_en AND c_de > c_es AND c_de > c_fr THEN 'de'
-             WHEN c_es > c_en AND c_es > c_de AND c_es > c_fr THEN 'es'
-             WHEN c_fr > c_en AND c_fr > c_de AND c_fr > c_es THEN 'fr'
-             ELSE 'und' END"""
-        )
-      )
+      .withColumn("lang_pred", expr(LangVote))
       .withColumn("stop_pct", expr("(100 * c_en) div n_tokens"))
       .withColumn("b", runStats("bg"))
       .withColumn("t", runStats("tg"))
@@ -507,13 +497,23 @@ object TextAnalysis {
     * the registers — the mergeable, storable artifact — and leaves the
     * final estimate to the reader.)
     */
+  /** Numeric value of one lowercase hex character column. Bucket routing
+    * uses the first md5 BYTE — hexVal(h1)*16 + hexVal(h2), uniform over
+    * 0..255 — NOT ascii arithmetic: ascii(h1)*256 ≡ 0 (mod 64) and hex
+    * chars span only 16 ascii codes, so the old ascii routing collapsed
+    * 64 registers onto 16 (silently — merge properties still held).
+    * Rule shared verbatim with the DuckDB oracles.
+    */
+  private def hexVal(c: org.apache.spark.sql.Column) =
+    ascii(c) - when(ascii(c) >= 97, lit(87)).otherwise(lit(48))
+
   def distinctSketch(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(TokenRules.tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
       .select(
         col("source"),
-        pmod(ascii(substring(col("h"), 1, 1)) * lit(256) + ascii(substring(col("h"), 2, 1)), lit(SketchBuckets))
+        pmod(hexVal(substring(col("h"), 1, 1)) * lit(16) + hexVal(substring(col("h"), 2, 1)), lit(SketchBuckets))
           .cast("long")
           .as("bucket"),
         (length(regexp_extract(substring(col("h"), 3, 16), "^(0*)", 1)) + lit(1)).cast("long").as("rank")
@@ -546,7 +546,7 @@ object TextAnalysis {
       val h = md5(concat(lit(s"$r:"), col("tok")))
       struct(
         lit(r.toLong).as("row"),
-        pmod(ascii(substring(h, 1, 1)) * lit(256) + ascii(substring(h, 2, 1)), lit(CmsWidth))
+        pmod(hexVal(substring(h, 1, 1)) * lit(16) + hexVal(substring(h, 2, 1)), lit(CmsWidth))
           .cast("long")
           .as("col")
       )
@@ -651,7 +651,11 @@ object TextAnalysis {
     )
     val w1tot = bi.groupBy("w1").agg(sum("cnt").as("w1_cnt"))
     val w2tot = bi.groupBy("w2").agg(sum("cnt").as("w2_cnt"))
-    val n = bi.agg(sum("cnt")).collect()(0).getLong(0)
+    // sum over zero rows is NULL (degenerate corpus: no doc has 2+
+    // tokens) — guard the read; bi is then empty, so the placeholder
+    // never reaches an evaluated row
+    val nRow = bi.agg(sum("cnt")).collect()(0)
+    val n = if (nRow.isNullAt(0)) 1L else nRow.getLong(0)
     val byHead = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2"))
     bi.join(w1tot, "w1")
       .join(w2tot, "w2")
@@ -740,9 +744,14 @@ object TextAnalysis {
     )
     val srcTot = srcCnt.groupBy("source").agg(sum("cnt").as("n_tokens"))
     val allCnt = srcCnt.groupBy("tok").agg(sum("cnt").as("acnt"))
-    val n = allCnt.agg(sum("acnt")).collect()(0).getLong(0)
+    // NULL-sum guards, same rule as lmBigrams: an all-empty corpus
+    // leaves srcCnt empty, both sums NULL, and the result (correctly)
+    // empty — the placeholder divisor never evaluates on a row
+    val nRow = allCnt.agg(sum("acnt")).collect()(0)
+    val n = if (nRow.isNullAt(0)) 1L else nRow.getLong(0)
     val vocabPpm = allCnt.select(col("tok"), expr(s"(1000000 * acnt) div ${n}L").as("all_ppm"))
-    val sAll = vocabPpm.agg(sum("all_ppm")).collect()(0).getLong(0)
+    val sAllRow = vocabPpm.agg(sum("all_ppm")).collect()(0)
+    val sAll = if (sAllRow.isNullAt(0)) 0L else sAllRow.getLong(0)
     srcCnt
       .join(srcTot, "source")
       .join(vocabPpm, "tok")
@@ -883,7 +892,9 @@ object TextAnalysis {
     */
   private[ops] def bm25Scores(docs: DataFrame, query: String): DataFrame = {
     val terms = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // typed literals, not SQL splicing: a query term containing a quote
+    // must be data, not syntax
+    val termFilter = col("term").isin(terms: _*)
     val tf = graft.util.Materialize.stage(
       docs
         .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("term"))
@@ -893,13 +904,19 @@ object TextAnalysis {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl")).collect()(0)
     val nDocs = stats.getLong(0)
+    if (nDocs == 0L || terms.isEmpty)
+      // degenerate corpus/query: empty scores, schema preserved (the
+      // NULL total_dl below would otherwise NPE at getLong)
+      return tf
+        .select(col("doc_id"), lit(0L).as("score_milli"))
+        .where(lit(false))
     val totalDl = stats.getLong(1)
     val df = tf
-      .where(expr(s"term IN ($termList)"))
+      .where(termFilter)
       .groupBy("term")
       .agg(count(lit(1)).as("df"))
     tf
-      .where(expr(s"term IN ($termList)"))
+      .where(termFilter)
       .join(df, "term")
       .join(dl, "doc_id")
       .withColumn("dl_ratio_milli", expr(s"(1000 * dl * ${nDocs}L) div ${totalDl}L"))

@@ -443,7 +443,7 @@ object OpsQueries {
     val b = TextAnalysis.SketchBuckets
     "WITH tks AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), " +
       "hh AS (SELECT source, md5(tok) AS h FROM tks), " +
-      s"r AS (SELECT source, CAST((ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) % $b AS BIGINT) AS bucket, " +
+      s"r AS (SELECT source, CAST(((ascii(substr(h, 1, 1)) - CASE WHEN ascii(substr(h, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 + (ascii(substr(h, 2, 1)) - CASE WHEN ascii(substr(h, 2, 1)) >= 97 THEN 87 ELSE 48 END)) % $b AS BIGINT) AS bucket, " +
       "CAST(length(regexp_extract(substr(h, 3, 16), '^(0*)', 1)) + 1 AS BIGINT) AS rank FROM hh) " +
       "SELECT source, bucket, max(rank) AS max_rank FROM r GROUP BY source, bucket"
   }
@@ -459,7 +459,7 @@ object OpsQueries {
     val rows = (0 until TextAnalysis.CmsDepth)
       .map { r =>
         s"SELECT CAST($r AS BIGINT) AS row, " +
-          s"CAST((ascii(substr(md5('$r:' || tok), 1, 1)) * 256 + ascii(substr(md5('$r:' || tok), 2, 1))) % $w AS BIGINT) AS col FROM tks"
+          s"CAST(((ascii(substr(md5('$r:' || tok), 1, 1)) - CASE WHEN ascii(substr(md5('$r:' || tok), 1, 1)) >= 97 THEN 87 ELSE 48 END) * 16 + (ascii(substr(md5('$r:' || tok), 2, 1)) - CASE WHEN ascii(substr(md5('$r:' || tok), 2, 1)) >= 97 THEN 87 ELSE 48 END)) % $w AS BIGINT) AS col FROM tks"
       }
       .mkString(" UNION ALL ")
     "WITH tks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), " +

@@ -1017,7 +1017,8 @@ object Queries {
     }.mkString(" UNION ALL ")
     s"WITH $stages, c AS ($counts) " +
       "SELECT stage, event_type, n_users, " +
-      "CAST((1000 * n_users) // (SELECT n_users FROM c WHERE stage = 1) AS BIGINT) AS retained_milli FROM c"
+      "CAST(CASE WHEN (SELECT n_users FROM c WHERE stage = 1) = 0 THEN 0 " +
+      "ELSE (1000 * n_users) // (SELECT n_users FROM c WHERE stage = 1) END AS BIGINT) AS retained_milli FROM c"
   }
 
   /** Cohort retention triangle (EventsStream.cohortRetention). */

@@ -266,26 +266,37 @@ object EventsStream {
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // each reach table feeds BOTH the next stage and its own count, and
+    // the counts union is consumed twice below — staged, so stage k is
+    // computed once, not re-derived O(steps²) times from raw events
     val reaches = steps.tail.scanLeft(
-      events.where(col("event_type") === steps.head)
-        .groupBy("user_id").agg(min("ts").as("t"))
+      graft.util.Materialize.stage(
+        events.where(col("event_type") === steps.head)
+          .groupBy("user_id").agg(min("ts").as("t"))
+      )
     ) { (prev, step) =>
-      events.where(col("event_type") === step).as("e")
-        .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
-        .where(col("ts") >= col("pt"))
-        .groupBy("user_id").agg(min("ts").as("t"))
+      graft.util.Materialize.stage(
+        events.where(col("event_type") === step).as("e")
+          .join(prev.select(col("user_id"), col("t").as("pt")), "user_id")
+          .where(col("ts") >= col("pt"))
+          .groupBy("user_id").agg(min("ts").as("t"))
+      )
     }
-    val counts = reaches.zip(steps).zipWithIndex.map { case ((df, step), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("stage"), lit(step).as("event_type"), col("n_users"))
-    }.reduce(_ union _)
+    val counts = graft.util.Materialize.stage(
+      reaches.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("stage"), lit(step).as("event_type"), col("n_users"))
+      }.reduce(_ union _)
+    )
     val first = counts.where(col("stage") === 1L).select(col("n_users").as("n1"))
     counts.crossJoin(first)
       .select(
         col("stage"),
         col("event_type"),
         col("n_users"),
-        expr("(1000 * n_users) div n1").as("retained_milli")
+        // zero guard: an empty first stage must yield 0-retention rows,
+        // not an ANSI DIVIDE_BY_ZERO (rule mirrored in the oracle)
+        expr("CASE WHEN n1 = 0 THEN 0L ELSE (1000 * n_users) div n1 END").as("retained_milli")
       )
   }
 
@@ -484,10 +495,15 @@ object EventsStream {
       ) { case ((s, p, o), rows, state: GroupState[Long]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
-          val maxTs = rows.map(_.ts.getTime).max
+          // monotone last-sighting: an in-watermark batch can arrive
+          // out of order, and overwriting with ITS max would move the
+          // TTL deadline backwards — expiring a key that a later-ts
+          // sighting already extended
+          val batchMax = rows.map(_.ts.getTime).max
           val seen = state.exists
-          state.update(maxTs)
-          state.setTimeoutTimestamp(maxTs, ttl)
+          val lastTs = if (seen) math.max(state.get, batchMax) else batchMax
+          state.update(lastTs)
+          state.setTimeoutTimestamp(lastTs, ttl)
           if (seen) Iterator.empty else Iterator.single(Triple(s, p, o))
         }
       }

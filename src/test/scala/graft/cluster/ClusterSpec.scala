@@ -88,6 +88,20 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     assert(c.entityClusters.get.exists { case (_, m) => m == Set("person") })
   }
 
+  test("synonym sets merge present members even when the set's sorted head is absent") {
+    // the set's lexicographic head ("angry") never appears in the graph;
+    // a star-to-head edge shape would drop both edges at the presence
+    // filter and leave the two present synonyms unmerged
+    val g = Graph(
+      entities = Set("furious", "irate", "person"),
+      edges = Set("is"),
+      relations = Set(("person", "is", "furious"), ("person", "is", "irate"))
+    )
+    val cfg = ClusterConfig(synonymSets = Seq(Set("angry", "furious", "irate")))
+    val c = cluster(g, cfg)
+    assert(c.entityClusters.get.exists { case (_, m) => Set("furious", "irate").subsetOf(m) })
+  }
+
   test("no over-merge: distinct items stay singletons") {
     // tests/test_clustering.py:203-242
     val g = Graph(
@@ -279,6 +293,11 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
         .toSet
     val unsalted = result(1)
     assert(result(4) == unsalted)
+    // a capped-out run is mid-propagation (components still split) —
+    // it must fail loudly, never return the partial labels
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.run(edges, nodes, maxIterations = 1).collect()
+    }
     // sanity on the fixpoint itself
     val byComponent = unsalted.groupBy(_._2)
     assert(byComponent.exists(_._2.size == 201), "hub star must form one 201-node component")

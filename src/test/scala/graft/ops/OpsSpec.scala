@@ -109,7 +109,12 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def est(tok: String): Long = (0 until TextAnalysis.CmsDepth).map { r =>
       val h = md5hex(s"$r:$tok")
-      val col = math.floorMod(h(0).toInt * 256 + h(1).toInt, TextAnalysis.CmsWidth).toLong
+      // first md5 BYTE routes the column (hex-digit values, not ascii
+      // codes) — the same rule as TextAnalysis.hexVal
+      val col = math.floorMod(
+        Character.digit(h(0), 16) * 16 + Character.digit(h(1), 16),
+        TextAnalysis.CmsWidth
+      ).toLong
       rab.getOrElse((r.toLong, col), 0L)
     }.min
     val truth = Map("x" -> 3L, "y" -> 1L, "z" -> 1L, "w" -> 2L)
@@ -817,6 +822,21 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       (0L, 2L, 1L, 500000L),
       (1L, 1L, 1L, 1000000L)
     ))
+  }
+
+  test("bm25: a query term containing a quote is data, not SQL syntax") {
+    val docs = Seq((1L, "o'brien wrote spark"), (2L, "nothing here")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "o'brien", k = 10).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 1L)
+  }
+
+  test("degenerate corpora return empty results, not null-sum NPEs") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextAnalysis.bm25(empty, "anything", k = 5).collect().isEmpty)
+    assert(TextAnalysis.sourceDrift(empty).collect().isEmpty)
+    // no document reaches two tokens -> the bigram table is empty
+    val oneTok = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.lmBigrams(oneTok).collect().isEmpty)
   }
 
   test("bm25: hand-computed integer scores, rare term outweighs common one") {

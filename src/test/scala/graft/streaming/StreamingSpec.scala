@@ -133,6 +133,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("newTriplesExpiring: an out-of-order in-watermark sighting cannot shrink the TTL deadline") {
+    implicit val sql = spark.sqlContext
+    import EventsStream.SightedTriple
+    def st(s: String, min: Int, sec: Int = 0) = SightedTriple(s, "p", "o", ts(min, sec))
+    val ms = MemoryStream[SightedTriple]
+    val q = EventsStream
+      .newTriplesExpiring(ms.toDS(), ttl = "2 minutes", lateBound = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("exp_mono")
+      .outputMode("append")
+      .start()
+    try {
+      ms.addData(st("A", 10)) // deadline 12:00
+      q.processAllAvailable()
+      // late-but-in-watermark re-sighting: overwriting state with THIS
+      // batch's max would pull A's deadline back to 7:00
+      ms.addData(st("A", 5))
+      q.processAllAvailable()
+      ms.addData(st("B", 18)) // watermark -> 8:00: past the buggy 7:00
+      q.processAllAvailable() // deadline, before the true 12:00 one
+      ms.addData(st("C", 19)) // timeouts fire against watermark 8:00
+      q.processAllAvailable()
+      // A re-appears INSIDE its true TTL window: with the monotone
+      // deadline its state survived (12:00 > 8:00), so this is a
+      // suppressed duplicate, not a re-emit
+      ms.addData(st("A", 11))
+      q.processAllAvailable()
+      val counts = spark.table("exp_mono").as[Triple].collect()
+        .groupBy(_.subject).view.mapValues(_.length).toMap
+      assert(counts == Map("A" -> 1, "B" -> 1, "C" -> 1), counts.toString)
+    } finally q.stop()
+  }
+
   test("KgStream: streaming KG extraction equals batch across micro-batch splits") {
     implicit val sql = spark.sqlContext
     val cfg = graft.corpus.CorpusGen.Config(nDocs = 40)
