@@ -105,7 +105,7 @@ object Analytics {
     */
   def substringEntities(entities: DataFrame, q: String, k: Int = 10): DataFrame =
     entities
-      .where(lower(col("entity")).contains(q.toLowerCase))
+      .where(lower(col("entity")).contains(q.toLowerCase(java.util.Locale.ROOT)))
       .orderBy(col("entity"))
       .limit(k)
 
@@ -127,7 +127,9 @@ object Analytics {
 
   /** Driver-side embedding of a short query string: dim -> count. */
   def embedQuery(q: String): Map[Int, Long] = {
-    val s = q.toLowerCase
+    // Locale.ROOT throughout the driver-side query path: the entity
+    // side lowercases with Spark's locale-independent lower()
+    val s = q.toLowerCase(java.util.Locale.ROOT)
     if (s.length < 3) Map.empty
     else s.sliding(3).toSeq.groupBy(trigramDim).map { case (d, xs) => d -> xs.size.toLong }
   }
@@ -159,9 +161,12 @@ object Analytics {
   def retrieveRelevantNodes(entities: DataFrame, query: String, k: Int = 8): DataFrame = {
     val spark = entities.sparkSession
     import spark.implicits._
-    val emb = nodeEmbeddings(entities)
-    val qv = embedQuery(query).toSeq.toDF("dim", "qcnt")
-    val qNorm = embedQuery(query).values.map(c => c * c).sum
+    // staged: the embedding lineage (explode + groupBy over every
+    // entity) feeds BOTH the dot and the norm aggregations below
+    val emb = graft.util.Materialize.stage(nodeEmbeddings(entities))
+    val qm = embedQuery(query)
+    val qv = qm.toSeq.toDF("dim", "qcnt")
+    val qNorm = qm.values.map(c => c * c).sum
     val dots = emb
       .join(broadcast(qv), Seq("dim"))
       .groupBy("entity")
@@ -261,7 +266,7 @@ object Analytics {
     */
   def personalizedPageRank(triples: DataFrame, q: String, iterations: Int = 5): DataFrame = {
     val edges = prEdges(triples)
-    val seed = lower(col("entity")).contains(q.toLowerCase)
+    val seed = lower(col("entity")).contains(q.toLowerCase(java.util.Locale.ROOT))
     val nodes = edgeNodes(edges).select(
       col("entity"),
       when(seed, 1000000L).otherwise(0L).as("r0"),

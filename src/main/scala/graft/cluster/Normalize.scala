@@ -29,7 +29,10 @@ object Normalize {
     surface.trim
       .split("\\s+")
       .filter(_.nonEmpty)
-      .map(t => word(t.toLowerCase))
+      // Locale.ROOT: the distributed twin lowercases with Spark's
+      // locale-independent lower(); a tr/az default locale would
+      // otherwise fold 'I' differently and split the blocking keys
+      .map(t => word(t.toLowerCase(java.util.Locale.ROOT)))
       .mkString(" ")
 
   /** Character k-shingles of a normalized form (whole string if shorter

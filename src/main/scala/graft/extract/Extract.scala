@@ -71,6 +71,12 @@ object Extract {
     chunks.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val results = scorer.extract(batch.map(_.text), isConv)
+        // fail fast on a broken Scorer: zipping a short result list
+        // would silently drop the tail chunks' extractions
+        require(
+          results.size == batch.size,
+          s"Scorer returned ${results.size} results for a ${batch.size}-chunk batch"
+        )
         batch.lazyZip(results).map { (c, r) =>
           ChunkExtraction(c.url, c.chunkId, r._1, r._2)
         }
@@ -119,7 +125,14 @@ object Extract {
       scorer: Scorer = PatternScorer,
       cfg: Config = Config()
   ): (DataFrame, DataFrame, DataFrame) = {
-    val ex = extractions(chunks(pages, cfg), scorer, cfg)
+    import pages.sparkSession.implicits._
+    // the scorer pass feeds all three output tables (and triples feeds
+    // edges) — stage it once, or each table's action replays chunking +
+    // scoring over the corpus (KgGenJob commits this stage as its
+    // 'extracted' snapshot for the same reason)
+    val ex = graft.util.Materialize
+      .stage(extractions(chunks(pages, cfg), scorer, cfg).toDF())
+      .as[ChunkExtraction]
     val tm = tripleMentions(ex)
     val triples = tripleTable(tm)
     (entityTable(mentions(ex)), triples, edgeTable(triples))

@@ -57,11 +57,14 @@ trait Scorer extends Serializable {
   * scorer — steering is orthogonal to how scoring happens.
   */
 final case class ContextScorer(inner: Scorer, context: String) extends Scorer {
+  // Locale.ROOT: folding must not depend on the JVM's default locale
+  // (tr/az locales fold 'I' to dotless ı and break the token match)
   private val ctxToks: Set[String] =
-    context.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    context.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSet
 
   private def keep(t: Triple): Boolean =
-    ctxToks.isEmpty || t.predicate.toLowerCase.split(" ").exists(ctxToks.contains)
+    ctxToks.isEmpty ||
+      t.predicate.toLowerCase(java.util.Locale.ROOT).split(" ").exists(ctxToks.contains)
 
   override def entities(chunks: Seq[String], isConversation: Boolean): Seq[Seq[String]] =
     inner.entities(chunks, isConversation)

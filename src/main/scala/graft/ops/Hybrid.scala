@@ -42,20 +42,24 @@ object Hybrid {
       .select("doc_id", "bm25_rank")
     val q = Similarity.quantized(embeddings)
     val qRow = q.where(col("vec_id") === qVec).select(col("v").as("qv"))
-    val cand = bR
-      .join(q.select(col("vec_id").as("doc_id"), col("v")), "doc_id")
-      .crossJoin(broadcast(qRow))
-      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"))
-      .withColumn("nn", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("qn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("cos_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
-    val wC = Window.orderBy(col("cos_milli").desc, col("doc_id"))
-    val wF = Window.orderBy(col("rrf_micro").desc, col("doc_id"))
-    cand
+    // cosine arm runs over the EMBEDDED candidates (Similarity's shared
+    // zip_with scorer); a BM25 hit with no embedding row stays in the
+    // fusion with only its sparse-arm contribution (cos_rank NULL)
+    // rather than silently vanishing
+    val wC = Window.orderBy(col("score_milli").desc, col("doc_id"))
+    val cosRanked = Similarity
+      .pairsScored(
+        bR.join(q.select(col("vec_id").as("doc_id"), col("v").as("nv")), "doc_id")
+          .crossJoin(broadcast(qRow))
+      )
       .withColumn("cos_rank", row_number().over(wC).cast("long"))
+      .select("doc_id", "cos_rank")
+    val wF = Window.orderBy(col("rrf_micro").desc, col("doc_id"))
+    bR
+      .join(cosRanked, Seq("doc_id"), "left")
       .withColumn(
         "rrf_micro",
-        expr(s"1000000 div ($kRrf + bm25_rank) + 1000000 div ($kRrf + cos_rank)")
+        expr(s"1000000 div ($kRrf + bm25_rank) + coalesce(1000000 div ($kRrf + cos_rank), 0L)")
       )
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(k)

@@ -109,7 +109,11 @@ object Sampling {
     * sort: the shape that stays payable at 100 TB.
     */
   def qualityDeciles(docs: DataFrame): DataFrame = {
-    val q = TextAnalysis.quality(docs).select(col("doc_id"), col("quality_milli"))
+    // staged: the quality lineage feeds the count, the histogram build
+    // AND the join probe — unstaged it would scan the corpus three times
+    val q = graft.util.Materialize.stage(
+      TextAnalysis.quality(docs).select(col("doc_id"), col("quality_milli"))
+    )
     val n = q.count()
     val cum = q
       .groupBy("quality_milli")

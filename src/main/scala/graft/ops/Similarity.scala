@@ -46,10 +46,21 @@ object Similarity {
     * the k nearest other vectors by quantized cosine. Query side is
     * broadcast; the corpus is scanned once.
     */
-  def bruteTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
-    val q = quantized(embeddings)
-    val queries = q.where(col("vec_id") < nQueries)
-    val dots = exploded(q)
+  /** The shared integer cosine score: monotone in cosine, exact in
+    * BIGINT (sign-preserving square over the norm product). Every
+    * ANN/rerank path — and each path's DuckDB oracle — uses this ONE
+    * formula over columns (dot, nn, qn); editing it here moves all of
+    * them together.
+    */
+  private[ops] val CosScoreMilli = "(1000 * dot * abs(dot)) div (nn * qn)"
+
+  /** Broadcast-query dot products via the dimension-exploded join — one
+    * corpus pass, partial-aggregated — then norm joins and the shared
+    * score. Output (q, n, dot, nn, qn, score_milli); shared by
+    * [[bruteTopK]] and [[hardNegatives]].
+    */
+  private def queryScored(q: DataFrame, queries: DataFrame): DataFrame =
+    exploded(q)
       .join(
         broadcast(exploded(queries).select(col("vec_id").as("q"), col("d"), col("x").as("qx"))),
         Seq("d")
@@ -57,16 +68,36 @@ object Similarity {
       .groupBy(col("q"), col("vec_id").as("n"))
       .agg(sum(col("x") * col("qx")).as("dot"))
       .where(col("q") =!= col("n"))
-    val nn = norms(q)
-    val scored = dots
-      .join(nn.select(col("vec_id").as("n"), col("n2").as("nn")), "n")
+      .join(norms(q).select(col("vec_id").as("n"), col("n2").as("nn")), "n")
       .join(broadcast(norms(queries).select(col("vec_id").as("q"), col("n2").as("qn"))), "q")
-      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
+      .withColumn("score_milli", expr(CosScoreMilli))
+
+  /** zip_with dot+norm scoring over (qv, nv) array pairs — the
+    * bucket/cell-pruned paths' scorer ([[lshTopK]], [[ivfTopK]]) and
+    * [[Hybrid.rrfSearch]]'s dense rerank arm.
+    */
+  private[ops] def pairsScored(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("nn", expr("aggregate(nv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("score_milli", expr(CosScoreMilli))
+
+  /** Per-query top-k over a scored pair frame: (q, n, score_milli, rnk).
+    * Partitions = queries — never a global sort.
+    */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
     scored
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
+  }
+
+  def bruteTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val q = quantized(embeddings)
+    val queries = q.where(col("vec_id") < nQueries)
+    perQueryTopK(queryScored(q, queries), k)
   }
 
   /** Hard-negative mining for contrastive-embedding training: for each
@@ -87,26 +118,13 @@ object Similarity {
   def hardNegatives(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
     val q = quantized(embeddings)
     val queries = q.where(col("vec_id") < nQueries)
-    val dots = exploded(q)
-      .join(
-        broadcast(exploded(queries).select(col("vec_id").as("q"), col("d"), col("x").as("qx"))),
-        Seq("d")
-      )
-      .groupBy(col("q"), col("vec_id").as("n"))
-      .agg(sum(col("x") * col("qx")).as("dot"))
-      .where(col("q") =!= col("n"))
-    val scored = dots
-      .join(norms(q).select(col("vec_id").as("n"), col("n2").as("nn")), "n")
+    // bruteTopK's scorer plus the different-label exclusion (Catalyst
+    // pushes the predicate below the score projection)
+    val scored = queryScored(q, queries)
       .join(q.select(col("vec_id").as("n"), col("label").as("nl")), "n")
-      .join(broadcast(norms(queries).select(col("vec_id").as("q"), col("n2").as("qn"))), "q")
       .join(broadcast(queries.select(col("vec_id").as("q"), col("label").as("ql"))), "q")
       .where(col("nl") =!= col("ql"))
-      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
-    val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
+    perQueryTopK(scored, k)
   }
 
   /** Per-label embedding centroids in long format (label, dim, cval) —
@@ -194,18 +212,12 @@ object Similarity {
     val q = quantized(embeddings).withColumn("bucket", expr(bucketExpr("v")).cast("long"))
     val queries = q.where(col("vec_id") < nQueries)
     val corpus = q.select(col("vec_id").as("n"), col("bucket"), col("v").as("nv"))
-    val pairs = broadcast(queries.select(col("vec_id").as("q"), col("bucket"), col("v").as("qv")))
-      .join(corpus, Seq("bucket"))
-      .where(col("q") =!= col("n"))
-      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("qn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("nn", expr("aggregate(nv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
-    val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
-    pairs
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
+    val pairs = pairsScored(
+      broadcast(queries.select(col("vec_id").as("q"), col("bucket"), col("v").as("qv")))
+        .join(corpus, Seq("bucket"))
+        .where(col("q") =!= col("n"))
+    )
+    perQueryTopK(pairs, k)
   }
 
   private def centroidsLit(cvs: Seq[Seq[Long]]): String =
@@ -280,7 +292,15 @@ object Similarity {
     */
   def pqCodes(embeddings: DataFrame, m: Int = 4, nCodes: Int = 8, lloydIters: Int = 1): DataFrame = {
     val q = quantized(embeddings)
-    val dim = q.select(size(col("v"))).head().getInt(0)
+    val dimRow = q.select(size(col("v"))).take(1)
+    if (dimRow.isEmpty)
+      // empty embeddings: empty codes frame with the real path's schema
+      // (all-BIGINT), matching the sibling ANN ops' return-empty rule
+      return q.select(
+        col("vec_id") +:
+          ((0 until m).map(j => lit(0L).as(s"code_$j")) :+ lit(0L).as("err_d2")): _*
+      )
+    val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val sub = dim / m
     val books: Seq[Seq[Seq[Long]]] = (0 until m).map { j =>
@@ -354,18 +374,12 @@ object Similarity {
           expr(s"transform(slice(${rankedCellsExpr(trained, "v")}, 1, $nProbe), p -> p.cell)")
         ).as("cell")
       )
-    val pairs = broadcast(queries)
-      .join(indexed, Seq("cell"))
-      .where(col("q") =!= col("n"))
-      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("qn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("nn", expr("aggregate(nv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (nn * qn)"))
-    val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
-    pairs
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
+    val pairs = pairsScored(
+      broadcast(queries)
+        .join(indexed, Seq("cell"))
+        .where(col("q") =!= col("n"))
+    )
+    perQueryTopK(pairs, k)
   }
 
   /** Threshold near-duplicate pairs by embedding cosine, restricted to

@@ -629,9 +629,12 @@ object OpsQueries {
       "cand AS (SELECT br.doc_id, br.bm25_rank, " +
       s"(1000 * ${listDot("q.v", "qv.qv")} * abs(${listDot("q.v", "qv.qv")})) // (${listNorm("q.v")} * ${listNorm("qv.qv")}) AS cos_milli " +
       "FROM br JOIN q ON q.vec_id = br.doc_id CROSS JOIN qv), " +
-      "cr AS (SELECT doc_id, bm25_rank, CAST(row_number() OVER (ORDER BY cos_milli DESC, doc_id) AS BIGINT) AS cos_rank FROM cand), " +
-      "f AS (SELECT doc_id, bm25_rank, cos_rank, " +
-      "CAST(1000000 // (60 + bm25_rank) + 1000000 // (60 + cos_rank) AS BIGINT) AS rrf_micro FROM cr), " +
+      "cr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_milli DESC, doc_id) AS BIGINT) AS cos_rank FROM cand), " +
+      // left join: a BM25 candidate with no embedding keeps its sparse
+      // contribution with cos_rank NULL (mirrors Hybrid.rrfSearch)
+      "f AS (SELECT br.doc_id, br.bm25_rank, cr.cos_rank, " +
+      "CAST(1000000 // (60 + br.bm25_rank) + COALESCE(1000000 // (60 + cr.cos_rank), 0) AS BIGINT) AS rrf_micro " +
+      "FROM br LEFT JOIN cr USING (doc_id)), " +
       "top AS (SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank FROM f) " +
       "SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25_rank, cos_rank, rrf_micro FROM top WHERE rank <= 10"
 

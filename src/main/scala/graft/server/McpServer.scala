@@ -109,7 +109,8 @@ final class McpServer(spark: SparkSession, storeRoot: String) {
     if (s.entities.isEmpty)
       return "No memories stored yet. Use add_memories to store some memories first."
     val ents = s.searchEntities(query, 10).collect().map(_.getString(0))
-    val q = query.toLowerCase
+    // Locale.ROOT to match Spark's locale-independent lower() below
+    val q = query.toLowerCase(java.util.Locale.ROOT)
     import org.apache.spark.sql.functions._
     val facts = s.triples
       .where(

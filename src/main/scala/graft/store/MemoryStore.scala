@@ -76,7 +76,13 @@ final class MemoryStore(spark: SparkSession, root: String) {
   private def readTable(name: String, keys: Seq[String]): DataFrame = {
     val v = version
     if (v == 0) emptyDf(keys)
-    else spark.read.schema(schemaFor(keys)).parquet(dirsFor(v, name): _*)
+    else {
+      // empty-delta merges append no dirs, so a table can exist in the
+      // manifest with an empty dir list (e.g. v1 committed only triples)
+      val ds = dirsFor(v, name)
+      if (ds.isEmpty) emptyDf(keys)
+      else spark.read.schema(schemaFor(keys)).parquet(ds: _*)
+    }
   }
 
   def entities: DataFrame = readTable("memory_entities", Seq("entity"))
@@ -86,11 +92,16 @@ final class MemoryStore(spark: SparkSession, root: String) {
   /** Order-insensitive content fingerprint of a (distinct-row) DataFrame:
     * xor of per-row xxhash64 over all columns. One small aggregate job.
     */
-  private def contentFp(df: DataFrame): String = {
+  private def contentFp(df: DataFrame): String = contentFpAndCount(df)._1
+
+  /** Fingerprint + row count in ONE aggregate job (the count decides
+    * whether a delta commits any files at all).
+    */
+  private def contentFpAndCount(df: DataFrame): (String, Long) = {
     val cols = df.columns.map(col).toSeq
-    val r = df.agg(bit_xor(xxhash64(cols: _*))).head
+    val r = df.agg(bit_xor(xxhash64(cols: _*)), count(lit(1))).head
     val h = if (r.isNullAt(0)) 0L else r.getLong(0)
-    java.lang.Long.toHexString(h)
+    (java.lang.Long.toHexString(h), r.getLong(1))
   }
 
   /** Merge a new graph into the committed store; returns the new version.
@@ -105,19 +116,25 @@ final class MemoryStore(spark: SparkSession, root: String) {
     val v = version
     val nextV = v + 1
 
-    def commitDelta(name: String, keys: Seq[String], incoming: DataFrame): (String, String) = {
+    def commitDelta(name: String, keys: Seq[String], incoming: DataFrame): (Option[String], String) = {
+      val parentDirs = if (v == 0) Nil else dirsFor(v, name)
       val projected = incoming.select(keys.map(col): _*).distinct()
       val delta =
-        if (v == 0) projected
-        else projected.join(spark.read.schema(schemaFor(keys)).parquet(dirsFor(v, name): _*), keys, "left_anti")
+        if (parentDirs.isEmpty) projected
+        else projected.join(spark.read.schema(schemaFor(keys)).parquet(parentDirs: _*), keys, "left_anti")
       // persist: the anti-join against the accumulated store runs once —
       // the fingerprint action caches the (small) delta, the commit write
       // replays it from cache
       delta.persist()
       try {
-        val fp = s"v$nextV-${contentFp(delta)}"
-        table.resumeOrCompute(name + "_delta", fp)(delta)
-        (table.snapshotId(name + "_delta", fp), fp)
+        val (hash, n) = contentFpAndCount(delta)
+        val fp = s"v$nextV-$hash"
+        if (n == 0L) (None, fp) // nothing new: append no data dir, so a
+        // steady replay stream can't grow the read-side file list
+        else {
+          table.resumeOrCompute(name + "_delta", fp)(delta)
+          (Some(table.snapshotId(name + "_delta", fp)), fp)
+        }
       } finally delta.unpersist()
     }
 
@@ -129,7 +146,7 @@ final class MemoryStore(spark: SparkSession, root: String) {
     ).map { case (name, keys, incoming) =>
       val (snapId, fp) = commitDelta(name, keys, incoming)
       val parentDirs = if (v == 0) Nil else dirsFor(v, name)
-      (name, parentDirs :+ Paths.get(root, "data", snapId).toString, fp)
+      (name, parentDirs ++ snapId.map(id => Paths.get(root, "data", id).toString), fp)
     }
 
     writeManifest(nextV, committed)

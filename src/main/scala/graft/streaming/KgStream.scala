@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.extract.{Extract, PatternScorer, Scorer}
 import graft.model.{Page, Triple}
@@ -62,20 +61,22 @@ object KgStream {
       cfg: Extract.Config = Extract.Config(),
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
-    import pages.sparkSession.implicits._
     val ex = Extract.extractions(Extract.chunks(pages, cfg), scorer, cfg)
-    val valid = Extract.tripleMentions(ex)
-      .select("subject", "predicate", "obj")
-      .as[Triple]
-    valid.writeStream
+    ex.writeStream
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Triple], _: Long) =>
-        val tdf = batch.toDF()
-        val entities = tdf
-          .select(col("subject").as("entity"))
-          .union(tdf.select(col("obj").as("entity")))
-        store.addMemories(entities, tdf)
+      .foreachBatch { (batch: Dataset[graft.extract.ChunkExtraction], _: Long) =>
+        // persist: the scorer pass feeds both tables and the store's
+        // several commit actions — run it once per micro-batch
+        val exb = batch.persist()
+        try {
+          // ALL mentioned entities, not just triple endpoints — batch
+          // generate() (and the reference's add_memories) stores
+          // entities that appear in no valid triple too
+          val entities = Extract.entitySet(exb)
+          val tdf = Extract.tripleTable(Extract.tripleMentions(exb))
+          store.addMemories(entities, tdf)
+        } finally exb.unpersist()
         ()
       }
       .start()

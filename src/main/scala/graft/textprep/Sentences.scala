@@ -50,7 +50,9 @@ object Sentences {
         val c = text.charAt(s - 1)
         Character.isLetter(c) || c == '.'
       }) s -= 1
-    text.substring(s, i).toLowerCase.stripPrefix(".")
+    // Locale.ROOT: abbreviation matching must be locale-independent
+    // ("I" folds to dotless ı under a tr default locale)
+    text.substring(s, i).toLowerCase(java.util.Locale.ROOT).stripPrefix(".")
   }
 
   def split(text: String): Seq[String] = {

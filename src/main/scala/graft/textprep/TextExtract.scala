@@ -69,7 +69,9 @@ object TextExtract {
     if (s < tag.length && tag.charAt(s) == '/') s += 1
     var e = s
     while (e < tag.length && Character.isLetter(tag.charAt(e))) e += 1
-    tag.substring(s, e).toLowerCase
+    // Locale.ROOT: tag names are ASCII but a tr default locale would
+    // fold "DIV" to "dıv" and miss every uppercase tag
+    tag.substring(s, e).toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Index just past `</name ...>` at or after `from`, or -1. */

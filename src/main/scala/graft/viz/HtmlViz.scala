@@ -61,12 +61,12 @@ object HtmlViz {
     val nodes = viz
       .select("entity", "out_degree", "in_degree", "degree", "component", "is_top", "color")
       .collect()
-      .sortBy(r => (r.getString(4), r.getString(0).toLowerCase, r.getString(0)))
+      .sortBy(r => (r.getString(4), r.getString(0).toLowerCase(java.util.Locale.ROOT), r.getString(0)))
     val edges = triples
       .select("subject", "predicate", "obj")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-      .sortBy { case (s, p, o) => (p.toLowerCase, s.toLowerCase, o.toLowerCase, p, s, o) }
+      .sortBy { case (s, p, o) => (p.toLowerCase(java.util.Locale.ROOT), s.toLowerCase(java.util.Locale.ROOT), o.toLowerCase(java.util.Locale.ROOT), p, s, o) }
 
     val nodeJson = nodes.map { r =>
       s"""{"id":${jsonStr(r.getString(0))},"outdegree":${r.getLong(1)},"indegree":${r
@@ -81,14 +81,14 @@ object HtmlViz {
     }
 
     val topEntities = nodes
-      .sortBy(r => (-r.getLong(3), r.getString(0).toLowerCase, r.getString(0)))
+      .sortBy(r => (-r.getLong(3), r.getString(0).toLowerCase(java.util.Locale.ROOT), r.getString(0)))
       .take(10)
       .map(r => s"""{"label":${jsonStr(r.getString(0))},"degree":${r.getLong(3)}}""")
     val predCounts = edges
       .groupBy(_._2)
       .map { case (p, es) => (p, es.length) }
       .toArray
-      .sortBy { case (p, c) => (-c, p.toLowerCase, p) }
+      .sortBy { case (p, c) => (-c, p.toLowerCase(java.util.Locale.ROOT), p) }
     val topRelations = predCounts
       .take(10)
       .map { case (p, c) =>

@@ -51,6 +51,11 @@ class MemoryStoreSpec extends AnyFunSuite with SparkTestBase {
     s2.addMemories(ents(g1Ents), tris(g1Tris))
     assert(s2.version == 2)
     assert(tables(s2)._2.size == 2)
+    // ... and commits NO new data dirs (the delta was empty), so a
+    // steady replay stream can't grow the read-side file list
+    Seq("memory_entities", "memory_triples", "memory_edges").foreach { name =>
+      assert(s2.dirsFor(2, name) == s2.dirsFor(1, name), name)
+    }
   }
 
   test("empty store reads as empty tables, not errors") {

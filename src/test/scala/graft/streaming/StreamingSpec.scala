@@ -218,6 +218,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val storeTriples = store.triples.collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
       assert(storeTriples == batchTriples)
+      // entity parity with batch generate(): ALL mentioned entities land
+      // in the store, including ones that appear in no valid triple
+      val (batchEnts, _, _) = graft.extract.Extract.generate(pages.toDS())
+      assert(
+        store.entities.collect().map(_.getString(0)).toSet ==
+          batchEnts.collect().map(_.getString(0)).toSet
+      )
       assert(afterFirst <= batchTriples.size)
       assert(store.version >= 2)
       // replaying already-merged pages must not duplicate content
