@@ -42,6 +42,15 @@ object Cli {
     )
   }
 
+  /** Clean arity failure: usage + exit 2, never a MatchError after JVM
+    * and Spark startup cost.
+    */
+  private def req(args: Array[String], n: Int, usage: String): Unit =
+    if (args.length < n) {
+      System.err.println(s"usage: ${args(0)} $usage")
+      sys.exit(2)
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println("usage: see Cli scaladoc"); sys.exit(2) }
     args(0) match {
@@ -49,6 +58,7 @@ object Cli {
         KgGenJob.main(args.drop(1))
 
       case "cluster" =>
+        req(args, 3, "<in.json> <out.json>")
         val Array(_, in, out) = args.take(3)
         val spark = session()
         try GraphJson.write(ClusterGraph.clusterDriverGraph(spark, GraphJson.read(in)), out)
@@ -56,6 +66,7 @@ object Cli {
         println(s"clustered $in -> $out")
 
       case "aggregate" =>
+        req(args, 3, "<out.json> <in1.json> [in2.json ...]")
         val out = args(1)
         val graphs = args.drop(2).map(GraphJson.read).toSeq
         GraphJson.write(Graph.aggregate(graphs), out)
@@ -64,6 +75,7 @@ object Cli {
       case "visualize" =>
         // optional 4th arg: self-contained HTML artifact (reference
         // parity: visualize_kg.py:261-304 writes an HTML dashboard)
+        req(args, 3, "<in.json> <out.parquet> [out.html]")
         val Array(_, in, out) = args.take(3)
         val htmlOut = args.lift(3)
         val spark = session()
@@ -85,6 +97,7 @@ object Cli {
         println(s"visualized $in -> $out")
 
       case "memory-add" =>
+        req(args, 3, "<storeRoot> <graph.json>")
         val Array(_, root, graphPath) = args.take(3)
         val spark = session()
         try {
@@ -95,6 +108,7 @@ object Cli {
         } finally spark.stop()
 
       case "memory-retrieve" =>
+        req(args, 3, "<storeRoot> <query>")
         val Array(_, root, query) = args.take(3)
         val spark = session()
         try {
@@ -104,6 +118,7 @@ object Cli {
         } finally spark.stop()
 
       case "memory-stats" =>
+        req(args, 2, "<storeRoot>")
         val root = args(1)
         val spark = session()
         try {
@@ -114,6 +129,7 @@ object Cli {
       case "memory-visualize" =>
         // parity with mcp/server.py:213-238 visualize_memories: the viz
         // view model computed over the persistent store's current version
+        req(args, 3, "<storeRoot> <out.parquet> [out.html]")
         val Array(_, root, out) = args.take(3)
         val htmlOut = args.lift(3)
         val spark = session()

@@ -32,6 +32,15 @@ object Verify {
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any stale dump from a prior run into the same outDir —
+        // the driver must see this query as MISSING, not hash-compare
+        // last run's rows against the current oracle
+        val stale = Paths.get(s"$outDir/$name.parquet")
+        if (Files.exists(stale)) {
+          import java.util.Comparator
+          Files.walk(stale).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.delete(f))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -21,6 +21,12 @@ import graft.extract.TokenRules
   */
 object Dedup {
 
+  /** Per-band-bucket lead-window cap (candidate pairs per doc) — the
+    * single source of truth the oracle SQL interpolates; a drift between
+    * engine and oracle would silently desync every minhash hash compare.
+    */
+  val DefaultLeadCap = 10
+
   /** Distinct sorted token set per document. */
   private def tokenSets(docs: DataFrame): DataFrame =
     docs.select(
@@ -40,10 +46,22 @@ object Dedup {
     * bit-error rate, so hash-group equality IS exact dedup at web scale.
     */
   def exact(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("k")
-    docs
-      .select(col("doc_id"), struct(xxhash64(col("text")), md5(col("text"))).as("k"))
-      .withColumn("dup_of", min("doc_id").over(w))
+    // keeper via partial-aggregated groupBy + join-back, NOT a window:
+    // a boilerplate text duplicated across millions of docs is one hot
+    // fingerprint, and the window form would sort that group's entire
+    // population in a single task while the aggregate collapses it
+    // map-side (same doctrine as UrlCanon.canonicalKeep). Staged: the
+    // fingerprint frame feeds both the keeper table and the join probe.
+    val keyed = graft.util.Materialize.stage(
+      docs.select(col("doc_id"), struct(xxhash64(col("text")), md5(col("text"))).as("k"))
+    )
+    val keepers = keyed
+      .groupBy("k")
+      .agg(min("doc_id").as("dup_of"), count(lit(1)).as("c"))
+      .where(col("c") > 1) // duplicate groups only — a small join side
+      .drop("c")
+    keyed
+      .join(keepers, "k")
       .where(col("doc_id") =!= col("dup_of"))
       .select("doc_id", "dup_of")
   }
@@ -288,7 +306,7 @@ object Dedup {
       thetaPct: Int = 90,
       seeds: Int = 16,
       bands: Int = 8,
-      cap: Int = 10
+      cap: Int = DefaultLeadCap
   ): DataFrame = {
     val t = tokenSets(docs)
     // one scan emits all band keys (explode), and ONE window pass emits
@@ -355,7 +373,7 @@ object Dedup {
       thetaPct: Int = 90,
       seeds: Int = 16,
       bands: Int = 8,
-      cap: Int = 10,
+      cap: Int = DefaultLeadCap,
       driverPairThreshold: Int = 2000000
   ): DataFrame =
     groupsFromPairs(
@@ -452,7 +470,7 @@ object Dedup {
       thetaPct: Int = 90,
       seeds: Int = 16,
       bands: Int = 8,
-      cap: Int = 10
+      cap: Int = DefaultLeadCap
   ): DataFrame =
     docs
       .select(col("doc_id"))

@@ -59,7 +59,7 @@ object OpsQueries {
     * MinHash-LSH pair set; shared by the pair and group oracles.
     */
   private val minhashPairCtes: String = {
-    val cap = 10
+    val cap = Dedup.DefaultLeadCap // the engine-side default, shared
     val leads = (1 to cap)
       .map(d =>
         s"SELECT doc_id AS a, lead(doc_id, $d) OVER (PARTITION BY bandKey ORDER BY doc_id) AS b FROM band"
@@ -248,15 +248,22 @@ object OpsQueries {
 
   // ----- similarity search -----
 
-  val annTopK: Q = (s, dir) => Similarity.bruteTopK(emb(s, dir), nQueries = 20, k = 8)
+  /** ANN parameters shared by the Scala query definitions AND the
+    * oracle SQL below — interpolated on both sides so they cannot
+    * drift (a one-sided change would silently desync the hash compare).
+    */
+  private val AnnNQueries = 20
+  private val AnnK = 8
+
+  val annTopK: Q = (s, dir) => Similarity.bruteTopK(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
 
   val annTopKSql: String =
     s"WITH $quantCte, " +
       "scored AS (SELECT qs.vec_id AS q, c.vec_id AS n, " +
       s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS score_milli " +
-      "FROM q qs JOIN q c ON qs.vec_id < 20 AND c.vec_id <> qs.vec_id), " +
+      s"FROM q qs JOIN q c ON qs.vec_id < $AnnNQueries AND c.vec_id <> qs.vec_id), " +
       "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
-      "SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 8"
+      s"SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= $AnnK"
 
   val annBuckets: Q = (s, dir) => Similarity.buckets(emb(s, dir))
 
@@ -269,31 +276,32 @@ object OpsQueries {
   val annBucketsSql: String =
     s"WITH $quantCte, $bucketCtes SELECT vec_id, bucket FROM bk"
 
-  val annLsh: Q = (s, dir) => Similarity.lshTopK(emb(s, dir), nQueries = 20, k = 8)
+  val annLsh: Q = (s, dir) => Similarity.lshTopK(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
 
   val annLshSql: String =
     s"WITH $quantCte, $bucketCtes, " +
       "qb AS (SELECT q.vec_id, q.v, bk.bucket FROM q JOIN bk ON q.vec_id = bk.vec_id), " +
       "scored AS (SELECT qs.vec_id AS q, c.vec_id AS n, " +
       s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS score_milli " +
-      "FROM qb qs JOIN qb c ON qs.bucket = c.bucket AND qs.vec_id < 20 AND c.vec_id <> qs.vec_id), " +
+      s"FROM qb qs JOIN qb c ON qs.bucket = c.bucket AND qs.vec_id < $AnnNQueries AND c.vec_id <> qs.vec_id), " +
       "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
-      "SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 8"
+      s"SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= $AnnK"
 
   /** Hard-negative mining (Similarity.hardNegatives): per query, the
     * top-k most similar DIFFERENT-label vectors — the contrastive-
     * training pair table. Same integer cosine rule as ann_topk with the
     * label-exclusion predicate.
     */
-  val embHardNegatives: Q = (s, dir) => Similarity.hardNegatives(emb(s, dir))
+  val embHardNegatives: Q = (s, dir) =>
+    Similarity.hardNegatives(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
 
   val embHardNegativesSql: String =
     s"WITH $quantCte, " +
       "scored AS (SELECT qs.vec_id AS q, c.vec_id AS n, " +
       s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS score_milli " +
-      "FROM q qs JOIN q c ON qs.vec_id < 20 AND c.vec_id <> qs.vec_id AND c.label <> qs.label), " +
+      s"FROM q qs JOIN q c ON qs.vec_id < $AnnNQueries AND c.vec_id <> qs.vec_id AND c.label <> qs.label), " +
       "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
-      "SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 8"
+      s"SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= $AnnK"
 
   val annIvf: Q = (s, dir) => Similarity.ivfTopK(emb(s, dir))
 

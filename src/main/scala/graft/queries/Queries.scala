@@ -50,38 +50,41 @@ object Queries {
     * regenerated; this keys the cache on what the files actually are,
     * the same identity rule Iceberg manifests use.
     */
-  private[graft] def derivedFp(s: SparkSession, dir: String): String = {
+  private[graft] def derivedFp(s: SparkSession, dir: String): Option[String] = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val p = new HPath(s"$dir/documents.parquet")
-    val digest =
-      try {
-        val fs = FileSystem.get(p.toUri, s.sparkContext.hadoopConfiguration)
-        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-        val it = fs.listFiles(p, true)
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile)
-            entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-        }
-        java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(entries.sorted.mkString(",").getBytes("UTF-8"))
-          .map(b => f"$b%02x")
-          .mkString
-      } catch { case _: Exception => "unlistable" }
-    s"$dir|$digest"
+    // None when the listing fails: the snapshot path is DISABLED for
+    // this call rather than degraded into a constant cache key — a
+    // constant key could match a commit made under an earlier listing
+    // failure and silently serve stale derived tables for a regenerated
+    // corpus
+    try {
+      val fs = FileSystem.get(p.toUri, s.sparkContext.hadoopConfiguration)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile)
+          entries += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      }
+      val digest = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(entries.sorted.mkString(",").getBytes("UTF-8"))
+        .map(b => f"$b%02x")
+        .mkString
+      Some(s"$dir|$digest")
+    } catch { case _: Exception => None }
   }
 
   private def snapshotOr(s: SparkSession, dir: String, stage: String)(
       derive: => DataFrame
   ): DataFrame =
-    derivedRoot match {
-      case Some(root) =>
+    derivedRoot.flatMap { root =>
+      derivedFp(s, dir).map { fp =>
         val t = new graft.store.SnapshotTable(s, root)
-        val fp = derivedFp(s, dir)
         if (t.exists(stage, fp)) t.read(stage, fp) else derive
-      case None => derive
-    }
+      }
+    }.getOrElse(derive)
 
   private def deriveTriples(s: SparkSession, dir: String): DataFrame =
     TokenRules.triples(docs(s, dir))
@@ -98,11 +101,11 @@ object Queries {
     */
   def ensureDerived(s: SparkSession, dir: String): Unit =
     derivedRoot.foreach { root =>
-      val t = new graft.store.SnapshotTable(s, root)
-      val fp = derivedFp(s, dir)
-      t.resumeOrCompute("derived_triples", fp)(deriveTriples(s, dir))
-      t.resumeOrCompute("derived_entities", fp)(deriveEntities(s, dir))
-      ()
+      derivedFp(s, dir).foreach { fp =>
+        val t = new graft.store.SnapshotTable(s, root)
+        t.resumeOrCompute("derived_triples", fp)(deriveTriples(s, dir))
+        t.resumeOrCompute("derived_entities", fp)(deriveEntities(s, dir))
+      }
     }
 
   // ---------------------------------------------------------------
@@ -220,10 +223,13 @@ object Queries {
       "SELECT entity, CAST(sum(o) AS BIGINT) AS out_degree, CAST(sum(i) AS BIGINT) AS in_degree, " +
       "CAST(sum(o + i) AS BIGINT) AS degree FROM ep GROUP BY entity"
 
-  /** A2 — count per predicate (visualize_kg.py:115-120). */
+  /** A2 — count per predicate (visualize_kg.py:115-120). Reads the
+    * snapshot-aware triple table like every other kg_* triple query —
+    * not TokenRules directly, which would re-pay extraction in
+    * snapshot-backed mode.
+    */
   val kgPredCounts: Q = (s, dir) =>
-    TokenRules
-      .triples(docs(s, dir))
+    triples(s, dir)
       .groupBy("predicate")
       .agg(count(lit(1)).as("cnt"))
 

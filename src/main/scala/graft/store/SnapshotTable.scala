@@ -325,10 +325,34 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     val node = mapper.readTree(Files.readAllBytes(metaPath(id)))
     val files = node.get("files").elements().asScala.toSeq
+    // partition columns live in directory names, never in footer stats:
+    // their zone map IS the `column=value` path segment
+    def partitionDirValue(path: String): Option[String] = {
+      val marker = s"/$column="
+      val i = path.lastIndexOf(marker)
+      if (i < 0) None
+      else {
+        val s0 = i + marker.length
+        val e = path.indexOf('/', s0)
+        if (e < 0) None else Some(path.substring(s0, e))
+      }
+    }
     def keep(f: com.fasterxml.jackson.databind.JsonNode): Boolean = {
       val cs = Option(f.get("stats")).flatMap(s => Option(s.get(column)))
       cs match {
-        case None => true
+        case None =>
+          partitionDirValue(f.get("file").asText) match {
+            case Some(dv) if !dv.contains("%") =>
+              // equality-prune on the identity partition value; an
+              // escaped dir value ('%xx') is never guessed at — keep
+              value match {
+                case l: Long   => scala.util.Try(dv.toLong == l).getOrElse(true)
+                case i2: Int   => scala.util.Try(dv.toLong == i2.toLong).getOrElse(true)
+                case s2: String => dv == s2
+                case _          => true
+              }
+            case _ => true
+          }
         case Some(c) =>
           val t = c.get("type").asText
           val mn = c.get("min").asText
@@ -343,7 +367,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     }
     val kept = files.filter(keep).map(_.get("file").asText)
     if (kept.isEmpty) full.where(lit(false))
-    else spark.read.schema(full.schema).parquet(kept: _*)
+    else
+      // basePath keeps directory-partition columns in the leaf-file
+      // read: without it a partitioned snapshot's partition column
+      // would come back all-NULL, breaking the row-identical contract
+      spark.read
+        .option("basePath", dataDir(id).toUri.toString)
+        .schema(full.schema)
+        .parquet(kept: _*)
   }
 
   /** The snapshot chain from the current version hint back to the first

@@ -49,7 +49,13 @@ object TextExtract {
           }
         }
       } else if (c == '&') {
-        val semi = html.indexOf(';', i + 1)
+        // bounded probe: an entity is accepted only within 10 chars, so
+        // never scan further for the ';' — an unbounded indexOf is O(n)
+        // per '&', quadratic on a page of bare ampersands
+        var semi = -1
+        var j = i + 1
+        val lim = math.min(n, i + 11)
+        while (semi < 0 && j < lim) { if (html.charAt(j) == ';') semi = j; j += 1 }
         if (semi > i && semi - i <= 10) {
           val ent = html.substring(i + 1, semi)
           decodeEntity(ent) match {
@@ -74,17 +80,32 @@ object TextExtract {
     tag.substring(s, e).toLowerCase(java.util.Locale.ROOT)
   }
 
-  /** Index just past `</name ...>` at or after `from`, or -1. */
+  /** Index just past `</name ...>` at or after `from`, or -1.
+    *
+    * Amortized O(n): the next-'>' pointer is monotone (no '>' exists
+    * between consecutive '<' probes and the cached position, by
+    * construction), and the closing-tag check compares characters in
+    * place — a page of a million '<'s before one '>' costs one pass,
+    * not the quadratic rescans + substrings of the naive form.
+    */
   private def indexOfCloseTag(html: String, from: Int, name: String): Int = {
     var i = from
+    var gt = -1
     val n = html.length
     while (i < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0) return -1
-      val gt = html.indexOf('>', lt + 1)
+      if (gt <= lt) gt = html.indexOf('>', lt + 1)
       if (gt < 0) return -1
-      val tag = html.substring(lt + 1, gt)
-      if (tag.startsWith("/") && tagName(tag) == name) return gt + 1
+      // in-place equivalent of tagName(substring(lt+1, gt)) == name:
+      // '/' then the letter run, compared ASCII-case-insensitively
+      if (lt + 1 < gt && html.charAt(lt + 1) == '/') {
+        val s = lt + 2
+        var e = s
+        while (e < gt && Character.isLetter(html.charAt(e))) e += 1
+        if (e - s == name.length && html.regionMatches(true, s, name, 0, name.length))
+          return gt + 1
+      }
       i = lt + 1
     }
     -1

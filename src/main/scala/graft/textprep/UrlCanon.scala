@@ -76,10 +76,15 @@ object UrlCanon {
     // aggregate per canonical group. The row_number-window formulation
     // would sort a hot canonical group's entire population in one task;
     // a page duplicated across the crawl is exactly that hot key.
+    // the tie-break covers EVERY payload field (text, html bytes, lang):
+    // rows identical in (ts, url, text) but divergent in html would
+    // otherwise be picked by aggregation encounter order
     val ord = struct(
       (-unix_micros(col("warc_ts"))).as("nts"),
       col("url"),
-      md5(col("text")).as("h")
+      md5(col("text")).as("h"),
+      md5(col("html")).as("hh"),
+      col("lang")
     )
     df.withColumn("url_canon", canonical(col("url")))
       .groupBy("url_canon")

@@ -33,7 +33,7 @@ class SnapshotBackedQueriesSpec extends AnyFunSuite with SparkTestBase {
       // the snapshot must actually be committed and used, not silently
       // falling back to the derive path
       val t = new graft.store.SnapshotTable(spark, root.toString)
-      val fp = Queries.derivedFp(spark, sfDir)
+      val fp = Queries.derivedFp(spark, sfDir).get
       assert(t.exists("derived_triples", fp))
       assert(t.exists("derived_entities", fp))
       val fromSnap = names.map(n => n -> rowsOf(n)).toMap
@@ -52,7 +52,7 @@ class SnapshotBackedQueriesSpec extends AnyFunSuite with SparkTestBase {
       Queries.derivedRootOverride = Some(root.toString)
       Queries.ensureDerived(spark, sfDir)
       val t = new graft.store.SnapshotTable(spark, root.toString)
-      val fp = Queries.derivedFp(spark, sfDir)
+      val fp = Queries.derivedFp(spark, sfDir).get
       val before = t.read("derived_triples", fp).inputFiles.toSet
       Queries.ensureDerived(spark, sfDir)
       val after = t.read("derived_triples", fp).inputFiles.toSet

@@ -108,4 +108,37 @@ class SnapshotTableSpec extends AnyFunSuite with SparkTestBase {
     val noStats = t.prunedRead("zm", "fp-zm", "no_such_col", 1L)
     assert(noStats.inputFiles.toSet == allFiles)
   }
+
+  test("prunedRead on a partitioned snapshot: partition column survives and dir-prunes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val t = new SnapshotTable(spark, root)
+    val df = spark
+      .range(0, 400)
+      .select(
+        col("id").as("k"),
+        pmod(col("id"), lit(4)).as("bucket"),
+        (col("id") * 7).as("v")
+      )
+    val full = t.commit(df, "pz", "fp-pz", partitionBy = Seq("bucket"))
+
+    // probe on the PARTITION column: values come from directory names
+    // (no footer stats exist for them) — they must come back non-NULL
+    // and the read must prune to that bucket's directory
+    val pb = t.prunedRead("pz", "fp-pz", "bucket", 2L)
+    val expected = full.where(col("bucket") === 2L)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pb.where(col("bucket") === 2L)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.size == 100)
+    assert(pb.inputFiles.length < full.inputFiles.length, "no partition dirs were pruned")
+    // partition-dir inference types bucket as Integer — compare numerically
+    assert(pb.select("bucket").distinct().collect().map(_.getAs[Number](0).longValue).toSeq == Seq(2L))
+
+    // probe on a DATA column of the partitioned snapshot: footer zone
+    // maps still apply, and the partition column still materializes
+    val pk = t.prunedRead("pz", "fp-pz", "k", 123L)
+    val row = pk.where(col("k") === 123L).select("bucket", "v").collect()
+    assert(row.length == 1 && row(0).getAs[Number](0).longValue == 123L % 4 && row(0).getLong(1) == 123L * 7)
+  }
 }
