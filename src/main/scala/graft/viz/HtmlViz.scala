@@ -46,6 +46,10 @@ object HtmlViz {
       // terminate the block — broken artifact and stored XSS for
       // attacker-supplied memory text. < is valid JSON for '<'.
       case '<'           => sb.append("\\u003c")
+      // U+2028/U+2029 are valid raw in JSON but are line terminators in
+      // JavaScript source — pre-ES2019 parsers and strict tooling reject
+      // them inside the inline <script> string literal
+      case c @ ('\u2028' | '\u2029') => sb.append(f"\\u${c.toInt}%04x")
       case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
       case c             => sb.append(c)
     }

@@ -47,6 +47,17 @@ class HtmlVizSpec extends AnyFunSuite with SparkTestBase {
     assert(html.contains("\\u003c/script>"), "JSON escaping for '<' missing")
   }
 
+  test("JS line separators U+2028/U+2029 are escaped in the embedded JSON") {
+    import spark.implicits._
+    val sep = "a\u2028b\u2029c"
+    val ents = Seq(sep, "safe").toDF("entity")
+    val tris = Seq((sep, "pred", "safe")).toDF("subject", "predicate", "obj")
+    val html = HtmlViz.render(Analytics.vizModel(ents, tris), tris)
+    assert(!html.contains('\u2028') && !html.contains('\u2029'),
+      "raw JS line terminator leaked into the inline script")
+    assert(html.contains("a\\u2028b\\u2029c"), "escaped form missing")
+  }
+
   test("embedded view model carries nodes, edges, top lists and stats") {
     val (ents, tris) = fixture
     val html = HtmlViz.render(Analytics.vizModel(ents, tris), tris)
