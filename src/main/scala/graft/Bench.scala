@@ -458,6 +458,29 @@ object Bench {
           r4n = merge(r4n, measure(c4n)); retries += 1
         } else progress = false
       }
+      // Band-anomaly retry: the steal gate sees CPU theft but not
+      // memory-bandwidth co-tenancy (measured: a 0.1%-steal window read
+      // N=134.0s / 4N=43.1s where clean windows read 108-113 / 30-33 and
+      // printed 0.777 with no steal evidence). Ten recorded clean-window
+      // reads of this pair sit in [0.80, 1.01]; a ratio outside the band
+      // with in-bar steal means one level missed its clean minimum — and
+      // since a wall can only be INFLATED by noise, never deflated, the
+      // out-of-band direction identifies the poisoned side exactly
+      // (ratio low -> 4N inflated; ratio high -> N inflated). Re-measure
+      // that side and min-merge: extra samples only tighten a level's
+      // true minimum, so a genuine scaling regression stays below the
+      // band through the capped retries, and every run still reports its
+      // own wall + steal.
+      def effNow(): Double = ((r4n.triples / r4n.best) / (rn.triples / rn.best)) / 4.0
+      var bandRetries = 0
+      var bandProgress = true
+      while (bandRetries < 2 && bandProgress) {
+        val e = effNow()
+        val remaining = budgetSec - elapsedSec
+        if (e < 0.80 && remaining > 200) { r4n = merge(r4n, measure(c4n)); bandRetries += 1 }
+        else if (e > 1.05 && remaining > 420) { rn = merge(rn, measure(scaleN)); bandRetries += 1 }
+        else bandProgress = false
+      }
       // third scaling point (a curve, not one ratio): 4N -> 16N when the
       // box has the cores and the budget has room. The 16N level is the
       // cheapest to measure (runs ~4x faster than 4N), so it rides the
@@ -466,7 +489,16 @@ object Bench {
       val c16n = scaleN * 16
       val r16n: Option[LevelResult] =
         if (c16n <= Runtime.getRuntime.availableProcessors() && budgetSec - elapsedSec > 180)
-          Some(measure(c16n))
+          Some(measure(c16n)).map { r =>
+            // same one-sided logic as the band retry above: the level's
+            // clean reading is ~0.52 against 4N (disclosed box ceiling);
+            // a sub-0.35 read is a storm wall (measured: 130.8 s vs the
+            // 15.7 s clean minimum — 0.082), worth one cheap re-measure
+            val tp16 = r.triples / r.best
+            if ((tp16 / (r4n.triples / r4n.best)) / 4.0 < 0.35 && budgetSec - elapsedSec > 150)
+              merge(r, measure(c16n))
+            else r
+          }
         else None
       val tp4n = r4n.triples / r4n.best
       val tpn = rn.triples / rn.best
@@ -502,7 +534,7 @@ object Bench {
           s""""triples_per_sec_localN":${fmt(tpn, 1)},"triples_per_sec_local4N":${fmt(tp4n, 1)},""" +
           s""""scaling_efficiency":${fmt(eff)},""" +
           effAdjJson +
-          s""""methodology":"per-level child JVM when mode=child-jvm (taskset pin to cores, ActiveProcessorCount=cores, heap=4GiB/core capped at 3/4 host RAM, warmup run, steal-gated measured runs); identical partitioning ($ScalePartitions) at both levels; budget=${budgetSec}s"}"""
+          s""""methodology":"per-level child JVM when mode=child-jvm (taskset pin to cores, ActiveProcessorCount=cores, heap=4GiB/core capped at 3/4 host RAM, warmup run, steal-gated measured runs, out-of-band ratios re-measured on the inflated side and min-merged, all runs reported); identical partitioning ($ScalePartitions) at both levels; budget=${budgetSec}s"}"""
       emit(kggenJson)
     } else spark32.stop()
   }
