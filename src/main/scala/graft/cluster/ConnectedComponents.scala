@@ -142,4 +142,76 @@ object ConnectedComponents {
       )
     labels.withColumnRenamed("label", "component")
   }
+
+  /** Incremental component maintenance for a delta edge set against a
+    * committed assignment — the recrawl companion of
+    * [[graft.analytics.GraphDiff]]: when a new crawl adds edges to an
+    * already-canonicalized graph, update (node, component) without
+    * re-running the fixpoint over the base edges.
+    *
+    * Correctness: contracting every base component to its label
+    * preserves connectivity (standard quotient-graph argument), and
+    * because each label IS the minimum member of its component, the min
+    * label of a merged set of contracted nodes equals the global min
+    * over all member nodes — so the result is row-identical to a
+    * from-scratch [[run]] over (base edges ∪ delta edges). The
+    * `kg_cc_incremental` driver query proves exactly that: its oracle
+    * recomputes components from scratch and the hash must match.
+    *
+    * Scale shape — O(delta + affected), never O(base):
+    *   - delta endpoints map through the assignment with two hash joins
+    *     (the only contact with base state, a bucketed snapshot lookup
+    *     at 100 TB — base EDGES are never read);
+    *   - the CC fixpoint runs on the contracted graph, whose size is
+    *     bounded by the delta edge count, not the corpus;
+    *   - untouched assignments pass through a single left join against
+    *     the relabel map (small by the same bound — AQE broadcasts it).
+    *
+    * @param baseAssign (node, component) — a committed [[run]] output:
+    *   every component label must be the min member node (what [[run]]
+    *   guarantees); rows are unique per node
+    * @param deltaEdges (src, dst) — undirected semantics, new edges
+    *   only (re-sending a base edge is harmless: it contracts to a
+    *   self-loop and drops out)
+    * @return (node, component) over base nodes ∪ delta endpoints
+    */
+  def incremental(
+      baseAssign: DataFrame,
+      deltaEdges: DataFrame,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val bySrc = baseAssign.select(col("node").as("src"), col("component").as("srcLabel"))
+    val byDst = baseAssign.select(col("node").as("dst"), col("component").as("dstLabel"))
+    // contract: an endpoint known to the base becomes its component
+    // label; an unseen endpoint stays itself. Edges falling inside one
+    // existing component become self-loops and are dropped before the
+    // fixpoint ever sees them.
+    val contracted = deltaEdges
+      .select(col("src"), col("dst"))
+      .join(bySrc, Seq("src"), "left")
+      .join(byDst, Seq("dst"), "left")
+      .select(
+        coalesce(col("srcLabel"), col("src")).as("src"),
+        coalesce(col("dstLabel"), col("dst")).as("dst")
+      )
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val touched = contracted
+      .select(col("src").as("node"))
+      .union(contracted.select(col("dst").as("node")))
+      .distinct()
+    // (old label | delta-only node) -> new component label
+    val relabel = run(contracted, touched, maxIterations)
+    val relabelMap = relabel.select(col("node").as("old"), col("component").as("newc"))
+    val updatedBase = baseAssign
+      .join(relabelMap, col("component") === col("old"), "left")
+      .select(col("node"), coalesce(col("newc"), col("component")).as("component"))
+    // contracted nodes that are NOT base nodes are delta-only entities;
+    // base labels are themselves base nodes, so the anti-join removes
+    // exactly the already-covered rows
+    val deltaOnly = relabel
+      .join(baseAssign.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("component"))
+    updatedBase.union(deltaOnly)
+  }
 }

@@ -595,6 +595,37 @@ object Queries {
       "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node) " +
       "SELECT node AS entity, min(label) AS component FROM walk GROUP BY node"
 
+  /** Incremental component maintenance (the recrawl path): canonicalize
+    * the base crawl (docs with doc_id % 4 != 3), then fold the delta
+    * crawl's edges in via [[graft.cluster.ConnectedComponents.incremental]]
+    * — the fixpoint runs only on the contracted delta graph, never
+    * re-reading base edges. The oracle recomputes components FROM
+    * SCRATCH over the full edge set, so the hash match IS the proof
+    * that the O(delta) incremental path reproduces the from-scratch
+    * answer on this corpus.
+    */
+  val kgCcIncremental: Q = (s, dir) => {
+    val d = docs(s, dir)
+    def edgesOf(tr: DataFrame) =
+      tr.select(col("subject").as("src"), col("obj").as("dst"))
+    def nodesOf(tr: DataFrame) =
+      tr.select(col("subject").as("node"))
+        .union(tr.select(col("obj").as("node")))
+        .distinct()
+    val baseTr = TokenRules.triples(d.where(col("doc_id") % 4 =!= 3))
+    val deltaTr = TokenRules.triples(d.where(col("doc_id") % 4 === 3))
+    val baseAssign = graft.cluster.ConnectedComponents.run(edgesOf(baseTr), nodesOf(baseTr))
+    graft.cluster.ConnectedComponents
+      .incremental(baseAssign, edgesOf(deltaTr))
+      .select(col("node").as("entity"), col("component"))
+  }
+
+  /** Same oracle as kg_components on purpose: base-split ∪ delta-split
+    * triples = the full triple set, and the incremental result must be
+    * row-identical to the from-scratch fixpoint over it.
+    */
+  val kgCcIncrementalSql: String = kgComponentsSql
+
   /** Centrality — 5-iteration integer PageRank over the collapsed edge
     * set (Analytics.pageRank). The oracle unrolls the identical
     * fixed-point update as generated CTEs r1..r5 — same integer-division
@@ -1262,6 +1293,7 @@ object Queries {
     "kg_cluster_map" -> kgClusterMap,
     "kg_cluster_rewrite" -> kgClusterRewrite,
     "kg_components" -> kgComponents,
+    "kg_cc_incremental" -> kgCcIncremental,
     "kg_pagerank" -> kgPageRank,
     "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
@@ -1319,6 +1351,7 @@ object Queries {
     "kg_cluster_map" -> kgClusterMapSql,
     "kg_cluster_rewrite" -> kgClusterRewriteSql,
     "kg_components" -> kgComponentsSql,
+    "kg_cc_incremental" -> kgCcIncrementalSql,
     "kg_pagerank" -> kgPageRankSql,
     "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,

@@ -304,4 +304,32 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     assert(unsalted.contains(("lone", "lone")))
     assert(byComponent.exists(c => c._2.map(_._1) == Set("c0", "c1", "c2", "c3")))
   }
+
+  test("incremental components equal a from-scratch run over base+delta") {
+    import spark.implicits._
+    def cc(edges: Seq[(String, String)], extraNodes: Seq[String] = Nil) = {
+      val nodes = (edges.flatMap(e => Seq(e._1, e._2)) ++ extraNodes).distinct.toDF("node")
+      ConnectedComponents.run(edges.toDF("src", "dst"), nodes)
+    }
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.as[(String, String)].collect().toSet
+    // base: three components {a*}, {b*}, {z} (z isolated via extraNodes)
+    val base = Seq(("a1", "a2"), ("a2", "a3"), ("b1", "b2"))
+    val baseAssign = cc(base, extraNodes = Seq("z"))
+    // delta exercises every case at once: merges the a- and b-components
+    // (b2->a3), attaches a brand-new chain (n1,n2) to z, a delta-only
+    // island (m1,m2), a re-sent base edge (a1,a2 -> contracted
+    // self-loop), and an intra-component edge (b1->b2)
+    val delta = Seq(("b2", "a3"), ("z", "n1"), ("n1", "n2"), ("m1", "m2"), ("a1", "a2"), ("b1", "b2"))
+    val incr = asSet(ConnectedComponents.incremental(baseAssign, delta.toDF("src", "dst")))
+    val scratch = asSet(cc(base ++ delta))
+    assert(incr == scratch, s"incr-only: ${(incr -- scratch).take(5)}; scratch-only: ${(scratch -- incr).take(5)}")
+    // the merged a/b component carries the global min member as label
+    assert(incr.contains(("b1", "a1")) && incr.contains(("a3", "a1")))
+    // formerly-isolated z merged with the delta-only chain
+    assert(incr.contains(("n2", "n1")) && incr.contains(("z", "n1")))
+    // empty delta: assignment passes through unchanged
+    val empty = spark.emptyDataset[(String, String)].toDF("src", "dst")
+    assert(asSet(ConnectedComponents.incremental(baseAssign, empty)) == asSet(baseAssign))
+  }
 }
