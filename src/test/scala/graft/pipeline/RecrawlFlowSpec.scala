@@ -53,5 +53,34 @@ class RecrawlFlowSpec extends AnyFunSuite with SparkTestBase {
     val v2set = v2.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(diff.map(t => (t._1, t._2, t._3)).toSet == (v2set -- v1set))
     assert(diff.nonEmpty, "kept delta contributed no new triples — weak test")
+
+    // components maintain incrementally off the SAME committed state:
+    // v1's (node, component) assignment is a snapshot artifact, and the
+    // diff's added edges fold in via ConnectedComponents.incremental —
+    // base edges never re-read — landing exactly where a from-scratch
+    // run over v2 lands
+    import graft.cluster.ConnectedComponents
+    def edgesOf(tr: org.apache.spark.sql.DataFrame) =
+      tr.select(col("subject").as("src"), col("obj").as("dst"))
+    def nodesOf(tr: org.apache.spark.sql.DataFrame) =
+      tr.select(col("subject").as("node"))
+        .union(tr.select(col("obj").as("node")))
+        .distinct()
+    table.commit(ConnectedComponents.run(edgesOf(v1), nodesOf(v1)), "cc_assign", "v1")
+    val addedEdges = GraphDiff
+      .triples(v1, v2)
+      .where(col("change") === "added")
+      .select(col("subject").as("src"), col("obj").as("dst"))
+    val incr = ConnectedComponents
+      .incremental(table.read("cc_assign", "v1"), addedEdges)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val scratch = ConnectedComponents
+      .run(edgesOf(v2), nodesOf(v2))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(incr == scratch, s"incr-only: ${(incr -- scratch).take(5)}; scratch-only: ${(scratch -- incr).take(5)}")
   }
 }
