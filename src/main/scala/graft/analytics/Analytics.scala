@@ -734,6 +734,116 @@ object Analytics {
       .select("subject", "predicate", "obj", "neg_obj")
   }
 
+  /** HITS hubs & authorities — the classic webgraph mutual-reinforcement
+    * fixed point (Kleinberg, "Authoritative sources in a hyperlinked
+    * environment", JACM 1999) over the distinct directed edge set:
+    *   auth(v) ∝ Σ_{(u,v)∈E} hub(u),   hub(u) ∝ Σ_{(u,v)∈E} auth(v),
+    * run for `iterations` rounds with L∞ (max) normalization in integer
+    * micro-units — score' = (1,000,000 * raw) div max(raw) — so the
+    * DuckDB oracle's unrolled CTEs reproduce the arithmetic bit-for-bit
+    * (no float L2 norm to drift). Nodes with no in-edges score auth 0,
+    * no out-edges hub 0. Output: (entity, auth_micro, hub_micro) for
+    * every edge endpoint.
+    *
+    * Shape at scale: each round is two partial-aggregated shuffles over
+    * the staged edge set (sum of hub by obj, then sum of auth by
+    * subject) plus a 1-row global max crossJoined back — the same cost
+    * profile per round as pageRank. Every intermediate score table is
+    * checkpoint-staged (Materialize policy): each raw table feeds BOTH
+    * its own max and the normalized join, and each normalized table
+    * feeds BOTH the next half-round's sum and the final join, so without
+    * staging the lineage forks 4× per round and replay cost grows 4^i.
+    */
+  def hits(triples: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = prEdges(triples)
+    val nodes = edgeNodes(edges)
+    // (entity, raw) -> (entity, <name>) over ALL nodes, max-normalized
+    def renorm(raw: DataFrame, name: String): DataFrame = {
+      val staged = graft.util.Materialize.stage(raw)
+      val mx = staged.agg(greatest(coalesce(max(col("raw")), lit(1L)), lit(1L)).as("mx"))
+      graft.util.Materialize.stage(
+        nodes
+          .join(staged, Seq("entity"), "left")
+          .crossJoin(mx)
+          .select(col("entity"), expr("(1000000 * coalesce(raw, 0L)) div mx").as(name))
+      )
+    }
+    var hub = graft.util.Materialize.stage(
+      nodes.select(col("entity"), lit(1000000L).as("hub_micro"))
+    )
+    var auth = nodes.select(col("entity"), lit(0L).as("auth_micro"))
+    for (_ <- 1 to iterations) {
+      val araw = edges
+        .join(hub.withColumnRenamed("entity", "subject"), "subject")
+        .select(col("obj").as("entity"), col("hub_micro"))
+        .groupBy("entity")
+        .agg(sum("hub_micro").as("raw"))
+      auth = renorm(araw, "auth_micro")
+      val hraw = edges
+        .join(auth.withColumnRenamed("entity", "obj"), "obj")
+        .select(col("subject").as("entity"), col("auth_micro"))
+        .groupBy("entity")
+        .agg(sum("auth_micro").as("raw"))
+      hub = renorm(hraw, "hub_micro")
+    }
+    auth.join(hub, "entity")
+  }
+
+  /** Entity co-occurrence strength — for every unordered entity pair
+    * (a < b) mentioned together in ≥ `minSupport` documents, the
+    * integer-milli PMI lift 1000 * N * c_ab div (c_a * c_b), where N is
+    * the corpus size and c_* are mention document frequencies
+    * (lift > 1000 ⇔ positive pointwise mutual information — the pair
+    * co-occurs more than independence predicts). The classic
+    * distributional signal for KG edge weighting and synonym-candidate
+    * mining — the statistical channel complementing SURVEY §2.5's
+    * string-similarity blocking.
+    *
+    * Shape at scale: pair generation is a self-join of the per-document
+    * mention set on doc_id — Σ_docs k² pairs for k entities per
+    * document, bounded by document length, never corpus-quadratic. The
+    * hub guard `dfCapPermille` drops entities present in more than that
+    * permille fraction of the corpus BEFORE the self-join: a
+    * stopword-grade entity co-occurs with everything (zero PMI signal,
+    * maximal fan-out) — the same policy as sourceOverlapCapped's
+    * hot-gram cap. 1000 disables the cap; the registry runs uncapped
+    * because this corpus's tiny synthetic vocabulary is all-hub by
+    * construction (every entity is in ~78% of docs) — HitsCoocSpec's hub
+    * fixture exercises the capped path. The mention table is staged once
+    * (it feeds the df aggregate and both self-join sides).
+    */
+  def coocLift(docs: DataFrame, minSupport: Long = 2L, dfCapPermille: Int = 1000): DataFrame = {
+    val m = graft.util.Materialize.stage(graft.extract.TokenRules.mentions(docs))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val df = m.groupBy("entity").agg(count(lit(1)).as("df"))
+    val kept = m
+      .join(df, "entity")
+      .crossJoin(n)
+      .where(lit(1000L) * col("df") <= lit(dfCapPermille.toLong) * col("n_docs"))
+    kept
+      .as("x")
+      .join(
+        kept.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.entity") < col("y.entity")
+      )
+      .select(
+        col("x.entity").as("entity_a"),
+        col("y.entity").as("entity_b"),
+        col("x.df").as("df_a"),
+        col("y.df").as("df_b"),
+        col("x.n_docs").as("n_docs")
+      )
+      .groupBy("entity_a", "entity_b", "df_a", "df_b", "n_docs")
+      .agg(count(lit(1)).as("pair_docs"))
+      .where(col("pair_docs") >= minSupport)
+      .select(
+        col("entity_a"),
+        col("entity_b"),
+        col("pair_docs"),
+        expr("(1000 * n_docs * pair_docs) div (df_a * df_b)").as("lift_milli")
+      )
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

@@ -823,6 +823,55 @@ object TextAnalysis {
       )
   }
 
+  /** Per-source boilerplate segments — fixed-span token segments (the
+    * same segmentation rule as [[lineDedup]], shorter default span) that
+    * repeat across ≥ `minDocs` DISTINCT documents of one source: the
+    * batch analog of template/navigation-chrome detection in web-crawl
+    * cleaning (a line appearing on many pages of one site is site
+    * furniture, not content — the within-site counterpart of
+    * [[dupGramFraction]]'s corpus-global signal). Output per qualifying
+    * (source, segment): (source, seg, n_docs, doc_permille) where
+    * doc_permille = 1000 * n_docs div (documents in that source) — the
+    * caller's removal threshold operates on that coverage fraction.
+    *
+    * Shape at scale: segments are built narrowly inside the scan
+    * projection (non-overlapping spans — no quadratic gram explode),
+    * deduped to (source, seg, doc_id), then counted with a
+    * partial-aggregated groupBy, so a segment stamped on a billion pages
+    * combines map-side instead of flooding one reducer. The per-source
+    * doc count is a tiny aggregate joined back (AQE broadcasts it). One
+    * data-sized exchange total.
+    */
+  def boilerplate(docs: DataFrame, span: Int = 6, minDocs: Long = 2L): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), col("source"), TokenRules.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(
+          expr(
+            s"transform(sequence(0, CAST(ceil(size(toks) / ${span}.0) AS INT) - 1), " +
+              s"i -> array_join(slice(toks, i * $span + 1, $span), ' '))"
+          )
+        ).as("seg")
+      )
+      .select("source", "seg", "doc_id")
+      .distinct()
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("src_docs"))
+    segs
+      .groupBy("source", "seg")
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .join(perSource, "source")
+      .select(
+        col("source"),
+        col("seg"),
+        col("n_docs"),
+        expr("(1000 * n_docs) div src_docs").as("doc_permille")
+      )
+  }
+
   /** Cross-document duplication signal (the "how much of this document
     * exists elsewhere in the corpus" cut rule from exact-substring
     * training-data dedup): per document, the fraction — in ppm — of its

@@ -578,6 +578,25 @@ object OpsQueries {
       "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS text_clean " +
       "FROM k GROUP BY doc_id"
 
+  val textBoilerplate: Q = (s, dir) => TextAnalysis.boilerplate(docs(s, dir))
+
+  /** Same segmentation + per-source repeat rule; DuckDB's range() is
+    * end-exclusive and its list slice is 1-based-inclusive, mirroring
+    * the Spark side's sequence/slice exactly (the lineDedup oracle
+    * already locks this correspondence).
+    */
+  val textBoilerplateSql: String =
+    s"WITH $toksCte, " +
+      "segs AS (SELECT DISTINCT source, seg, doc_id FROM (SELECT doc_id, source, " +
+      "unnest(list_transform(range(0, CAST(ceil(len(toks) / 6.0) AS BIGINT)), " +
+      "i -> array_to_string(toks[(i*6+1):(i*6+6)], ' '))) AS seg " +
+      "FROM tk WHERE len(toks) > 0)), " +
+      "sd AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs FROM documents GROUP BY source), " +
+      "f AS (SELECT source, seg, CAST(count(*) AS BIGINT) AS n_docs FROM segs GROUP BY source, seg) " +
+      "SELECT f.source, f.seg, f.n_docs, " +
+      "CAST((1000 * f.n_docs) // sd.src_docs AS BIGINT) AS doc_permille " +
+      "FROM f JOIN sd USING (source) WHERE f.n_docs >= 2"
+
   val dupGrams: Q = (s, dir) => TextAnalysis.dupGramFraction(docs(s, dir))
 
   val dupGramsSql: String = {
@@ -1196,6 +1215,7 @@ object OpsQueries {
     "source_drift" -> sourceDrift,
     "text_fingerprints" -> textFingerprints,
     "line_dedup" -> lineDedup,
+    "text_boilerplate" -> textBoilerplate,
     "dup_grams" -> dupGrams,
     "text_bm25" -> textBm25,
     "text_rank_fusion" -> textRankFusion,
@@ -1261,6 +1281,7 @@ object OpsQueries {
     "source_drift" -> sourceDriftSql,
     "text_fingerprints" -> textFingerprintsSql,
     "line_dedup" -> lineDedupSql,
+    "text_boilerplate" -> textBoilerplateSql,
     "dup_grams" -> dupGramsSql,
     "text_bm25" -> textBm25Sql,
     "text_rank_fusion" -> textRankFusionSql,

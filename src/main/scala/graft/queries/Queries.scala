@@ -709,6 +709,67 @@ object Queries {
       s"SELECT entity, rank_micro FROM r$prIterations"
   }
 
+  /** HITS hubs & authorities (Analytics.hits) — 5 iterations of the
+    * integer mutual-reinforcement fixed point with L∞ normalization.
+    * The oracle unrolls the identical rounds as MATERIALIZED CTEs (each
+    * round's tables are referenced twice — same reason kgKcoreSql
+    * materializes); the scalar max subqueries mirror the Spark side's
+    * 1-row crossJoin, so the hash compare is exact integer arithmetic.
+    */
+  private val hitsIterations = 5
+
+  val kgHits: Q = (s, dir) =>
+    Analytics.hits(triples(s, dir), hitsIterations)
+
+  val kgHitsSql: String = {
+    val base =
+      ", ed AS MATERIALIZED (SELECT DISTINCT subject, obj FROM tr), " +
+        "nodes AS MATERIALIZED (SELECT subject AS entity FROM ed UNION SELECT obj FROM ed), " +
+        "h0 AS (SELECT entity, CAST(1000000 AS BIGINT) AS s FROM nodes)"
+    def norm(out: String, raw: String) =
+      s"$out AS MATERIALIZED (SELECT n.entity, CAST((1000000 * coalesce(r.raw, 0)) " +
+        s"// greatest(coalesce((SELECT max(raw) FROM $raw), 1), 1) AS BIGINT) AS s " +
+        s"FROM nodes n LEFT JOIN $raw r ON r.entity = n.entity)"
+    val iters = (1 to hitsIterations).map { i =>
+      s"ar$i AS MATERIALIZED (SELECT ed.obj AS entity, CAST(sum(h.s) AS BIGINT) AS raw " +
+        s"FROM ed JOIN h${i - 1} h ON h.entity = ed.subject GROUP BY ed.obj), " +
+        norm(s"a$i", s"ar$i") + ", " +
+        s"hr$i AS MATERIALIZED (SELECT ed.subject AS entity, CAST(sum(a.s) AS BIGINT) AS raw " +
+        s"FROM ed JOIN a$i a ON a.entity = ed.obj GROUP BY ed.subject), " +
+        norm(s"h$i", s"hr$i")
+    }.mkString(", ", ", ", " ")
+    TokenRules.Sql.withTriples + base + iters +
+      s"SELECT a.entity, a.s AS auth_micro, h.s AS hub_micro " +
+      s"FROM a$hitsIterations a JOIN h$hitsIterations h ON h.entity = a.entity"
+  }
+
+  /** Entity co-occurrence PMI lift (Analytics.coocLift) — pairs
+    * co-mentioned in ≥ 2 documents, scored 1000·N·c_ab div (c_a·c_b).
+    * Registered with the hub df-cap disabled: this corpus's synthetic
+    * vocabulary is all-hub (24 entities, each in ~78% of docs), so any
+    * meaningful cap empties the result; the capped guard path is
+    * exercised by HitsCoocSpec's hub fixture.
+    */
+  private val coocMinSupport = 2L
+
+  val kgCooc: Q = (s, dir) =>
+    Analytics.coocLift(docs(s, dir), coocMinSupport, dfCapPermille = 1000)
+
+  val kgCoocSql: String =
+    s"WITH t AS (${TokenRules.Sql.toksCte}), " +
+      "m0 AS (SELECT DISTINCT doc_id, unnest(toks) AS entity FROM t), " +
+      s"me AS (SELECT doc_id, entity FROM m0 WHERE length(entity) >= ${TokenRules.MinEntityLen}), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), " +
+      "df AS (SELECT entity, CAST(count(*) AS BIGINT) AS df FROM me GROUP BY entity), " +
+      "kept AS (SELECT me.doc_id, me.entity, df.df FROM me JOIN df USING (entity) " +
+      "WHERE 1000 * df.df <= 1000 * (SELECT n_docs FROM n)), " +
+      "p AS (SELECT x.entity AS entity_a, y.entity AS entity_b, x.df AS df_a, y.df AS df_b, " +
+      "CAST(count(*) AS BIGINT) AS pair_docs FROM kept x JOIN kept y " +
+      "ON x.doc_id = y.doc_id AND x.entity < y.entity GROUP BY 1, 2, 3, 4) " +
+      "SELECT entity_a, entity_b, pair_docs, " +
+      "CAST((1000 * (SELECT n_docs FROM n) * pair_docs) // (df_a * df_b) AS BIGINT) AS lift_milli " +
+      s"FROM p WHERE pair_docs >= $coocMinSupport"
+
   /** Per-entity triangle counts (Analytics.triangleCounts) — the oracle
     * replays the identical degree-ordered orientation, wedge join and
     * closing-edge EXISTS, so each triangle is found exactly once.
@@ -1295,6 +1356,8 @@ object Queries {
     "kg_components" -> kgComponents,
     "kg_cc_incremental" -> kgCcIncremental,
     "kg_pagerank" -> kgPageRank,
+    "kg_hits" -> kgHits,
+    "kg_cooc" -> kgCooc,
     "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
@@ -1353,6 +1416,8 @@ object Queries {
     "kg_components" -> kgComponentsSql,
     "kg_cc_incremental" -> kgCcIncrementalSql,
     "kg_pagerank" -> kgPageRankSql,
+    "kg_hits" -> kgHitsSql,
+    "kg_cooc" -> kgCoocSql,
     "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
