@@ -748,29 +748,36 @@ object Analytics {
     * Shape at scale: each round is two partial-aggregated shuffles over
     * the staged edge set (sum of hub by obj, then sum of auth by
     * subject) plus a 1-row global max crossJoined back — the same cost
-    * profile per round as pageRank. Every intermediate score table is
-    * checkpoint-staged (Materialize policy): each raw table feeds BOTH
-    * its own max and the normalized join, and each normalized table
-    * feeds BOTH the next half-round's sum and the final join, so without
-    * staging the lineage forks 4× per round and replay cost grows 4^i.
+    * profile per round as pageRank. Each half-round's NORMALIZED score
+    * table is checkpoint-staged (Materialize policy — iterative
+    * subtrees never replay lineage): the raw-sum tables feed both their
+    * global max and the value join, so without staging the logical tree
+    * doubles per half-round and replay compounds geometrically
+    * (measured at sf0.1: the no-staging single-action form is ~15×
+    * slower — exchange reuse does not collapse the forks once AQE
+    * re-plans each copy — and staging once per full round instead is
+    * ~1.5× slower: the ≤4 duplicated join/agg subtrees inside the wider
+    * stage job cost more than the stage jobs saved). Within one stage
+    * job the only duplication left is the raw sum's two references —
+    * bounded 2×, node-sized, post-checkpoint.
     */
   def hits(triples: DataFrame, iterations: Int = 5): DataFrame = {
     val edges = prEdges(triples)
-    val nodes = edgeNodes(edges)
+    // staged: every half-round's normalization job left-joins the node
+    // set — without staging, each of the 2·iterations stage jobs
+    // re-runs the union + distinct over the edge checkpoint
+    val nodes = graft.util.Materialize.stage(edgeNodes(edges))
     // (entity, raw) -> (entity, <name>) over ALL nodes, max-normalized
     def renorm(raw: DataFrame, name: String): DataFrame = {
-      val staged = graft.util.Materialize.stage(raw)
-      val mx = staged.agg(greatest(coalesce(max(col("raw")), lit(1L)), lit(1L)).as("mx"))
+      val mx = raw.agg(greatest(coalesce(max(col("raw")), lit(1L)), lit(1L)).as("mx"))
       graft.util.Materialize.stage(
         nodes
-          .join(staged, Seq("entity"), "left")
+          .join(raw, Seq("entity"), "left")
           .crossJoin(mx)
           .select(col("entity"), expr("(1000000 * coalesce(raw, 0L)) div mx").as(name))
       )
     }
-    var hub = graft.util.Materialize.stage(
-      nodes.select(col("entity"), lit(1000000L).as("hub_micro"))
-    )
+    var hub = nodes.select(col("entity"), lit(1000000L).as("hub_micro"))
     var auth = nodes.select(col("entity"), lit(0L).as("auth_micro"))
     for (_ <- 1 to iterations) {
       val araw = edges
@@ -843,6 +850,47 @@ object Analytics {
         expr("(1000 * n_docs * pair_docs) div (df_a * df_b)").as("lift_milli")
       )
   }
+
+  /** Per-predicate schema profile — the cardinality/functionality audit
+    * run before trusting extracted relations: for each predicate,
+    * triple count, distinct subject and object counts, and the average
+    * fan-outs in integer milli (objects per subject, subjects per
+    * object). fanout_milli ≈ 1000 means the predicate is functional
+    * (one object per subject — safe to treat as an attribute);
+    * large values flag hub predicates that need the skew guards.
+    *
+    * Shape at scale: one multi-distinct aggregate per predicate key —
+    * Spark plans it as an Expand + two-level partial aggregate, so it
+    * remains map-side combinable; no joins, no windows.
+    */
+  def predicateProfile(triples: DataFrame): DataFrame =
+    triples
+      .groupBy("predicate")
+      .agg(
+        count(lit(1)).as("n_triples"),
+        countDistinct(col("subject")).as("n_subj"),
+        countDistinct(col("obj")).as("n_obj")
+      )
+      .select(
+        col("predicate"),
+        col("n_triples"),
+        col("n_subj"),
+        col("n_obj"),
+        expr("(1000 * n_triples) div n_subj").as("fanout_milli"),
+        expr("(1000 * n_triples) div n_obj").as("inv_fanout_milli")
+      )
+
+  /** Functional-conflict detection — (subject, predicate) pairs bound to
+    * ≥ `minObjects` distinct objects: for predicates expected to be
+    * functional (one value per subject), each such row is a candidate
+    * extraction error or entity-resolution miss to route into the
+    * clustering stage. One partial-aggregated groupBy, no joins.
+    */
+  def functionalConflicts(triples: DataFrame, minObjects: Long = 2L): DataFrame =
+    triples
+      .groupBy("subject", "predicate")
+      .agg(countDistinct(col("obj")).as("n_objs"))
+      .where(col("n_objs") >= minObjects)
 
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string

@@ -770,6 +770,34 @@ object Queries {
       "CAST((1000 * (SELECT n_docs FROM n) * pair_docs) // (df_a * df_b) AS BIGINT) AS lift_milli " +
       s"FROM p WHERE pair_docs >= $coocMinSupport"
 
+  /** Per-predicate schema profile (Analytics.predicateProfile) —
+    * cardinalities + integer-milli fan-outs; the relation-quality audit
+    * table. Triples are distinct by construction on both sides, so the
+    * counts agree exactly.
+    */
+  val kgSchemaStats: Q = (s, dir) =>
+    Analytics.predicateProfile(triples(s, dir))
+
+  val kgSchemaStatsSql: String =
+    TokenRules.Sql.withTriples +
+      ", g AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_triples, " +
+      "CAST(count(DISTINCT subject) AS BIGINT) AS n_subj, " +
+      "CAST(count(DISTINCT obj) AS BIGINT) AS n_obj FROM tr GROUP BY predicate) " +
+      "SELECT predicate, n_triples, n_subj, n_obj, " +
+      "CAST((1000 * n_triples) // n_subj AS BIGINT) AS fanout_milli, " +
+      "CAST((1000 * n_triples) // n_obj AS BIGINT) AS inv_fanout_milli FROM g"
+
+  /** Functional-conflict rows (Analytics.functionalConflicts) —
+    * (subject, predicate) bound to ≥ 2 distinct objects.
+    */
+  val kgConflicts: Q = (s, dir) =>
+    Analytics.functionalConflicts(triples(s, dir))
+
+  val kgConflictsSql: String =
+    TokenRules.Sql.withTriples +
+      "SELECT subject, predicate, CAST(count(DISTINCT obj) AS BIGINT) AS n_objs " +
+      "FROM tr GROUP BY subject, predicate HAVING count(DISTINCT obj) >= 2"
+
   /** Per-entity triangle counts (Analytics.triangleCounts) — the oracle
     * replays the identical degree-ordered orientation, wedge join and
     * closing-edge EXISTS, so each triangle is found exactly once.
@@ -1358,6 +1386,8 @@ object Queries {
     "kg_pagerank" -> kgPageRank,
     "kg_hits" -> kgHits,
     "kg_cooc" -> kgCooc,
+    "kg_schema_stats" -> kgSchemaStats,
+    "kg_conflicts" -> kgConflicts,
     "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
@@ -1418,6 +1448,8 @@ object Queries {
     "kg_pagerank" -> kgPageRankSql,
     "kg_hits" -> kgHitsSql,
     "kg_cooc" -> kgCoocSql,
+    "kg_schema_stats" -> kgSchemaStatsSql,
+    "kg_conflicts" -> kgConflictsSql,
     "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,

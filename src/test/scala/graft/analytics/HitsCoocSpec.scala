@@ -68,6 +68,33 @@ class HitsCoocSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("bbbb", "cccc", 2L, 2000L)))
   }
 
+  test("predicateProfile: exact cardinalities and integer fan-outs") {
+    // p1: s1->o1, s1->o2, s2->o1  => 3 triples, 2 subj, 2 obj,
+    // fanout 1500 milli, inv 1500; p2 functional: 1 triple, 1000/1000
+    val tr = triplesDf(
+      ("s1", "p1", "o1"), ("s1", "p1", "o2"), ("s2", "p1", "o1"),
+      ("s3", "p2", "o3")
+    )
+    val got = Analytics.predicateProfile(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      ("p1", 3L, 2L, 2L, 1500L, 1500L),
+      ("p2", 1L, 1L, 1L, 1000L, 1000L)
+    ))
+  }
+
+  test("functionalConflicts: only multi-object (subject, predicate) pairs surface") {
+    val tr = triplesDf(
+      ("s1", "p1", "o1"), ("s1", "p1", "o2"), ("s1", "p1", "o2"), // dup obj counts once
+      ("s2", "p1", "o1"), // functional — excluded
+      ("s1", "p2", "o9") // functional — excluded
+    )
+    val got = Analytics.functionalConflicts(tr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("s1", "p1", 2L)))
+  }
+
   test("coocLift: df cap drops stopword-grade hubs before the pair join") {
     // "hubx" is in every doc (df 1000 permille): with the cap at 600 it
     // is excluded BEFORE pair generation, leaving only the bbbb/cccc
