@@ -838,9 +838,10 @@ object TextAnalysis {
     * projection (non-overlapping spans — no quadratic gram explode),
     * deduped to (source, seg, doc_id), then counted with a
     * partial-aggregated groupBy, so a segment stamped on a billion pages
-    * combines map-side instead of flooding one reducer. The per-source
-    * doc count is a tiny aggregate joined back (AQE broadcasts it). One
-    * data-sized exchange total.
+    * combines map-side instead of flooding one reducer. The dedup is
+    * the only full-data exchange; the per-(source, seg) count
+    * re-shuffles already-deduped rows, and the per-source doc count is
+    * a tiny aggregate joined back (AQE broadcasts it).
     */
   def boilerplate(docs: DataFrame, span: Int = 6, minDocs: Long = 2L): DataFrame = {
     val segs = docs

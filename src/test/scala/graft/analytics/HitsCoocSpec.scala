@@ -68,6 +68,49 @@ class HitsCoocSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("bbbb", "cccc", 2L, 2000L)))
   }
 
+  test("hits: equals a driver-side replay of the integer fixed point on random graphs") {
+    val nodeGen = org.scalacheck.Gen.oneOf("na", "nb", "nc", "nd", "ne", "nf")
+    val edgeGen = for { a <- nodeGen; b <- nodeGen } yield (a, "r", b)
+    val gen = org.scalacheck.Gen.nonEmptyListOf(edgeGen).map(_.take(12))
+    new graft.GenSampling {}.forAllSamples(gen, n = 8) { rows =>
+      val ed = rows.map { case (a, _, b) => (a, b) }.distinct
+      val nodes = (ed.map(_._1) ++ ed.map(_._2)).distinct.sorted
+      // driver replay of the exact arithmetic (L-inf integer norm)
+      var hub = nodes.map(_ -> 1000000L).toMap
+      var auth = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to 3) {
+        val araw = ed.groupBy(_._2).map { case (v, es) => v -> es.map(e => hub(e._1)).sum }
+        val amax = math.max(if (araw.isEmpty) 1L else araw.values.max, 1L)
+        auth = nodes.map(v => v -> (1000000L * araw.getOrElse(v, 0L)) / amax).toMap
+        val hraw = ed.groupBy(_._1).map { case (u, es) => u -> es.map(e => auth(e._2)).sum }
+        val hmax = math.max(if (hraw.isEmpty) 1L else hraw.values.max, 1L)
+        hub = nodes.map(v => v -> (1000000L * hraw.getOrElse(v, 0L)) / hmax).toMap
+      }
+      val got = Analytics.hits(triplesDf(rows: _*), iterations = 3).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == nodes.map(v => v -> ((auth(v), hub(v)))).toMap)
+    }
+  }
+
+  test("coocLift: pair support never exceeds either side's document frequency") {
+    val tokGen = org.scalacheck.Gen.oneOf("aaaa", "bbbb", "cccc", "dddd", "eeee")
+    val docGen = org.scalacheck.Gen.nonEmptyListOf(tokGen).map(_.take(6).mkString(" "))
+    val gen = org.scalacheck.Gen.nonEmptyListOf(docGen).map(_.take(8))
+    new graft.GenSampling {}.forAllSamples(gen, n = 6) { texts =>
+      val d = docsDf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      val df = texts.zipWithIndex
+        .flatMap { case (t, i) => t.split(" ").distinct.map(_ -> i) }
+        .groupBy(_._1).map { case (e, xs) => e -> xs.size.toLong }
+      val n = texts.size.toLong
+      Analytics.coocLift(d, minSupport = 1L, dfCapPermille = 1000).collect().foreach { r =>
+        val (a, b, pd, lift) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+        assert(a < b, "pair not ordered")
+        assert(pd <= math.min(df(a), df(b)), "support exceeds a side's df")
+        assert(lift == (1000L * n * pd) / (df(a) * df(b)), "lift arithmetic")
+      }
+    }
+  }
+
   test("predicateProfile: exact cardinalities and integer fan-outs") {
     // p1: s1->o1, s1->o2, s2->o1  => 3 triples, 2 subj, 2 obj,
     // fanout 1500 milli, inv 1500; p2 functional: 1 triple, 1000/1000
