@@ -82,5 +82,21 @@ class RecrawlFlowSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getString(1)))
       .toSet
     assert(incr == scratch, s"incr-only: ${(incr -- scratch).take(5)}; scratch-only: ${(scratch -- incr).take(5)}")
+
+    // relation-quality audit over the recrawl: this crawl only ADDS
+    // triples, so functional conflicts are monotone — every v1 conflict
+    // row survives in v2 with n_objs no smaller — and the v2 profile's
+    // triple counts must sum to the v2 graph exactly
+    import graft.analytics.Analytics
+    def conflictMap(tr: org.apache.spark.sql.DataFrame) =
+      Analytics.functionalConflicts(tr).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = conflictMap(v1)
+    val c2 = conflictMap(v2)
+    assert(c1.forall { case (k, n) => c2.getOrElse(k, 0L) >= n },
+      "a grow-only recrawl lost a functional conflict")
+    val profiled = Analytics.predicateProfile(v2)
+      .agg(sum(col("n_triples"))).collect()(0).getLong(0)
+    assert(profiled == v2.count(), "profile triple counts must partition the graph")
   }
 }
