@@ -774,7 +774,7 @@ object Analytics {
         nodes
           .join(raw, Seq("entity"), "left")
           .crossJoin(mx)
-          .select(col("entity"), expr("(1000000 * coalesce(raw, 0L)) div mx").as(name))
+          .select(col("entity"), hitsNormExpr.as(name))
       )
     }
     var hub = nodes.select(col("entity"), lit(1000000L).as("hub_micro"))
@@ -795,6 +795,17 @@ object Analytics {
     }
     auth.join(hub, "entity")
   }
+
+  /** The HITS max-normalization over (raw, mx) columns: 1,000,000·raw
+    * div mx, with the multiply widened to DECIMAL(38,0) — raw is up to
+    * 1e6 · max-degree, so a plain Long multiply by 1e6 wraps silently
+    * for in-degrees above ~9.2e6 (routine on a webgraph). The 128-bit
+    * intermediate keeps the quotient exact and ≤ 1e6, so the BIGINT
+    * result is identical to the oracle's HUGEINT arithmetic. (The raw
+    * SUM itself stays in Long — safe to degree ~9.2e12.)
+    */
+  private[analytics] val hitsNormExpr =
+    expr("CAST((CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * 1000000) DIV mx AS BIGINT)")
 
   /** Entity co-occurrence strength — for every unordered entity pair
     * (a < b) mentioned together in ≥ `minSupport` documents, the
@@ -823,10 +834,13 @@ object Analytics {
     val m = graft.util.Materialize.stage(graft.extract.TokenRules.mentions(docs))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val df = m.groupBy("entity").agg(count(lit(1)).as("df"))
-    val kept = m
-      .join(df, "entity")
-      .crossJoin(n)
-      .where(lit(1000L) * col("df") <= lit(dfCapPermille.toLong) * col("n_docs"))
+    // staged: both self-join sides read it — unstaged, the df aggregate
+    // (a full-mention-table exchange) would execute once per side
+    val kept = graft.util.Materialize.stage(
+      m.join(df, "entity")
+        .crossJoin(n)
+        .where(lit(1000L) * col("df") <= lit(dfCapPermille.toLong) * col("n_docs"))
+    )
     kept
       .as("x")
       .join(
@@ -847,9 +861,21 @@ object Analytics {
         col("entity_a"),
         col("entity_b"),
         col("pair_docs"),
-        expr("(1000 * n_docs * pair_docs) div (df_a * df_b)").as("lift_milli")
+        coocLiftExpr.as("lift_milli")
       )
   }
+
+  /** The PMI-lift score over (n_docs, pair_docs, df_a, df_b) columns,
+    * widened to DECIMAL(38,0): 1000 · N · c_ab is up to ~1e21 at
+    * billion-document corpora — past Long — while the exact quotient is
+    * bounded by 1000 · N / c_ab and fits BIGINT wherever the query is
+    * meaningful. Matches the oracle's HUGEINT arithmetic exactly.
+    */
+  private[analytics] val coocLiftExpr =
+    expr(
+      "CAST((CAST(n_docs AS DECIMAL(38,0)) * 1000 * pair_docs) " +
+        "DIV (CAST(df_a AS DECIMAL(38,0)) * df_b) AS BIGINT)"
+    )
 
   /** Per-predicate schema profile — the cardinality/functionality audit
     * run before trusting extracted relations: for each predicate,

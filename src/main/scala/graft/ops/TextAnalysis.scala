@@ -793,12 +793,7 @@ object TextAnalysis {
         .where(size(col("toks")) > 0)
         .select(
           col("doc_id"),
-          posexplode(
-            expr(
-              s"transform(sequence(0, CAST(ceil(size(toks) / ${span}.0) AS INT) - 1), " +
-                s"i -> array_join(slice(toks, i * $span + 1, $span), ' '))"
-            )
-          ).as(Seq("seg_idx", "seg"))
+          posexplode(segmentArray(span)).as(Seq("seg_idx", "seg"))
         )
         .withColumn("seg_idx", col("seg_idx").cast("long"))
     )
@@ -843,20 +838,22 @@ object TextAnalysis {
     * re-shuffles already-deduped rows, and the per-source doc count is
     * a tiny aggregate joined back (AQE broadcasts it).
     */
+  /** Non-overlapping `span`-token segments of the `toks` array column —
+    * the ONE segmentation rule shared by [[lineDedup]] and
+    * [[boilerplate]] (and locked against the DuckDB oracles of both):
+    * editing it here updates every consumer together.
+    */
+  private def segmentArray(span: Int) =
+    expr(
+      s"transform(sequence(0, CAST(ceil(size(toks) / ${span}.0) AS INT) - 1), " +
+        s"i -> array_join(slice(toks, i * $span + 1, $span), ' '))"
+    )
+
   def boilerplate(docs: DataFrame, span: Int = 6, minDocs: Long = 2L): DataFrame = {
     val segs = docs
       .select(col("doc_id"), col("source"), TokenRules.tokens(col("text")).as("toks"))
       .where(size(col("toks")) > 0)
-      .select(
-        col("doc_id"),
-        col("source"),
-        explode(
-          expr(
-            s"transform(sequence(0, CAST(ceil(size(toks) / ${span}.0) AS INT) - 1), " +
-              s"i -> array_join(slice(toks, i * $span + 1, $span), ' '))"
-          )
-        ).as("seg")
-      )
+      .select(col("doc_id"), col("source"), explode(segmentArray(span)).as("seg"))
       .select("source", "seg", "doc_id")
       .distinct()
     val perSource = docs.groupBy("source").agg(count(lit(1)).as("src_docs"))

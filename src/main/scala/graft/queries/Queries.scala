@@ -726,8 +726,10 @@ object Queries {
       ", ed AS MATERIALIZED (SELECT DISTINCT subject, obj FROM tr), " +
         "nodes AS MATERIALIZED (SELECT subject AS entity FROM ed UNION SELECT obj FROM ed), " +
         "h0 AS (SELECT entity, CAST(1000000 AS BIGINT) AS s FROM nodes)"
+    // HUGEINT multiply mirrors the Spark side's DECIMAL(38,0) widening
+    // (raw can be 1e6 * max-degree; a BIGINT multiply by 1e6 overflows)
     def norm(out: String, raw: String) =
-      s"$out AS MATERIALIZED (SELECT n.entity, CAST((1000000 * coalesce(r.raw, 0)) " +
+      s"$out AS MATERIALIZED (SELECT n.entity, CAST((CAST(coalesce(r.raw, 0) AS HUGEINT) * 1000000) " +
         s"// greatest(coalesce((SELECT max(raw) FROM $raw), 1), 1) AS BIGINT) AS s " +
         s"FROM nodes n LEFT JOIN $raw r ON r.entity = n.entity)"
     val iters = (1 to hitsIterations).map { i =>
@@ -767,7 +769,8 @@ object Queries {
       "CAST(count(*) AS BIGINT) AS pair_docs FROM kept x JOIN kept y " +
       "ON x.doc_id = y.doc_id AND x.entity < y.entity GROUP BY 1, 2, 3, 4) " +
       "SELECT entity_a, entity_b, pair_docs, " +
-      "CAST((1000 * (SELECT n_docs FROM n) * pair_docs) // (df_a * df_b) AS BIGINT) AS lift_milli " +
+      "CAST((CAST((SELECT n_docs FROM n) AS HUGEINT) * 1000 * pair_docs) " +
+      "// (CAST(df_a AS HUGEINT) * df_b) AS BIGINT) AS lift_milli " +
       s"FROM p WHERE pair_docs >= $coocMinSupport"
 
   /** Per-predicate schema profile (Analytics.predicateProfile) —

@@ -111,6 +111,23 @@ class HitsCoocSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("score expressions survive webgraph-scale magnitudes (128-bit intermediates)") {
+    // raw near Long.MaxValue: a plain 1e6 * raw Long multiply wraps
+    // negative; the DECIMAL(38,0) widening must return the exact quotient
+    val big = 9000000000000000000L
+    val norm = Seq((big, big)).toDF("raw", "mx")
+      .select(Analytics.hitsNormExpr.as("s")).collect()(0).getLong(0)
+    assert(norm == 1000000L)
+    val half = Seq((big / 2, big)).toDF("raw", "mx")
+      .select(Analytics.hitsNormExpr.as("s")).collect()(0).getLong(0)
+    assert(half == 500000L)
+    // 1000 * N * pair_docs = 1e21 — past Long — exact quotient 1000
+    val lift = Seq((10000000000L, 100000000L, 1000000000L, 1000000000L))
+      .toDF("n_docs", "pair_docs", "df_a", "df_b")
+      .select(Analytics.coocLiftExpr.as("l")).collect()(0).getLong(0)
+    assert(lift == 1000L)
+  }
+
   test("predicateProfile: exact cardinalities and integer fan-outs") {
     // p1: s1->o1, s1->o2, s2->o1  => 3 triples, 2 subj, 2 obj,
     // fanout 1500 milli, inv 1500; p2 functional: 1 triple, 1000/1000
