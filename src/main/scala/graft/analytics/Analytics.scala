@@ -918,6 +918,56 @@ object Analytics {
       .agg(countDistinct(col("obj")).as("n_objs"))
       .where(col("n_objs") >= minObjects)
 
+  /** Degree distribution — (total degree, number of entities with it):
+    * the power-law diagnostic read before choosing skew strategy (salt
+    * factors, broadcast thresholds, wedge caps are all sized off this
+    * table's tail). Two partial-aggregated groupBys, the second over the
+    * (already tiny) per-entity degree table.
+    */
+  def degreeDistribution(triples: DataFrame): DataFrame =
+    degrees(triples)
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_entities"))
+
+  /** Per-predicate edge reciprocity — of a predicate's distinct directed
+    * (subject, obj) edges (self-loops excluded), the permille whose
+    * reverse edge exists under the SAME predicate. High reciprocity
+    * flags symmetric relations (a canonicalization cue: "married_to"
+    * collapses to an undirected edge; "links_to" on the webgraph reads
+    * ~300-400‰); near-zero flags hierarchies. One self-join on the
+    * distinct edge set (left semi on the reversed key) + one
+    * partial-aggregated count per predicate.
+    */
+  def reciprocity(triples: DataFrame): DataFrame = {
+    // staged: referenced three times (semi-join probe, reversed build
+    // side, per-predicate totals) — unstaged, each reference replays the
+    // full upstream derivation
+    val ed = graft.util.Materialize.stage(
+      triples
+        .select("predicate", "subject", "obj")
+        .where(col("subject") =!= col("obj"))
+        .distinct()
+    )
+    val rev = ed.select(
+      col("predicate"),
+      col("obj").as("subject"),
+      col("subject").as("obj")
+    )
+    val recip = ed
+      .join(rev, Seq("predicate", "subject", "obj"), "left_semi")
+      .groupBy("predicate")
+      .agg(count(lit(1)).as("n_recip"))
+    ed.groupBy("predicate")
+      .agg(count(lit(1)).as("n_edges"))
+      .join(recip, Seq("predicate"), "left")
+      .select(
+        col("predicate"),
+        col("n_edges"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        expr("(1000 * coalesce(n_recip, 0L)) div n_edges").as("recip_permille")
+      )
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

@@ -220,6 +220,78 @@ object Similarity {
     perQueryTopK(pairs, k)
   }
 
+  /** Multi-probe bucketed ANN — like [[lshTopK]], but each query also
+    * scans every bucket at Hamming distance 1 from its own (the standard
+    * multi-probe LSH recall fix: a near neighbor that lands on the other
+    * side of ONE hyperplane is still found). The probe set is built by
+    * EXPANDING the broadcast query side into its Planes+1 probe buckets
+    * and equi-joining on bucket — never a bit_count theta-join, which
+    * would plan as a nested-loop over the corpus. Candidate volume is
+    * (Planes+1)× the single-bucket path, still a vanishing fraction of
+    * brute force at real bucket counts.
+    */
+  def lshTopKProbed(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val q = quantized(embeddings).withColumn("bucket", expr(bucketExpr("v")).cast("long"))
+    val queries = q
+      .where(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("q"),
+        col("v").as("qv"),
+        explode(
+          expr(
+            s"array_union(array(bucket), " +
+              s"transform(sequence(0, ${Planes - 1}), j -> bucket ^ shiftleft(1L, j)))"
+          )
+        ).as("bucket")
+      )
+    val corpus = q.select(col("vec_id").as("n"), col("bucket"), col("v").as("nv"))
+    val pairs = pairsScored(
+      broadcast(queries).join(corpus, Seq("bucket")).where(col("q") =!= col("n"))
+    )
+    perQueryTopK(pairs, k)
+  }
+
+  /** ANN self-evaluation — per query, recall@k of the sign-bit-LSH paths
+    * (single-bucket [[lshTopK]] and Hamming-1 multi-probe
+    * [[lshTopKProbed]]) against the exact brute-force ranking:
+    * (q, n_true, n_hits_lsh, recall_lsh_permille, n_hits_probe,
+    * recall_probe_permille). This is the table an operator actually
+    * watches when tuning the approximate path (bucket bits, probe
+    * count): the lossy variants' quality quantified against their own
+    * baseline, corpus-resident — no external ground truth needed.
+    *
+    * Scale shape: one brute scoring pass (the evaluation's cost floor —
+    * run it on a sampled query set, as here) + the two bucketed passes,
+    * then left-semi joins of (nQueries × k)-row tables. All rankings use
+    * the identical deterministic tie-break (score desc, neighbor asc),
+    * so recall is a pure set intersection, not rank-order-sensitive.
+    */
+  def annRecall(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val brute = graft.util.Materialize.stage(
+      bruteTopK(embeddings, nQueries, k).select(col("q"), col("n"))
+    )
+    def hitsOf(approx: DataFrame, name: String): DataFrame =
+      brute
+        .join(approx.select("q", "n"), Seq("q", "n"), "left_semi")
+        .groupBy("q")
+        .agg(count(lit(1)).as(name))
+    val hLsh = hitsOf(lshTopK(embeddings, nQueries, k), "h_lsh")
+    val hProbe = hitsOf(lshTopKProbed(embeddings, nQueries, k), "h_probe")
+    brute
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_true"))
+      .join(hLsh, Seq("q"), "left")
+      .join(hProbe, Seq("q"), "left")
+      .select(
+        col("q"),
+        col("n_true"),
+        coalesce(col("h_lsh"), lit(0L)).as("n_hits_lsh"),
+        expr("(1000 * coalesce(h_lsh, 0L)) div n_true").as("recall_lsh_permille"),
+        coalesce(col("h_probe"), lit(0L)).as("n_hits_probe"),
+        expr("(1000 * coalesce(h_probe, 0L)) div n_true").as("recall_probe_permille")
+      )
+  }
+
   private def centroidsLit(cvs: Seq[Seq[Long]]): String =
     cvs.zipWithIndex
       .map { case (cv, i) =>

@@ -578,6 +578,45 @@ object OpsQueries {
       "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS text_clean " +
       "FROM k GROUP BY doc_id"
 
+  val annLshProbe: Q = (s, dir) =>
+    Similarity.lshTopKProbed(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
+
+  /** Same chain as annLshSql with the query side expanded to its
+    * Planes+1 Hamming-≤1 probe buckets before the bucket equi-join —
+    * mirroring the Spark side's explode + equi-join exactly.
+    */
+  val annLshProbeSql: String =
+    s"WITH $quantCte, $bucketCtes, " +
+      "qb AS (SELECT q.vec_id, q.v, bk.bucket FROM q JOIN bk ON q.vec_id = bk.vec_id), " +
+      s"qp AS (SELECT vec_id, v, unnest(list_append(list_transform(range(0, ${Similarity.Planes}), " +
+      s"j -> xor(bucket, CAST(1 AS BIGINT) << j)), bucket)) AS bucket FROM qb WHERE vec_id < $AnnNQueries), " +
+      "scored AS (SELECT qs.vec_id AS q, c.vec_id AS n, " +
+      s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS score_milli " +
+      "FROM qp qs JOIN qb c ON qs.bucket = c.bucket AND c.vec_id <> qs.vec_id), " +
+      "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
+      s"SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= $AnnK"
+
+  val annRecall: Q = (s, dir) =>
+    Similarity.annRecall(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
+
+  /** Composes the three already-verified ranking oracles (each a full
+    * WITH query, legal as a CTE body) and intersects them per query.
+    */
+  val annRecallSql: String = {
+    def hitCte(name: String, rank: String) =
+      s"$name AS (SELECT bt.q, CAST(count(*) AS BIGINT) AS h FROM bt " +
+        s"JOIN $rank r ON r.q = bt.q AND r.n = bt.n GROUP BY bt.q)"
+    s"WITH bt AS ($annTopKSql), lt AS ($annLshSql), lp AS ($annLshProbeSql), " +
+      hitCte("hl", "lt") + ", " + hitCte("hp", "lp") + ", " +
+      "t AS (SELECT q, CAST(count(*) AS BIGINT) AS n_true FROM bt GROUP BY q) " +
+      "SELECT t.q, t.n_true, " +
+      "CAST(coalesce(hl.h, 0) AS BIGINT) AS n_hits_lsh, " +
+      "CAST((1000 * coalesce(hl.h, 0)) // t.n_true AS BIGINT) AS recall_lsh_permille, " +
+      "CAST(coalesce(hp.h, 0) AS BIGINT) AS n_hits_probe, " +
+      "CAST((1000 * coalesce(hp.h, 0)) // t.n_true AS BIGINT) AS recall_probe_permille " +
+      "FROM t LEFT JOIN hl ON hl.q = t.q LEFT JOIN hp ON hp.q = t.q"
+  }
+
   val textBoilerplate: Q = (s, dir) => TextAnalysis.boilerplate(docs(s, dir))
 
   /** Same segmentation + per-source repeat rule; DuckDB's range() is
@@ -1216,6 +1255,8 @@ object OpsQueries {
     "text_fingerprints" -> textFingerprints,
     "line_dedup" -> lineDedup,
     "text_boilerplate" -> textBoilerplate,
+    "ann_lsh_probe" -> annLshProbe,
+    "ann_recall" -> annRecall,
     "dup_grams" -> dupGrams,
     "text_bm25" -> textBm25,
     "text_rank_fusion" -> textRankFusion,
@@ -1282,6 +1323,8 @@ object OpsQueries {
     "text_fingerprints" -> textFingerprintsSql,
     "line_dedup" -> lineDedupSql,
     "text_boilerplate" -> textBoilerplateSql,
+    "ann_lsh_probe" -> annLshProbeSql,
+    "ann_recall" -> annRecallSql,
     "dup_grams" -> dupGramsSql,
     "text_bm25" -> textBm25Sql,
     "text_rank_fusion" -> textRankFusionSql,

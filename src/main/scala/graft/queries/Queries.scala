@@ -801,6 +801,35 @@ object Queries {
       "SELECT subject, predicate, CAST(count(DISTINCT obj) AS BIGINT) AS n_objs " +
       "FROM tr GROUP BY subject, predicate HAVING count(DISTINCT obj) >= 2"
 
+  /** Degree distribution (Analytics.degreeDistribution) — the power-law
+    * diagnostic table skew strategy is sized from.
+    */
+  val kgDegreeDist: Q = (s, dir) =>
+    Analytics.degreeDistribution(triples(s, dir))
+
+  val kgDegreeDistSql: String =
+    TokenRules.Sql.withTriples +
+      ", ep AS (SELECT subject AS entity, 1 AS o, 0 AS i FROM tr UNION ALL SELECT obj, 0, 1 FROM tr), " +
+      "dg AS (SELECT entity, CAST(sum(o + i) AS BIGINT) AS degree FROM ep GROUP BY entity) " +
+      "SELECT degree, CAST(count(*) AS BIGINT) AS n_entities FROM dg GROUP BY degree"
+
+  /** Per-predicate edge reciprocity (Analytics.reciprocity) — symmetric-
+    * relation detection in integer permille.
+    */
+  val kgReciprocity: Q = (s, dir) =>
+    Analytics.reciprocity(triples(s, dir))
+
+  val kgReciprocitySql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT predicate, subject, obj FROM tr WHERE subject <> obj), " +
+      "rc AS (SELECT e.predicate, CAST(count(*) AS BIGINT) AS n_recip FROM ed e " +
+      "WHERE EXISTS (SELECT 1 FROM ed r WHERE r.predicate = e.predicate " +
+      "AND r.subject = e.obj AND r.obj = e.subject) GROUP BY e.predicate), " +
+      "tot AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_edges FROM ed GROUP BY predicate) " +
+      "SELECT tot.predicate, tot.n_edges, CAST(coalesce(rc.n_recip, 0) AS BIGINT) AS n_recip, " +
+      "CAST((1000 * coalesce(rc.n_recip, 0)) // tot.n_edges AS BIGINT) AS recip_permille " +
+      "FROM tot LEFT JOIN rc ON rc.predicate = tot.predicate"
+
   /** Per-entity triangle counts (Analytics.triangleCounts) — the oracle
     * replays the identical degree-ordered orientation, wedge join and
     * closing-edge EXISTS, so each triangle is found exactly once.
@@ -1391,6 +1420,8 @@ object Queries {
     "kg_cooc" -> kgCooc,
     "kg_schema_stats" -> kgSchemaStats,
     "kg_conflicts" -> kgConflicts,
+    "kg_degree_dist" -> kgDegreeDist,
+    "kg_reciprocity" -> kgReciprocity,
     "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
@@ -1453,6 +1484,8 @@ object Queries {
     "kg_cooc" -> kgCoocSql,
     "kg_schema_stats" -> kgSchemaStatsSql,
     "kg_conflicts" -> kgConflictsSql,
+    "kg_degree_dist" -> kgDegreeDistSql,
+    "kg_reciprocity" -> kgReciprocitySql,
     "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,

@@ -438,6 +438,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphDiff.triples(t, t).count() == 0)
   }
 
+  test("degreeDistribution: exact (degree, count) table") {
+    // a: out 2 + in 1 = 3; b: 1+1 = 2; c: 0+1 = 1
+    val tr = triplesDf(("a", "r", "b"), ("a", "r", "c"), ("b", "q", "a"))
+    val got = Analytics.degreeDistribution(tr).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L), (2L, 1L), (1L, 1L)))
+  }
+
+  test("reciprocity: same-predicate reverse edges only, self-loops excluded") {
+    val tr = triplesDf(
+      ("a", "p1", "b"), ("b", "p1", "a"), ("a", "p1", "c"), // 2 of 3 reciprocated
+      ("x", "p2", "x"), // self-loop only: predicate drops out entirely
+      ("a", "p3", "b"), ("b", "p4", "a") // reverse exists under ANOTHER predicate: not reciprocal
+    )
+    val got = Analytics.reciprocity(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("p1", 3L, 2L, 666L),
+      ("p3", 1L, 0L, 0L),
+      ("p4", 1L, 0L, 0L)
+    ))
+  }
+
   test("graphDiff plan shape: one exchange, no join operator") {
     val oldT = triplesDf(("a", "r", "b"))
     val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))

@@ -189,6 +189,31 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == lsh2)
   }
 
+  test("annRecall: exact intersections of the rankings, independently replayed") {
+    val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 8)
+      .select("q", "n").as[(Long, Long)].collect().groupBy(_._1)
+    val lsh = Similarity.lshTopK(emb, nQueries = 5, k = 8)
+      .select("q", "n").as[(Long, Long)].collect().toSet
+    val probe = Similarity.lshTopKProbed(emb, nQueries = 5, k = 8)
+      .select("q", "n").as[(Long, Long)].collect().toSet
+    val got = Similarity.annRecall(emb, nQueries = 5, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (q, (nTrue, hLsh, pLsh, hProbe, pProbe)) =>
+      val truth = brute(q).map(_._2).toSet
+      assert(nTrue == truth.size.toLong)
+      assert(hLsh == truth.count(n => lsh.contains((q, n))).toLong)
+      assert(hProbe == truth.count(n => probe.contains((q, n))).toLong)
+      assert(pLsh == 1000L * hLsh / nTrue && pProbe == 1000L * hProbe / nTrue)
+      // probe candidates are a superset of the single bucket's, and any
+      // brute-top-k member among candidates always survives a candidate
+      // top-k (fewer than k vectors outrank it anywhere) — so recall is
+      // monotone in the probe set
+      assert(hProbe >= hLsh)
+    }
+  }
+
   test("perceptualHash: aHash rule on the byte histogram; near-identical payloads close") {
     val got = Multimodal.perceptualHash(Multimodal.mediaTable(docs)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
