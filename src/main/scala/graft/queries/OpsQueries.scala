@@ -53,6 +53,24 @@ object OpsQueries {
       "FROM tset a JOIN tset b ON a.source = b.source AND a.doc_id < b.doc_id " +
       "WHERE 100 * len(list_intersect(a.toks, b.toks)) >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
 
+  val dedupContain: Q = (s, dir) => Dedup.containmentPairs(docs(s, dir), thetaPct = 90)
+
+  /** Oracle keeps the plain blocked all-pairs containment rule — the
+    * Spark side's prefix⨝postings candidate join is lossless by the
+    * containment prefix lemma, so the hash match proves it.
+    */
+  val dedupContainSql: String = {
+    val k = TextAnalysis.TokenGramLen
+    s"WITH $toksCte, " +
+      s"g AS (SELECT doc_id, source, list_sort(list_distinct(list_transform(range(1, len(toks) - ${k - 2}), " +
+      s"i -> array_to_string(toks[i:i+${k - 1}], ' ')))) AS grams FROM tk WHERE len(toks) >= $k) " +
+      "SELECT a.doc_id AS a, b.doc_id AS b, " +
+      "CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter, " +
+      "CAST(least(len(a.grams), len(b.grams)) AS BIGINT) AS min_grams " +
+      "FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE 100 * len(list_intersect(a.grams, b.grams)) >= 90 * least(len(a.grams), len(b.grams))"
+  }
+
   val dedupMinhash: Q = (s, dir) => Dedup.minhashLshPairs(docs(s, dir), thetaPct = 90)
 
   /** CTE chain ending in `mhp(a, b, inter, uni)` — the verified
@@ -1257,6 +1275,7 @@ object OpsQueries {
     "text_boilerplate" -> textBoilerplate,
     "ann_lsh_probe" -> annLshProbe,
     "ann_recall" -> annRecall,
+    "dedup_contain" -> dedupContain,
     "dup_grams" -> dupGrams,
     "text_bm25" -> textBm25,
     "text_rank_fusion" -> textRankFusion,
@@ -1325,6 +1344,7 @@ object OpsQueries {
     "text_boilerplate" -> textBoilerplateSql,
     "ann_lsh_probe" -> annLshProbeSql,
     "ann_recall" -> annRecallSql,
+    "dedup_contain" -> dedupContainSql,
     "dup_grams" -> dupGramsSql,
     "text_bm25" -> textBm25Sql,
     "text_rank_fusion" -> textRankFusionSql,

@@ -1069,6 +1069,26 @@ object Queries {
       "SELECT day, n_events, n_users, CAST(sum(n_events) OVER " +
       "(ORDER BY day_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_3d_events FROM i"
 
+  /** Volume-anomaly days (EventsStream.anomalyDays) — the integer
+    * median/MAD monitoring rule; lower medians keep both engines exact.
+    */
+  val eventsAnomaly: Q = (s, dir) =>
+    graft.streaming.EventsStream.anomalyDays(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsAnomalySql: String =
+    "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events " +
+      "FROM events GROUP BY 1, 2), " +
+      "m AS (SELECT event_type, n_events AS med FROM (SELECT event_type, n_events, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY n_events, day) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS cnt FROM d) WHERE rn = (cnt + 1) // 2), " +
+      "dev AS (SELECT d.event_type, d.day, d.n_events, m.med, " +
+      "CAST(abs(d.n_events - m.med) AS BIGINT) AS deviation FROM d JOIN m USING (event_type)), " +
+      "md AS (SELECT event_type, deviation AS mad FROM (SELECT event_type, deviation, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY deviation, day) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS cnt FROM dev) WHERE rn = (cnt + 1) // 2) " +
+      "SELECT dev.event_type, dev.day, dev.n_events, dev.med, md.mad, dev.deviation " +
+      "FROM dev JOIN md USING (event_type) WHERE dev.deviation >= 3 * greatest(md.mad, 1)"
+
   /** Telemetry debounce (EventsStream.debounce): drop events whose
     * direct same-(user,type) predecessor is within 5 minutes.
     */
@@ -1447,6 +1467,7 @@ object Queries {
     "events_sliding" -> eventsSliding,
     "events_value_stats" -> eventsValueStats,
     "events_rolling" -> eventsRolling,
+    "events_anomaly" -> eventsAnomaly,
     "events_debounce" -> eventsDebounce,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
@@ -1511,6 +1532,7 @@ object Queries {
     "events_sliding" -> eventsSlidingSql,
     "events_value_stats" -> eventsValueStatsSql,
     "events_rolling" -> eventsRollingSql,
+    "events_anomaly" -> eventsAnomalySql,
     "events_debounce" -> eventsDebounceSql,
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,

@@ -123,6 +123,45 @@ object EventsStream {
     )
   }
 
+  /** Volume-anomaly days per event type — the robust (median/MAD)
+    * monitoring rule in exact integer arithmetic: a day is anomalous
+    * when its event count deviates from the type's LOWER-MEDIAN daily
+    * count by at least `k` × the lower-median absolute deviation
+    * (MAD floored at 1 so constant series still flag genuine jumps).
+    * Lower medians — the element at rank (n+1) div 2 under the
+    * deterministic (value, day) order — keep both engines bit-identical
+    * where interpolated medians would float-drift. Output per flagged
+    * day: (event_type, day, n_events, med, mad, deviation).
+    *
+    * Shape at scale: the daily count is the one data-sized exchange
+    * (partial-aggregated); every window after it runs over the bounded
+    * (types × days) table — hundreds of rows per type at any corpus
+    * size — never over raw events.
+    */
+  def anomalyDays(events: DataFrame, k: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    // lower median of `valueCol` per event_type, tie-broken by day
+    def lowerMedian(dfIn: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("day"))
+      dfIn
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .where(expr("rn = (cnt + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(daily, "n_events", "med")
+    val dev = daily
+      .join(med, "event_type")
+      .withColumn("deviation", abs(col("n_events") - col("med")))
+    val mad = lowerMedian(dev, "deviation", "mad")
+    dev
+      .join(mad, "event_type")
+      .where(col("deviation") >= lit(k.toLong) * greatest(col("mad"), lit(1L)))
+      .select("event_type", "day", "n_events", "med", "mad", "deviation")
+  }
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table (event_type → attributes) — the standard
     * streaming lookup-join. The static side is broadcast per

@@ -189,6 +189,49 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == lsh2)
   }
 
+  test("containmentPairs: catches subset syndication that Jaccard misses") {
+    // B = A's text plus a long unique tail: every 8-gram of A is in B
+    // (containment 100%), but the tail's grams dilute Jaccard below 90
+    val aText = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val bText = aText + " " + (100 to 140).map(i => s"pad$i").mkString(" ")
+    val d = Seq(
+      (1L, aText, "s1"),
+      (2L, bText, "s1"),
+      (3L, (200 to 230).map(i => s"oth$i").mkString(" "), "s1")
+    ).toDF("doc_id", "text", "source")
+    val contained = Dedup.containmentPairs(d, thetaPct = 90).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // A has 13 grams, all inside B: inter = 13 = min_grams
+    assert(contained == Set((1L, 2L, 13L, 13L)))
+    val jac = Dedup.ngramJaccardPairs(d, thetaPct = 90).collect()
+    assert(jac.isEmpty, "Jaccard at the same theta should miss the subset pair")
+  }
+
+  test("containmentPairs: prefix candidate join is lossless vs brute force") {
+    // random-ish word-bag corpus; compare against a driver-side all-pairs replay
+    val vocab = Array("aaaa", "bbbb", "cccc", "dddd", "eeee", "ffff", "gggg", "hhhh")
+    def text(seed: Int, n: Int) =
+      (0 until n).map(i => vocab(math.abs((seed * 31 + i * 17) % vocab.length))).mkString(" ")
+    val d = (0 until 12).map(i => (i.toLong, text(i, 10 + i % 5), s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(d, thetaPct = 80).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val k = TextAnalysis.TokenGramLen
+    val docs = (0 until 12).map(i => (i.toLong, text(i, 10 + i % 5).split(" ").toSeq, s"s${i % 2}"))
+    val gsets = docs.collect { case (id, toks, src) if toks.length >= k =>
+      (id, src, toks.sliding(k).map(_.mkString(" ")).toSet)
+    }
+    val brute = (for {
+      (ia, sa, ga) <- gsets; (ib, sb, gb) <- gsets
+      if sa == sb && ia < ib
+      inter = (ga intersect gb).size.toLong
+      mn = math.min(ga.size, gb.size).toLong
+      if 100 * inter >= 80 * mn
+    } yield (ia, ib, inter, mn)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture produced no pairs — weak test")
+  }
+
   test("annRecall: exact intersections of the rankings, independently replayed") {
     val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 8)
       .select("q", "n").as[(Long, Long)].collect().groupBy(_._1)

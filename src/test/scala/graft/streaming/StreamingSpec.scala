@@ -601,4 +601,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(batchExpected.exists(_._3 == 0L), "fixture has no duplicates — weak test")
     } finally q.stop()
   }
+
+  test("anomalyDays: lower-median/MAD rule with the MAD floor") {
+    // type "a": 10/10/10/10/100 events across 5 days — med 10 (rank 3),
+    // MAD 0 (rank 3 of 0,0,0,0,90) floored to 1, so only day 5's
+    // deviation 90 >= 3*1 flags; the constant days (deviation 0) don't.
+    // type "b": constant 5/day — never flags.
+    val rows = (1 to 4).flatMap(d => Seq.fill(10)((Timestamp.valueOf(f"2024-02-0$d 09:00:00"), "a"))) ++
+      Seq.fill(100)((Timestamp.valueOf("2024-02-05 09:00:00"), "a")) ++
+      (1 to 5).flatMap(d => Seq.fill(5)((Timestamp.valueOf(f"2024-02-0$d 09:00:00"), "b")))
+    val ev = rows.toDF("ts", "event_type")
+    val got = EventsStream.anomalyDays(ev, k = 3).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(("a", "2024-02-05", 100L, 10L, 0L, 90L)))
+  }
 }
