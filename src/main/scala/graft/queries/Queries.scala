@@ -801,6 +801,31 @@ object Queries {
       "SELECT subject, predicate, CAST(count(DISTINCT obj) AS BIGINT) AS n_objs " +
       "FROM tr GROUP BY subject, predicate HAVING count(DISTINCT obj) >= 2"
 
+  /** Predicate-composition rule support (Analytics.ruleSupport) — path
+    * counts, distinct endpoint pairs and direct-edge closure per ordered
+    * predicate pair: the rule-mining audit over extracted triples.
+    * Registered with the mid-fanout cap disabled (all-hub synthetic
+    * vocabulary, same disposition as kg_cooc's df cap); the capped
+    * guard path is exercised by AnalyticsSpec's hub fixture.
+    */
+  val kgRuleSupport: Q = (s, dir) =>
+    Analytics.ruleSupport(triples(s, dir))
+
+  val kgRuleSupportSql: String =
+    TokenRules.Sql.withTriples +
+      ", paths AS (SELECT a.predicate AS p1, b.predicate AS p2, a.subject AS x, b.obj AS z " +
+      "FROM tr a JOIN tr b ON a.obj = b.subject WHERE a.subject <> b.obj), " +
+      "np AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_paths FROM paths GROUP BY 1, 2), " +
+      "pairs AS (SELECT DISTINCT p1, p2, x, z FROM paths), " +
+      "npr AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY 1, 2), " +
+      "d AS (SELECT DISTINCT subject AS x, obj AS z FROM tr), " +
+      "ncl AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_closed " +
+      "FROM pairs JOIN d USING (x, z) GROUP BY 1, 2) " +
+      "SELECT np.p1, np.p2, np.n_paths, npr.n_pairs, " +
+      "CAST(COALESCE(ncl.n_closed, 0) AS BIGINT) AS n_closed, " +
+      "CAST((CAST(COALESCE(ncl.n_closed, 0) AS HUGEINT) * 1000) // npr.n_pairs AS BIGINT) AS closure_permille " +
+      "FROM np JOIN npr USING (p1, p2) LEFT JOIN ncl USING (p1, p2)"
+
   /** Degree distribution (Analytics.degreeDistribution) — the power-law
     * diagnostic table skew strategy is sized from.
     */
@@ -1440,6 +1465,7 @@ object Queries {
     "kg_cooc" -> kgCooc,
     "kg_schema_stats" -> kgSchemaStats,
     "kg_conflicts" -> kgConflicts,
+    "kg_rule_support" -> kgRuleSupport,
     "kg_degree_dist" -> kgDegreeDist,
     "kg_reciprocity" -> kgReciprocity,
     "kg_ppr" -> kgPpr,
@@ -1505,6 +1531,7 @@ object Queries {
     "kg_cooc" -> kgCoocSql,
     "kg_schema_stats" -> kgSchemaStatsSql,
     "kg_conflicts" -> kgConflictsSql,
+    "kg_rule_support" -> kgRuleSupportSql,
     "kg_degree_dist" -> kgDegreeDistSql,
     "kg_reciprocity" -> kgReciprocitySql,
     "kg_ppr" -> kgPprSql,

@@ -461,6 +461,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("ruleSupport: path/pair/closure counts with reflexive exclusion") {
+    val tr = triplesDf(("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c"), ("c", "q", "a"))
+    // paths: p∘q a→b→c (closed by the direct a-r-c edge), q∘q b→c→a,
+    // q∘p c→a→b; r∘q a→c→a and q∘r c→a→c are reflexive — excluded
+    val got = Analytics.ruleSupport(tr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      ("p", "q", 1L, 1L, 1L, 1000L),
+      ("q", "q", 1L, 1L, 0L, 0L),
+      ("q", "p", 1L, 1L, 0L, 0L)
+    ))
+  }
+
+  test("ruleSupport: path multiplicity vs distinct pairs; hub-mid fanout cap") {
+    val tr = triplesDf(
+      ("a", "p", "m"), ("a2", "p", "m"), ("m", "q", "z1"), ("m", "q", "z2"),
+      ("a", "p", "m2"), ("m2", "q", "z1")
+    )
+    // (a,z1) reached via BOTH mids: 5 paths over 4 distinct pairs
+    val got = Analytics.ruleSupport(tr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(("p", "q", 5L, 4L, 0L)))
+    // cap 3 drops mid m (in 2 × out 2 = 4 > 3); m2 (1×1) survives
+    val capped = Analytics.ruleSupport(tr, midFanoutCap = 3L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(capped == Set(("p", "q", 1L, 1L)))
+  }
+
   test("graphDiff plan shape: one exchange, no join operator") {
     val oldT = triplesDf(("a", "r", "b"))
     val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))
