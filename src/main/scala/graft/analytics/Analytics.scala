@@ -1076,6 +1076,76 @@ object Analytics {
       )
   }
 
+  /** Structural same-as candidates — entity pairs sharing ≥ `minShared`
+    * graph contexts, where a context is the (role, predicate, neighbor)
+    * triple view of an edge (subject role: (s, p, obj); object role:
+    * (o, p, subject)). Two entities with heavily overlapping contexts
+    * are co-reference candidates the STRING channels (normalization,
+    * MinHash) cannot see — "nyc" and "new_york" share no characters but
+    * share (o, located_in, brooklyn)-style contexts. Output:
+    * (a, b, n_shared, n_a, n_b, jaccard_permille) — the candidate table
+    * routed into the clustering stage's verify step.
+    *
+    * Shape at scale: contexts are edge-sized (2 rows per triple,
+    * distinct by construction) and staged once for the per-entity
+    * counts and both self-join sides. The join is an equi-join on the
+    * FULL (role, predicate, neighbor) key; its hazard is a context
+    * shared by d entities emitting d·(d−1)/2 pairs, so `ctxCap` > 0
+    * drops contexts shared by more than `ctxCap` entities before the
+    * join — such contexts carry no discriminative signal (the same
+    * reasoning as the PPJoin stopword-prefix rule); disabled by default
+    * at this corpus's all-hub design point, exercised by the spec.
+    * jaccard_permille widens to DECIMAL(38,0).
+    */
+  def sameAsCandidates(
+      triples: DataFrame,
+      minShared: Long = 2L,
+      ctxCap: Long = 0L
+  ): DataFrame = {
+    val t = triples.select("subject", "predicate", "obj")
+    // staged: read by the per-entity counts and both self-join sides
+    val ctx = graft.util.Materialize.stage(
+      t.select(lit("s").as("role"), col("predicate"), col("obj").as("nb"), col("subject").as("e"))
+        .unionByName(
+          t.select(lit("o").as("role"), col("predicate"), col("subject").as("nb"), col("obj").as("e"))
+        )
+    )
+    val kept =
+      if (ctxCap <= 0L) ctx
+      else {
+        val hot = ctx
+          .groupBy("role", "predicate", "nb")
+          .agg(count(lit(1)).as("n_ents"))
+          .where(col("n_ents") > ctxCap)
+          .select("role", "predicate", "nb")
+        ctx.join(hot, Seq("role", "predicate", "nb"), "left_anti")
+      }
+    val nCtx = kept.groupBy(col("e")).agg(count(lit(1)).as("n_ctx"))
+    val shared = kept
+      .select(col("role"), col("predicate"), col("nb"), col("e").as("a"))
+      .join(
+        kept.select(col("role"), col("predicate"), col("nb"), col("e").as("b")),
+        Seq("role", "predicate", "nb")
+      )
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    shared
+      .join(nCtx.select(col("e").as("a"), col("n_ctx").as("n_a")), "a")
+      .join(nCtx.select(col("e").as("b"), col("n_ctx").as("n_b")), "b")
+      .select(
+        col("a"),
+        col("b"),
+        col("n_shared"),
+        col("n_a"),
+        col("n_b"),
+        expr(
+          "CAST((CAST(n_shared AS DECIMAL(38,0)) * 1000) DIV (n_a + n_b - n_shared) AS BIGINT)"
+        ).as("jaccard_permille")
+      )
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

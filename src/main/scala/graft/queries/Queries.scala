@@ -826,6 +826,28 @@ object Queries {
       "CAST((CAST(COALESCE(ncl.n_closed, 0) AS HUGEINT) * 1000) // npr.n_pairs AS BIGINT) AS closure_permille " +
       "FROM np JOIN npr USING (p1, p2) LEFT JOIN ncl USING (p1, p2)"
 
+  /** Structural same-as candidates (Analytics.sameAsCandidates) —
+    * entity pairs sharing ≥ 2 (role, predicate, neighbor) graph
+    * contexts: the co-reference channel string normalization and
+    * MinHash cannot see. Registered with the shared-context cap
+    * disabled (all-hub synthetic vocabulary, same disposition as
+    * kg_cooc's df cap); the capped path is exercised by AnalyticsSpec.
+    */
+  val kgSameAs: Q = (s, dir) =>
+    Analytics.sameAsCandidates(triples(s, dir))
+
+  val kgSameAsSql: String =
+    TokenRules.Sql.withTriples +
+      ", ctx AS (SELECT 's' AS role, predicate, obj AS nb, subject AS e FROM tr " +
+      "UNION ALL SELECT 'o', predicate, subject, obj FROM tr), " +
+      "nc AS (SELECT e, CAST(count(*) AS BIGINT) AS n_ctx FROM ctx GROUP BY e), " +
+      "sh AS (SELECT x.e AS a, y.e AS b, CAST(count(*) AS BIGINT) AS n_shared " +
+      "FROM ctx x JOIN ctx y ON x.role = y.role AND x.predicate = y.predicate " +
+      "AND x.nb = y.nb AND x.e < y.e GROUP BY 1, 2 HAVING count(*) >= 2) " +
+      "SELECT sh.a, sh.b, sh.n_shared, na.n_ctx AS n_a, nbc.n_ctx AS n_b, " +
+      "CAST((CAST(sh.n_shared AS HUGEINT) * 1000) // (na.n_ctx + nbc.n_ctx - sh.n_shared) AS BIGINT) AS jaccard_permille " +
+      "FROM sh JOIN nc na ON sh.a = na.e JOIN nc nbc ON sh.b = nbc.e"
+
   /** Degree distribution (Analytics.degreeDistribution) — the power-law
     * diagnostic table skew strategy is sized from.
     */
@@ -1466,6 +1488,7 @@ object Queries {
     "kg_schema_stats" -> kgSchemaStats,
     "kg_conflicts" -> kgConflicts,
     "kg_rule_support" -> kgRuleSupport,
+    "kg_same_as" -> kgSameAs,
     "kg_degree_dist" -> kgDegreeDist,
     "kg_reciprocity" -> kgReciprocity,
     "kg_ppr" -> kgPpr,
@@ -1532,6 +1555,7 @@ object Queries {
     "kg_schema_stats" -> kgSchemaStatsSql,
     "kg_conflicts" -> kgConflictsSql,
     "kg_rule_support" -> kgRuleSupportSql,
+    "kg_same_as" -> kgSameAsSql,
     "kg_degree_dist" -> kgDegreeDistSql,
     "kg_reciprocity" -> kgReciprocitySql,
     "kg_ppr" -> kgPprSql,

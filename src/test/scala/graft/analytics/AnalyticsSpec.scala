@@ -492,6 +492,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(capped == Set(("p", "q", 1L, 1L)))
   }
 
+  test("sameAsCandidates: shared-context pairs, jaccard, and the context cap") {
+    val tr = triplesDf(
+      ("x", "p", "c"), ("x", "q", "d"),
+      ("y", "p", "c"), ("y", "q", "d"), // x,y share both subject contexts
+      ("z", "p", "c"), // z shares only (s,p,c) with x,y — below minShared
+      ("u", "r", "m"), ("u", "t", "m2"),
+      ("v", "r", "m"), ("v", "t", "m2") // u,v share two 2-entity contexts
+    )
+    val got = Analytics.sameAsCandidates(tr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      ("x", "y", 2L, 2L, 2L, 1000L),
+      ("u", "v", 2L, 2L, 2L, 1000L)
+    ))
+    // cap 2 drops (s,p,c) — shared by x,y,z — so the (x,y) pair falls
+    // below minShared; (u,v)'s contexts are 2-entity and survive intact
+    val capped = Analytics.sameAsCandidates(tr, ctxCap = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(capped == Set(("u", "v", 2L, 2L, 2L, 1000L)))
+  }
+
   test("graphDiff plan shape: one exchange, no join operator") {
     val oldT = triplesDf(("a", "r", "b"))
     val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))
