@@ -98,5 +98,27 @@ class RecrawlFlowSpec extends AnyFunSuite with SparkTestBase {
     val profiled = Analytics.predicateProfile(v2)
       .agg(sum(col("n_triples"))).collect()(0).getLong(0)
     assert(profiled == v2.count(), "profile triple counts must partition the graph")
+
+    // the entity-resolution and rule-mining audits are monotone on a
+    // grow-only recrawl too: contexts and composition paths only get
+    // added, so every v1 same-as candidate keeps at least its shared
+    // count and every v1 rule keeps at least its path and pair support
+    def sameAsMap(tr: org.apache.spark.sql.DataFrame) =
+      Analytics.sameAsCandidates(tr).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sa1 = sameAsMap(v1)
+    val sa2 = sameAsMap(v2)
+    assert(sa1.nonEmpty, "fixture produced no same-as candidates — weak test")
+    assert(sa1.forall { case (k, n) => sa2.getOrElse(k, 0L) >= n },
+      "a grow-only recrawl lost same-as shared contexts")
+    def ruleMap(tr: org.apache.spark.sql.DataFrame) =
+      Analytics.ruleSupport(tr).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val ru1 = ruleMap(v1)
+    val ru2 = ruleMap(v2)
+    assert(ru1.nonEmpty, "fixture produced no composition rules — weak test")
+    assert(ru1.forall { case (k, (paths, pairs)) =>
+      val (p2, q2) = ru2.getOrElse(k, (0L, 0L)); p2 >= paths && q2 >= pairs
+    }, "a grow-only recrawl lost rule support")
   }
 }
