@@ -1146,6 +1146,38 @@ object Analytics {
       )
   }
 
+  /** Schema induction by predicate signature — each entity's inferred
+    * type is the md5 of its sorted distinct "role:predicate" profile
+    * (s:born_in, o:located_in, …): entities used identically by the
+    * extractor land in the same type bucket, giving the type system a
+    * raw webtext KG lacks (population counts flag the dominant induced
+    * classes; singleton signatures flag extraction noise). Output:
+    * (entity, type_sig, sig_size, n_type_entities).
+    *
+    * Shape at scale: edge-sized distinct → entity-sized signature
+    * aggregate (collect_set is sorted before hashing, so the signature
+    * is deterministic) → a tiny type-population aggregate joined back
+    * on the signature — two partial-aggregated exchanges and one
+    * AQE-broadcastable join; signature width is bounded by the
+    * predicate vocabulary, not the corpus.
+    */
+  def entityTypes(triples: DataFrame): DataFrame = {
+    val rp = triples
+      .select(col("subject").as("e"), concat(lit("s:"), col("predicate")).as("rp"))
+      .unionByName(
+        triples.select(col("obj").as("e"), concat(lit("o:"), col("predicate")).as("rp"))
+      )
+      .distinct()
+    val sigs = rp
+      .groupBy(col("e").as("entity"))
+      .agg(
+        expr("md5(array_join(array_sort(collect_set(rp)), ','))").as("type_sig"),
+        count(lit(1)).as("sig_size")
+      )
+    val pops = sigs.groupBy("type_sig").agg(count(lit(1)).as("n_type_entities"))
+    sigs.join(pops, "type_sig").select("entity", "type_sig", "sig_size", "n_type_entities")
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

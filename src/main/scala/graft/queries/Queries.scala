@@ -848,6 +848,21 @@ object Queries {
       "CAST((CAST(sh.n_shared AS HUGEINT) * 1000) // (na.n_ctx + nbc.n_ctx - sh.n_shared) AS BIGINT) AS jaccard_permille " +
       "FROM sh JOIN nc na ON sh.a = na.e JOIN nc nbc ON sh.b = nbc.e"
 
+  /** Schema induction (Analytics.entityTypes) — entities bucketed into
+    * inferred types by their sorted distinct role:predicate signature.
+    */
+  val kgEntityTypes: Q = (s, dir) =>
+    Analytics.entityTypes(triples(s, dir))
+
+  val kgEntityTypesSql: String =
+    TokenRules.Sql.withTriples +
+      ", rp AS (SELECT subject AS e, 's:' || predicate AS rp FROM tr " +
+      "UNION SELECT obj, 'o:' || predicate FROM tr), " +
+      "sg AS (SELECT e AS entity, md5(array_to_string(list_sort(list(rp)), ',')) AS type_sig, " +
+      "CAST(count(*) AS BIGINT) AS sig_size FROM rp GROUP BY e), " +
+      "tp AS (SELECT type_sig, CAST(count(*) AS BIGINT) AS n_type_entities FROM sg GROUP BY type_sig) " +
+      "SELECT sg.entity, sg.type_sig, sg.sig_size, tp.n_type_entities FROM sg JOIN tp USING (type_sig)"
+
   /** Degree distribution (Analytics.degreeDistribution) — the power-law
     * diagnostic table skew strategy is sized from.
     */
@@ -1489,6 +1504,7 @@ object Queries {
     "kg_conflicts" -> kgConflicts,
     "kg_rule_support" -> kgRuleSupport,
     "kg_same_as" -> kgSameAs,
+    "kg_entity_types" -> kgEntityTypes,
     "kg_degree_dist" -> kgDegreeDist,
     "kg_reciprocity" -> kgReciprocity,
     "kg_ppr" -> kgPpr,
@@ -1556,6 +1572,7 @@ object Queries {
     "kg_conflicts" -> kgConflictsSql,
     "kg_rule_support" -> kgRuleSupportSql,
     "kg_same_as" -> kgSameAsSql,
+    "kg_entity_types" -> kgEntityTypesSql,
     "kg_degree_dist" -> kgDegreeDistSql,
     "kg_reciprocity" -> kgReciprocitySql,
     "kg_ppr" -> kgPprSql,

@@ -515,6 +515,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(capped == Set(("u", "v", 2L, 2L, 2L, 1000L)))
   }
 
+  test("entityTypes: signature grouping over sorted role:predicate profiles") {
+    val tr = triplesDf(
+      ("a", "p", "c"), ("a", "q", "d"),
+      ("b", "p", "e"), ("b", "q", "f"), // a,b: identical {s:p, s:q} profile
+      ("d", "r", "g") // d gains a subject role on top of o:q — splits from f
+    )
+    val rows = Analytics.entityTypes(tr).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // grouping: {a,b} {c,e} {d} {f} {g}
+    assert(rows("a")._1 == rows("b")._1)
+    assert(rows("c")._1 == rows("e")._1)
+    assert(Set(rows("a")._1, rows("c")._1, rows("d")._1, rows("f")._1, rows("g")._1).size == 5)
+    assert(rows("a") == (rows("a")._1, 2L, 2L))
+    assert(rows("c") == (rows("c")._1, 1L, 2L))
+    assert(rows("d") == (rows("d")._1, 2L, 1L))
+    assert(rows("f") == (rows("f")._1, 1L, 1L))
+    assert(rows("g") == (rows("g")._1, 1L, 1L))
+  }
+
   test("graphDiff plan shape: one exchange, no join operator") {
     val oldT = triplesDf(("a", "r", "b"))
     val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))
