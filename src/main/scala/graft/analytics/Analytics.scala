@@ -1178,6 +1178,37 @@ object Analytics {
     sigs.join(pops, "type_sig").select("entity", "type_sig", "sig_size", "n_type_entities")
   }
 
+  /** Triple corroboration — for every valid extracted triple, how many
+    * distinct documents and distinct sources assert it: the trust
+    * signal webtext extraction is ranked by (a triple seen once in one
+    * crawl page is noise until corroborated; n_sources ≥ 2 is the usual
+    * promotion gate into the canonical graph). Output:
+    * (subject, predicate, obj, n_docs, n_sources).
+    *
+    * Shape at scale: the sliding-window extraction stays the narrow
+    * zero-shuffle codegen pass, deduped PER DOCUMENT first (a document
+    * corroborates a triple once, and the dedup bounds the join payload
+    * to distinct doc-triples), then one doc_id equi-join to recover the
+    * source dimension and one Expand + two-level partial aggregate for
+    * the two distinct counts — the predicateProfile shape keyed by
+    * triple instead of predicate.
+    */
+  def corroboration(docs: DataFrame): DataFrame = {
+    import graft.extract.TokenRules
+    val perDoc = TokenRules
+      .rawTriples(docs)
+      .where(TokenRules.isEntity(col("subject")) && TokenRules.isEntity(col("obj")))
+      .select("doc_id", "subject", "predicate", "obj")
+      .distinct()
+    perDoc
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("subject", "predicate", "obj")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources")
+      )
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

@@ -863,6 +863,21 @@ object Queries {
       "tp AS (SELECT type_sig, CAST(count(*) AS BIGINT) AS n_type_entities FROM sg GROUP BY type_sig) " +
       "SELECT sg.entity, sg.type_sig, sg.sig_size, tp.n_type_entities FROM sg JOIN tp USING (type_sig)"
 
+  /** Triple corroboration (Analytics.corroboration) — distinct document
+    * and source support per valid triple; the promotion gate into the
+    * canonical graph.
+    */
+  val kgCorroboration: Q = (s, dir) =>
+    Analytics.corroboration(docs(s, dir))
+
+  val kgCorroborationSql: String =
+    s"WITH toks_cte AS (${TokenRules.Sql.toksCte}), raw_cte AS (${TokenRules.Sql.rawTriplesCte}), " +
+      s"v AS (SELECT DISTINCT doc_id, subject, predicate, obj FROM raw_cte " +
+      s"WHERE length(subject) >= ${TokenRules.MinEntityLen} AND length(obj) >= ${TokenRules.MinEntityLen}), " +
+      "j AS (SELECT v.subject, v.predicate, v.obj, v.doc_id, d.source FROM v JOIN documents d USING (doc_id)) " +
+      "SELECT subject, predicate, obj, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+      "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM j GROUP BY 1, 2, 3"
+
   /** Degree distribution (Analytics.degreeDistribution) — the power-law
     * diagnostic table skew strategy is sized from.
     */
@@ -1505,6 +1520,7 @@ object Queries {
     "kg_rule_support" -> kgRuleSupport,
     "kg_same_as" -> kgSameAs,
     "kg_entity_types" -> kgEntityTypes,
+    "kg_corroboration" -> kgCorroboration,
     "kg_degree_dist" -> kgDegreeDist,
     "kg_reciprocity" -> kgReciprocity,
     "kg_ppr" -> kgPpr,
@@ -1573,6 +1589,7 @@ object Queries {
     "kg_rule_support" -> kgRuleSupportSql,
     "kg_same_as" -> kgSameAsSql,
     "kg_entity_types" -> kgEntityTypesSql,
+    "kg_corroboration" -> kgCorroborationSql,
     "kg_degree_dist" -> kgDegreeDistSql,
     "kg_reciprocity" -> kgReciprocitySql,
     "kg_ppr" -> kgPprSql,

@@ -172,4 +172,24 @@ class HitsCoocSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(uncapped == Set(("bbbb", "cccc"), ("bbbb", "hubx"), ("cccc", "hubx")))
   }
+
+  test("corroboration: distinct doc/source support per valid triple") {
+    // entities need >= MinEntityLen (4) chars; the short "bb"/"yy"
+    // windows are valid as PREDICATES only
+    val d = Seq(
+      (1L, "aaaa bb cccc", "s1"),
+      (2L, "aaaa bb cccc dd", "s1"), // trailing window has a short subject — invalid
+      (3L, "aaaa bb cccc", "s2"),
+      (4L, "xxxx yy zzzz xxxx yy zzzz", "s2") // repeated in ONE doc: corroborates once
+    ).toDF("doc_id", "text", "source")
+    val got = Analytics.corroboration(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // doc 4's other windows have a short subject or object — invalid,
+    // so its only valid triple is (xxxx, yy, zzzz), counted once
+    assert(got == Set(
+      ("aaaa", "bb", "cccc", 3L, 2L),
+      ("xxxx", "yy", "zzzz", 1L, 1L)
+    ))
+  }
 }
