@@ -1209,6 +1209,49 @@ object Analytics {
       )
   }
 
+  /** Predicate synonym candidates — predicate pairs asserting ≥
+    * `minShared` identical (subject, obj) endpoint pairs, with
+    * edge-set Jaccard in integer permille: the relation-canonicalization
+    * cue ("located_in" vs "in" share endpoints, not characters) that
+    * complements the string channels the cluster stage already runs —
+    * the predicate counterpart of [[sameAsCandidates]].
+    *
+    * Shape at scale: the distinct edge table is staged once (per-
+    * predicate totals plus both self-join sides); the join key is the
+    * FULL (subject, obj) endpoint pair, so fan-out per key is bounded
+    * by the predicate VOCABULARY (the one corpus-sized dimension that
+    * cannot explode), not by entity degree — no cap needed where
+    * sameAs and cooc need one. jaccard widens to DECIMAL(38,0).
+    */
+  def predicateSynonyms(triples: DataFrame, minShared: Long = 2L): DataFrame = {
+    // staged: per-predicate totals + both self-join sides
+    val ed = graft.util.Materialize.stage(triples.select("predicate", "subject", "obj"))
+    val totals = ed.groupBy("predicate").agg(count(lit(1)).as("n_edges"))
+    val shared = ed
+      .select(col("subject"), col("obj"), col("predicate").as("p1"))
+      .join(
+        ed.select(col("subject"), col("obj"), col("predicate").as("p2")),
+        Seq("subject", "obj")
+      )
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    shared
+      .join(totals.select(col("predicate").as("p1"), col("n_edges").as("n_p1")), "p1")
+      .join(totals.select(col("predicate").as("p2"), col("n_edges").as("n_p2")), "p2")
+      .select(
+        col("p1"),
+        col("p2"),
+        col("n_shared"),
+        col("n_p1"),
+        col("n_p2"),
+        expr(
+          "CAST((CAST(n_shared AS DECIMAL(38,0)) * 1000) DIV (n_p1 + n_p2 - n_shared) AS BIGINT)"
+        ).as("jaccard_permille")
+      )
+  }
+
   /** G5 — retrieve: top-k relevant nodes, union of their 2-hop contexts,
     * flattened to one deterministic context string
     * (kg_gen.py:348-368; the reference joins an unordered set with

@@ -878,6 +878,23 @@ object Queries {
       "SELECT subject, predicate, obj, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
       "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM j GROUP BY 1, 2, 3"
 
+  /** Predicate synonym candidates (Analytics.predicateSynonyms) —
+    * predicate pairs sharing ≥ 2 identical endpoint pairs; the
+    * relation-canonicalization cue string similarity cannot see.
+    */
+  val kgPredSynonyms: Q = (s, dir) =>
+    Analytics.predicateSynonyms(triples(s, dir))
+
+  val kgPredSynonymsSql: String =
+    TokenRules.Sql.withTriples +
+      ", sh AS (SELECT x.predicate AS p1, y.predicate AS p2, CAST(count(*) AS BIGINT) AS n_shared " +
+      "FROM tr x JOIN tr y ON x.subject = y.subject AND x.obj = y.obj AND x.predicate < y.predicate " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+      "n AS (SELECT predicate, CAST(count(*) AS BIGINT) AS n_edges FROM tr GROUP BY predicate) " +
+      "SELECT sh.p1, sh.p2, sh.n_shared, a.n_edges AS n_p1, b.n_edges AS n_p2, " +
+      "CAST((CAST(sh.n_shared AS HUGEINT) * 1000) // (a.n_edges + b.n_edges - sh.n_shared) AS BIGINT) AS jaccard_permille " +
+      "FROM sh JOIN n a ON sh.p1 = a.predicate JOIN n b ON sh.p2 = b.predicate"
+
   /** Degree distribution (Analytics.degreeDistribution) — the power-law
     * diagnostic table skew strategy is sized from.
     */
@@ -1165,6 +1182,21 @@ object Queries {
       "count(*) OVER (PARTITION BY event_type) AS cnt FROM dev) WHERE rn = (cnt + 1) // 2) " +
       "SELECT dev.event_type, dev.day, dev.n_events, dev.med, md.mad, dev.deviation " +
       "FROM dev JOIN md USING (event_type) WHERE dev.deviation >= 3 * greatest(md.mad, 1)"
+
+  /** Day-of-week seasonality (EventsStream.seasonality) — per-type
+    * traffic profile in integer permille; dow 0 = Sunday in both
+    * engines (Spark's dayofweek shifted down one).
+    */
+  val eventsSeasonality: Q = (s, dir) =>
+    graft.streaming.EventsStream.seasonality(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsSeasonalitySql: String =
+    "WITH d AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, " +
+      "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total FROM d GROUP BY 1) " +
+      "SELECT d.event_type, d.dow, d.n_events, " +
+      "CAST((CAST(d.n_events AS HUGEINT) * 1000) // t.total AS BIGINT) AS permille " +
+      "FROM d JOIN t USING (event_type)"
 
   /** Telemetry debounce (EventsStream.debounce): drop events whose
     * direct same-(user,type) predecessor is within 5 minutes.
@@ -1521,6 +1553,7 @@ object Queries {
     "kg_same_as" -> kgSameAs,
     "kg_entity_types" -> kgEntityTypes,
     "kg_corroboration" -> kgCorroboration,
+    "kg_pred_synonyms" -> kgPredSynonyms,
     "kg_degree_dist" -> kgDegreeDist,
     "kg_reciprocity" -> kgReciprocity,
     "kg_ppr" -> kgPpr,
@@ -1549,6 +1582,7 @@ object Queries {
     "events_value_stats" -> eventsValueStats,
     "events_rolling" -> eventsRolling,
     "events_anomaly" -> eventsAnomaly,
+    "events_seasonality" -> eventsSeasonality,
     "events_debounce" -> eventsDebounce,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
@@ -1590,6 +1624,7 @@ object Queries {
     "kg_same_as" -> kgSameAsSql,
     "kg_entity_types" -> kgEntityTypesSql,
     "kg_corroboration" -> kgCorroborationSql,
+    "kg_pred_synonyms" -> kgPredSynonymsSql,
     "kg_degree_dist" -> kgDegreeDistSql,
     "kg_reciprocity" -> kgReciprocitySql,
     "kg_ppr" -> kgPprSql,
@@ -1618,6 +1653,7 @@ object Queries {
     "events_value_stats" -> eventsValueStatsSql,
     "events_rolling" -> eventsRollingSql,
     "events_anomaly" -> eventsAnomalySql,
+    "events_seasonality" -> eventsSeasonalitySql,
     "events_debounce" -> eventsDebounceSql,
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,

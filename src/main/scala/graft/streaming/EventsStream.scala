@@ -162,6 +162,32 @@ object EventsStream {
       .select("event_type", "day", "n_events", "med", "mad", "deviation")
   }
 
+  /** Day-of-week volume seasonality per event type — each type's
+    * traffic profile as (dow, n_events, permille of the type's total),
+    * the shape capacity planning and anomaly baselining read first.
+    * dow is 0 = Sunday … 6 = Saturday (Spark's 1-based `dayofweek`
+    * shifted down one to the numbering DuckDB shares). Permille widens
+    * to DECIMAL(38,0) so planet-scale event counts cannot wrap.
+    *
+    * Shape at scale: one data-sized partial-aggregated exchange for the
+    * (type, dow) counts; the totals and the ratio run over the bounded
+    * (types × 7) table.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = d.groupBy("event_type").agg(sum(col("n_events")).as("total"))
+    d.join(totals, "event_type")
+      .select(
+        col("event_type"),
+        col("dow"),
+        col("n_events"),
+        expr("CAST((CAST(n_events AS DECIMAL(38,0)) * 1000) DIV total AS BIGINT)")
+          .as("permille")
+      )
+  }
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table (event_type → attributes) — the standard
     * streaming lookup-join. The static side is broadcast per

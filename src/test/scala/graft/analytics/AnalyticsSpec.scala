@@ -534,6 +534,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("g") == (rows("g")._1, 1L, 1L))
   }
 
+  test("predicateSynonyms: shared endpoint pairs with edge-set jaccard") {
+    val tr = triplesDf(
+      ("a", "p", "b"), ("a", "q", "b"),
+      ("c", "p", "d"), ("c", "q", "d"), // p,q share (a,b) and (c,d)
+      ("e", "p", "f"), // p-only edge dilutes the jaccard
+      ("a", "r", "b") // r shares one pair with p and q — below minShared
+    )
+    val got = Analytics.predicateSynonyms(tr).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // jaccard = 1000*2 div (3 + 2 - 2) = 666
+    assert(got == Set(("p", "q", 2L, 3L, 2L, 666L)))
+  }
+
   test("graphDiff plan shape: one exchange, no join operator") {
     val oldT = triplesDf(("a", "r", "b"))
     val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))

@@ -602,6 +602,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("seasonality: dow profile in permille, Sunday = 0") {
+    // 2024-02-04 is a Sunday
+    val rows =
+      Seq.fill(3)((Timestamp.valueOf("2024-02-04 09:00:00"), "a")) ++
+        Seq((Timestamp.valueOf("2024-02-05 09:00:00"), "a")) ++
+        Seq.fill(2)((Timestamp.valueOf("2024-02-06 09:00:00"), "b"))
+    val got = EventsStream.seasonality(rows.toDF("ts", "event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 0L, 3L, 750L),
+      ("a", 1L, 1L, 250L),
+      ("b", 2L, 2L, 1000L)
+    ))
+  }
+
   test("anomalyDays: lower-median/MAD rule with the MAD floor") {
     // type "a": 10/10/10/10/100 events across 5 days — med 10 (rank 3),
     // MAD 0 (rank 3 of 0,0,0,0,90) floored to 1, so only day 5's
