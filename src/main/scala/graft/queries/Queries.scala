@@ -1198,6 +1198,27 @@ object Queries {
       "CAST((CAST(d.n_events AS HUGEINT) * 1000) // t.total AS BIGINT) AS permille " +
       "FROM d JOIN t USING (event_type)"
 
+  /** Inter-arrival profile (EventsStream.interArrival) — per-type gap
+    * stats from the (type, gap) histogram; exact lower median without
+    * an event-sized sort.
+    */
+  val eventsInterarrival: Q = (s, dir) =>
+    graft.streaming.EventsStream.interArrival(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsInterarrivalSql: String =
+    "WITH g AS (SELECT event_type, CAST((epoch_us(ts) - epoch_us(lag(ts) OVER " +
+      "(PARTITION BY user_id, event_type ORDER BY ts, event_id))) // 1000000 AS BIGINT) AS gap_s FROM events), " +
+      "h AS (SELECT event_type, gap_s, CAST(count(*) AS BIGINT) AS n FROM g " +
+      "WHERE gap_s IS NOT NULL GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_gaps, max(gap_s) AS max_gap_s, " +
+      "CAST((sum(CAST(gap_s AS HUGEINT) * n) * 1000) // sum(n) AS BIGINT) AS mean_gap_milli " +
+      "FROM h GROUP BY 1), " +
+      "c AS (SELECT event_type, gap_s, sum(n) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum FROM h), " +
+      "m AS (SELECT c.event_type, min(c.gap_s) AS med_gap_s FROM c JOIN t USING (event_type) " +
+      "WHERE c.cum >= (t.n_gaps + 1) // 2 GROUP BY 1) " +
+      "SELECT t.event_type, t.n_gaps, m.med_gap_s, t.mean_gap_milli, t.max_gap_s " +
+      "FROM t JOIN m USING (event_type)"
+
   /** Telemetry debounce (EventsStream.debounce): drop events whose
     * direct same-(user,type) predecessor is within 5 minutes.
     */
@@ -1583,6 +1604,7 @@ object Queries {
     "events_rolling" -> eventsRolling,
     "events_anomaly" -> eventsAnomaly,
     "events_seasonality" -> eventsSeasonality,
+    "events_interarrival" -> eventsInterarrival,
     "events_debounce" -> eventsDebounce,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
@@ -1654,6 +1676,7 @@ object Queries {
     "events_rolling" -> eventsRollingSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_seasonality" -> eventsSeasonalitySql,
+    "events_interarrival" -> eventsInterarrivalSql,
     "events_debounce" -> eventsDebounceSql,
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,

@@ -188,6 +188,58 @@ object EventsStream {
       )
   }
 
+  /** Per-type inter-arrival profile — for each event type, the gap (in
+    * whole seconds) between consecutive events of the same
+    * (user, type) stream, rolled up to (n_gaps, med_gap_s,
+    * mean_gap_milli, max_gap_s): the cadence table rate-limiters,
+    * TTL choices and debounce thresholds are sized from.
+    *
+    * Shape at scale: the gaps come from the same per-(user, type)
+    * lag window sessionization uses (small partitions — one user's
+    * stream each); the EXACT median then comes from a (type, gap)
+    * HISTOGRAM — gaps land on whole seconds, so the histogram is
+    * bounded by types × the retention window, and the cumulative-count
+    * window that selects the lower median runs over that bounded table,
+    * never an event-sized per-type sort. Sums widen to DECIMAL(38,0).
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(
+        col("event_type"),
+        // microsecond-exact difference floored to whole seconds —
+        // unix_timestamp would truncate each ENDPOINT to seconds first
+        // and disagree with the oracle on sub-second timestamps. The
+        // NTZ→TIMESTAMP casts apply the same session-zone offset to
+        // both endpoints, so it cancels in the difference.
+        expr(
+          "(unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev AS TIMESTAMP))) div 1000000"
+        ).as("gap_s")
+      )
+    val hist = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("n"))
+    val totals = hist
+      .groupBy("event_type")
+      .agg(
+        sum(col("n")).as("n_gaps"),
+        max(col("gap_s")).as("max_gap_s"),
+        expr(
+          "CAST((sum(CAST(gap_s AS DECIMAL(38,0)) * n) * 1000) DIV sum(n) AS BIGINT)"
+        ).as("mean_gap_milli")
+      )
+    val wc = Window.partitionBy("event_type").orderBy(col("gap_s"))
+    val med = hist
+      .withColumn("cum", sum(col("n")).over(wc))
+      .join(totals.select(col("event_type"), col("n_gaps")), "event_type")
+      .where(col("cum") >= expr("(n_gaps + 1) div 2"))
+      .groupBy("event_type")
+      .agg(min(col("gap_s")).as("med_gap_s"))
+    totals
+      .join(med, "event_type")
+      .select("event_type", "n_gaps", "med_gap_s", "mean_gap_milli", "max_gap_s")
+  }
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension table (event_type → attributes) — the standard
     * streaming lookup-join. The static side is broadcast per

@@ -617,6 +617,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("interArrival: histogram-exact gap stats per type") {
+    val t0 = Timestamp.valueOf("2024-02-04 09:00:00").getTime
+    def ts(offsetS: Long) = new Timestamp(t0 + offsetS * 1000L)
+    // user 1 type a: gaps 10, 20, 70; user 2 type a: gap 20
+    // type b: one event — no gaps, absent from the output
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(10), 1L, "a"), (3L, ts(30), 1L, "a"), (4L, ts(100), 1L, "a"),
+      (5L, ts(0), 2L, "a"), (6L, ts(20), 2L, "a"),
+      (7L, ts(0), 1L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventsStream.interArrival(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // gaps {10, 20, 20, 70}: lower median rank (4+1) div 2 = 2 -> 20;
+    // mean = 120/4 s = 30000 milli
+    assert(got == Set(("a", 4L, 20L, 30000L, 70L)))
+  }
+
   test("anomalyDays: lower-median/MAD rule with the MAD floor") {
     // type "a": 10/10/10/10/100 events across 5 days — med 10 (rank 3),
     // MAD 0 (rank 3 of 0,0,0,0,90) floored to 1, so only day 5's
