@@ -230,6 +230,56 @@ object Dedup {
       .where(lit(100) * col("inter") >= lit(thetaPct) * col("min_grams"))
   }
 
+  /** Corpus-level recall of the banded-LSH near-dup finder against the
+    * exact (PPJoin-verified) same-source Jaccard pair set — the dedup
+    * counterpart of [[graft.ops.Similarity.annRecall]]'s tuning table:
+    * banding trades recall for candidate volume, and this one row is
+    * what seeds/bands/cap are tuned against. The LSH pairs are
+    * restricted to the exact set's same-source universe first; both
+    * finders verify the same token-set Jaccard rule exactly, so every
+    * restricted LSH pair re-appears in the exact set (n_lsh ≡ n_both —
+    * the hash match proves it) and the gap to n_exact decomposes into
+    * banding miss plus the per-bucket lead-window cap's intentional
+    * enumeration bound. On this corpus the cap dominates (sf0.1 reads
+    * 245 of 48,169 pairs = 5‰ — ~9% of ALL pairs clear θ here, so
+    * bounded PAIR enumeration is the design point and dedup quality is
+    * judged on drop-flag recall, which the sbt suite holds ≥ 0.9); on a
+    * real corpus, where near-dup clusters are small, the same row reads
+    * banding miss directly. Output one row:
+    * (n_exact, n_lsh, n_both, recall_permille).
+    *
+    * Shape at scale: both pair generators keep their bucketed/banded
+    * shapes; the comparison adds two joins of slim pair-keyed tables
+    * and three 1-row aggregates crossJoined (the established 1-row
+    * pattern). Both pair sets are staged — each is read twice.
+    */
+  def lshRecall(docs: DataFrame, thetaPct: Int = 90): DataFrame = {
+    val exact =
+      graft.util.Materialize.stage(ngramJaccardPairs(docs, thetaPct).select("a", "b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val lsh = graft.util.Materialize.stage(
+      minhashLshPairs(docs, thetaPct)
+        .select("a", "b")
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+        .where(col("sa") === col("sb"))
+        .select("a", "b")
+    )
+    val both = exact.join(lsh, Seq("a", "b"), "left_semi")
+    exact
+      .agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(both.agg(count(lit(1)).as("n_both")))
+      .select(
+        col("n_exact"),
+        col("n_lsh"),
+        col("n_both"),
+        expr(
+          "CAST((CAST(n_both AS DECIMAL(38,0)) * 1000) DIV greatest(n_exact, 1L) AS BIGINT)"
+        ).as("recall_permille")
+      )
+  }
+
   /** md5-order MinHash signature column: per seed i, the minimum of
     * md5("i:" + token) over the document's distinct tokens. Shared rule
     * with the oracle: list_min(list_transform(...)) there.

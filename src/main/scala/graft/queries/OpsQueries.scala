@@ -71,6 +71,27 @@ object OpsQueries {
       "WHERE 100 * len(list_intersect(a.grams, b.grams)) >= 90 * least(len(a.grams), len(b.grams))"
   }
 
+  val dedupRecall: Q = (s, dir) => Dedup.lshRecall(docs(s, dir), thetaPct = 90)
+
+  /** The exact side is the all-pairs same-source Jaccard rule; the LSH
+    * side re-uses the verified minhash pair CTEs restricted to the same
+    * universe. n_lsh ≡ n_both by construction on both engines.
+    * (lazy: `minhashPairCtes` is declared later in the file.)
+    */
+  lazy val dedupRecallSql: String =
+    s"WITH $minhashPairCtes, " +
+      "ex AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tset a JOIN tset b " +
+      "ON a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE 100 * len(list_intersect(a.toks, b.toks)) >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))), " +
+      "ls AS (SELECT m.a, m.b FROM mhp m JOIN tset ta ON m.a = ta.doc_id " +
+      "JOIN tset tb ON m.b = tb.doc_id WHERE ta.source = tb.source), " +
+      "bo AS (SELECT ex.a, ex.b FROM ex JOIN ls USING (a, b)), " +
+      "c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM ls) AS n_lsh, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM bo) AS n_both) " +
+      "SELECT n_exact, n_lsh, n_both, " +
+      "CAST((CAST(n_both AS HUGEINT) * 1000) // greatest(n_exact, 1) AS BIGINT) AS recall_permille FROM c"
+
   val dedupMinhash: Q = (s, dir) => Dedup.minhashLshPairs(docs(s, dir), thetaPct = 90)
 
   /** CTE chain ending in `mhp(a, b, inter, uni)` — the verified
@@ -1276,6 +1297,7 @@ object OpsQueries {
     "ann_lsh_probe" -> annLshProbe,
     "ann_recall" -> annRecall,
     "dedup_contain" -> dedupContain,
+    "dedup_recall" -> dedupRecall,
     "dup_grams" -> dupGrams,
     "text_bm25" -> textBm25,
     "text_rank_fusion" -> textRankFusion,
@@ -1345,6 +1367,7 @@ object OpsQueries {
     "ann_lsh_probe" -> annLshProbeSql,
     "ann_recall" -> annRecallSql,
     "dedup_contain" -> dedupContainSql,
+    "dedup_recall" -> dedupRecallSql,
     "dup_grams" -> dupGramsSql,
     "text_bm25" -> textBm25Sql,
     "text_rank_fusion" -> textRankFusionSql,

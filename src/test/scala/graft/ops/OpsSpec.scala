@@ -189,6 +189,24 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh == lsh2)
   }
 
+  test("lshRecall: counts replay exactly from the two pair finders") {
+    val row = Dedup.lshRecall(docs, thetaPct = 90).collect()(0)
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val exact = Dedup.ngramJaccardPairs(docs, thetaPct = 90)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val srcOf = docs.select("doc_id", "source").as[(Long, String)].collect().toMap
+    val lshSame = Dedup.minhashLshPairs(docs, thetaPct = 90)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+      .filter(p => srcOf(p._1) == srcOf(p._2))
+    val both = exact & lshSame
+    assert(got == (exact.size.toLong, lshSame.size.toLong, both.size.toLong,
+      1000L * both.size / math.max(exact.size, 1)))
+    // both finders verify the same exact rule, so the restricted LSH
+    // set must be a subset of the exact set
+    assert(lshSame.subsetOf(exact))
+    assert(exact.nonEmpty, "fixture produced no exact pairs — weak test")
+  }
+
   test("containmentPairs: catches subset syndication that Jaccard misses") {
     // B = A's text plus a long unique tail: every 8-gram of A is in B
     // (containment 100%), but the tail's grams dilute Jaccard below 90
