@@ -503,6 +503,15 @@ object Analytics {
   def triangleCounts(triples: DataFrame): DataFrame = {
     val nb = graft.util.Materialize.stage(undirectedNb(triples))
     val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    triangleTable(nb, deg)
+  }
+
+  /** Per-entity triangle counts over a pre-staged neighbor table `nb`
+    * (v, u) and its degree table `deg` (v, d) — the shared oriented-wedge
+    * core of [[triangleCounts]] and [[clusteringCoefficient]], so the
+    * coefficient pays for ONE neighbor materialization, not two.
+    */
+  private def triangleTable(nb: DataFrame, deg: DataFrame): DataFrame = {
     val pe = nb.where(col("v") < col("u"))
       .join(deg.select(col("v"), col("d").as("da")), "v")
       .join(deg.select(col("v").as("u"), col("d").as("db")), "u")
@@ -529,6 +538,125 @@ object Analytics {
     nb.select(col("v").as("entity")).distinct()
       .join(corners, Seq("entity"), "left")
       .select(col("entity"), coalesce(col("tcnt"), lit(0L)).as("triangles"))
+  }
+
+  /** Local clustering coefficient per entity in integer permille over
+    * the undirected self-loop-free collapsed graph:
+    * lcc = 2·triangles(v) / (d·(d−1)) for degree ≥ 2, else 0 — the
+    * per-node neighborhood-closure signal next to the global triangle
+    * count ("is this node's neighborhood a community or a star"), a
+    * standard entity-quality feature for disambiguation and hub
+    * filtering. Output (entity, degree, triangles, lcc_permille), one
+    * row per non-isolated node.
+    *
+    * Scale shape: one O(m^1.5) oriented-wedge triangle pass sharing ONE
+    * staged neighbor table with the degree aggregate (see
+    * [[triangleCounts]]), then an entity-keyed join of two node-sized
+    * tables. The permille multiply widens to DECIMAL(38,0): a
+    * webgraph-degree-1e8 hub has d·(d−1) ≈ 1e16 and can close up to
+    * ~1e16 triangles, so 2000·triangles would wrap a Long.
+    */
+  def clusteringCoefficient(triples: DataFrame): DataFrame = {
+    val nb = graft.util.Materialize.stage(undirectedNb(triples))
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    triangleTable(nb, deg)
+      .join(deg.select(col("v").as("entity"), col("d").as("degree")), "entity")
+      .select(
+        col("entity"),
+        col("degree"),
+        col("triangles"),
+        expr(
+          "CAST(CASE WHEN degree >= 2 THEN " +
+            "(CAST(triangles AS DECIMAL(38,0)) * 2000) DIV " +
+            "(CAST(degree AS DECIMAL(38,0)) * (degree - 1)) " +
+            "ELSE 0 END AS BIGINT)"
+        ).as("lcc_permille")
+      )
+  }
+
+  /** Bounded-depth transitive closure over ONE predicate — the
+    * hierarchy-closure primitive (isA/partOf chains a KG needs
+    * materialized for type inference): (src, dst, hops) with hops =
+    * minimum DIRECTED path length ≤ `maxHops` following only the
+    * corpus's most frequent predicate (ties → lexicographically
+    * smallest); self-pairs (cycles back to the source) are excluded.
+    *
+    * Scale shape: frontier BFS on pairs — each round is ONE equi-join
+    * of the (new-pairs-only) frontier against the closure predicate's
+    * edge table, a distinct, and an anti-join against the reached set;
+    * level-order guarantees first touch = minimum hops, and every round
+    * is staged constant-depth (same Materialize + fresh-attribute
+    * re-bind policy as [[bfsDistances]]). At web scale closure is only
+    * materialized for hierarchy-shaped predicates whose closure stays
+    * near-linear; the depth cap bounds the blow-up for anything else.
+    */
+  def transitiveClosure(triples: DataFrame, maxHops: Int = 4): DataFrame = {
+    def staged(df: DataFrame): DataFrame = {
+      val m = graft.util.Materialize.stage(df)
+      m.sparkSession.createDataFrame(m.rdd, m.schema)
+    }
+    val top = triples.groupBy("predicate").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("predicate"))
+      .limit(1)
+      .select("predicate")
+    val edges = staged(
+      triples.join(top, Seq("predicate"), "left_semi")
+        .select(col("subject").as("src"), col("obj").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    )
+    var reached = staged(edges.select(col("src"), col("dst"), lit(1L).as("hops")))
+    var frontier = reached
+    var round = 1
+    var done = false
+    while (!done && round < maxHops) {
+      val next = staged(
+        frontier.as("f")
+          .join(edges.as("e"), col("f.dst") === col("e.src"))
+          .select(col("f.src").as("src"), col("e.dst").as("dst"), (col("f.hops") + 1L).as("hops"))
+          .where(col("src") =!= col("dst"))
+          .distinct()
+          .join(reached, Seq("src", "dst"), "left_anti")
+      )
+      if (next.isEmpty) done = true
+      else {
+        reached = staged(reached.unionByName(next))
+        frontier = next
+      }
+      round += 1
+    }
+    reached
+  }
+
+  /** Degree-mixing matrix over the distinct directed self-loop-free
+    * edge set: every edge bucketed by
+    * (⌊log2 out-degree(src)⌋, ⌊log2 in-degree(dst)⌋) → edge count — the
+    * bounded (≤ 64×64) joint degree-degree distribution from which
+    * degree assortativity is computed EXACTLY downstream. Shipping the
+    * raw moment sums instead would be webgraph-unsafe: Σ(x·y) over 1e12
+    * edges with 1e8-degree hubs needs more than 38 digits, while every
+    * bucket count here is ≤ the edge count (Long-safe by construction).
+    * Buckets use length(bin(d)) − 1 — pure integer log2, no float
+    * boundary drift against the oracle.
+    *
+    * Scale shape: two entity-keyed joins of the edge table against the
+    * two node-sized degree tables, then a partial-aggregated count into
+    * at most 64×64 groups (map-side combine collapses everything before
+    * the one tiny exchange).
+    */
+  def degreeMixing(triples: DataFrame): DataFrame = {
+    val ed = triples.select("subject", "obj").distinct()
+      .where(col("subject") =!= col("obj"))
+    val outDeg = ed.groupBy(col("subject").as("v")).agg(count(lit(1)).as("dout"))
+    val inDeg = ed.groupBy(col("obj").as("v")).agg(count(lit(1)).as("din"))
+    ed.join(outDeg.select(col("v").as("subject"), col("dout")), "subject")
+      .join(inDeg.select(col("v").as("obj"), col("din")), "obj")
+      .select(
+        (length(bin(col("dout"))) - 1).cast("bigint").as("out_bucket"),
+        (length(bin(col("din"))) - 1).cast("bigint").as("in_bucket")
+      )
+      .groupBy("out_bucket", "in_bucket")
+      .agg(count(lit(1)).as("n_edges"))
   }
 
   /** Deterministic random-walk corpus over the undirected collapsed

@@ -950,6 +950,80 @@ object Queries {
       "SELECT uni.entity, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles FROM uni " +
       "LEFT JOIN (SELECT entity, count(*) AS cnt FROM x GROUP BY entity) c ON c.entity = uni.entity"
 
+  /** Per-entity local clustering coefficient in integer permille
+    * (Analytics.clusteringCoefficient) — neighborhood closure next to
+    * the raw triangle count. The oracle replays the identical
+    * degree-ordered triangle orientation plus the HUGEINT-widened
+    * permille division.
+    */
+  val kgClustering: Q = (s, dir) =>
+    Analytics.clusteringCoefficient(triples(s, dir))
+
+  val kgClusteringSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr), " +
+      "nb AS (SELECT subject AS v, obj AS u FROM ed WHERE subject <> obj " +
+      "UNION SELECT obj, subject FROM ed WHERE subject <> obj), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY v), " +
+      "pe AS (SELECT nb.v, nb.u, da.d AS da, db.d AS db FROM nb " +
+      "JOIN deg da ON da.v = nb.v JOIN deg db ON db.v = nb.u WHERE nb.v < nb.u), " +
+      "o AS (SELECT CASE WHEN da < db OR (da = db AND v < u) THEN v ELSE u END AS src, " +
+      "CASE WHEN da < db OR (da = db AND v < u) THEN u ELSE v END AS dst, " +
+      "CASE WHEN da < db OR (da = db AND v < u) THEN db ELSE da END AS ddst FROM pe), " +
+      "wg AS (SELECT x.src AS tu, x.dst AS tv, y.dst AS tw FROM o x JOIN o y " +
+      "ON x.src = y.src AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))), " +
+      "t AS (SELECT tu, tv, tw FROM wg WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wg.tv AND o.dst = wg.tw)), " +
+      "x AS (SELECT unnest([tu, tv, tw]) AS entity FROM t), " +
+      "uni AS (SELECT DISTINCT v AS entity FROM nb), " +
+      "tc AS (SELECT uni.entity, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles FROM uni " +
+      "LEFT JOIN (SELECT entity, count(*) AS cnt FROM x GROUP BY entity) c ON c.entity = uni.entity) " +
+      "SELECT tc.entity, deg.d AS degree, tc.triangles, " +
+      "CAST(CASE WHEN deg.d >= 2 THEN (CAST(tc.triangles AS HUGEINT) * 2000) " +
+      "// (CAST(deg.d AS HUGEINT) * (deg.d - 1)) ELSE 0 END AS BIGINT) AS lcc_permille " +
+      "FROM tc JOIN deg ON deg.v = tc.entity"
+
+  /** Bounded-depth transitive closure over the corpus's most frequent
+    * predicate (Analytics.transitiveClosure) — the hierarchy-closure
+    * primitive. Oracle unrolls the frontier expansion with min-hops
+    * grouping per round, mirroring level-order BFS exactly.
+    */
+  val kgTransitive: Q = (s, dir) =>
+    Analytics.transitiveClosure(triples(s, dir), maxHops = 4)
+
+  val kgTransitiveSql: String = {
+    val maxHops = 4
+    val base = TokenRules.Sql.withTriples +
+      ", pr AS (SELECT predicate FROM tr GROUP BY predicate ORDER BY count(*) DESC, predicate LIMIT 1), " +
+      "e AS MATERIALIZED (SELECT DISTINCT subject AS src, obj AS dst FROM tr " +
+      "WHERE subject <> obj AND predicate = (SELECT predicate FROM pr)), " +
+      "r1 AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM e)"
+    val steps = (2 to maxHops).map { i =>
+      s"r$i AS MATERIALIZED (SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops FROM (" +
+        s"SELECT src, dst, hops FROM r${i - 1} UNION ALL " +
+        s"SELECT r.src, e.dst, r.hops + 1 AS hops FROM r${i - 1} r JOIN e ON e.src = r.dst " +
+        "WHERE r.src <> e.dst) GROUP BY src, dst)"
+    }.mkString(", ", ", ", " ")
+    base + steps + s"SELECT src, dst, hops FROM r$maxHops"
+  }
+
+  /** Joint log2-degree mixing matrix over the distinct directed edge set
+    * (Analytics.degreeMixing) — the bounded table degree assortativity
+    * is computed from exactly, instead of webgraph-unsafe moment sums.
+    */
+  val kgDegreeMixing: Q = (s, dir) =>
+    Analytics.degreeMixing(triples(s, dir))
+
+  val kgDegreeMixingSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
+      "od AS (SELECT subject AS v, count(*) AS dout FROM ed GROUP BY subject), " +
+      "idg AS (SELECT obj AS v, count(*) AS din FROM ed GROUP BY obj) " +
+      "SELECT CAST(length(bin(od.dout)) - 1 AS BIGINT) AS out_bucket, " +
+      "CAST(length(bin(idg.din)) - 1 AS BIGINT) AS in_bucket, " +
+      "CAST(count(*) AS BIGINT) AS n_edges " +
+      "FROM ed JOIN od ON od.v = ed.subject JOIN idg ON idg.v = ed.obj " +
+      "GROUP BY 1, 2"
+
   val kgKcore: Q = (s, dir) =>
     Analytics.kCore(triples(s, dir), k = 3)
 
@@ -1580,6 +1654,9 @@ object Queries {
     "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
+    "kg_clustering" -> kgClustering,
+    "kg_transitive" -> kgTransitive,
+    "kg_degree_mixing" -> kgDegreeMixing,
     "kg_kcore" -> kgKcore,
     "kg_harmonic" -> kgHarmonic,
     "kg_sssp" -> kgSssp,
@@ -1652,6 +1729,9 @@ object Queries {
     "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
+    "kg_clustering" -> kgClusteringSql,
+    "kg_transitive" -> kgTransitiveSql,
+    "kg_degree_mixing" -> kgDegreeMixingSql,
     "kg_kcore" -> kgKcoreSql,
     "kg_harmonic" -> kgHarmonicSql,
     "kg_sssp" -> kgSsspSql,

@@ -148,6 +148,58 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("clusteringCoefficient: permille closure per node, pendant gets 0") {
+    // triangle a-b-c plus pendant c-d: a,b close fully (2·1/(2·1)=1000);
+    // c has degree 3, one triangle -> 2000/(3·2)=333; d degree 1 -> 0
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"), ("c", "r", "d"))
+    val got = Analytics.clusteringCoefficient(tr).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 1L, 1000L)),
+      "b" -> ((2L, 1L, 1000L)),
+      "c" -> ((3L, 1L, 333L)),
+      "d" -> ((1L, 0L, 0L))
+    ))
+  }
+
+  test("clusteringCoefficient: K4 is fully closed everywhere") {
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
+    val tr = triplesDf(k4.map { case (s, o) => (s, "r", o) }: _*)
+    val got = Analytics.clusteringCoefficient(tr).collect()
+    assert(got.length == 4 && got.forall(r => r.getLong(3) == 1000L))
+  }
+
+  test("transitiveClosure: min hops along a chain, depth-capped") {
+    // chain a->b->c->d->e->f on the dominant predicate; maxHops 4 means
+    // (a,f) at distance 5 is NOT emitted; a shortcut a->c keeps min hops
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "f")
+    val tr = triplesDf((chain.map { case (s, o) => (s, "p", o) } :+ (("a", "p", "c"))): _*)
+    val got = Analytics.transitiveClosure(tr, maxHops = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("a", "b")) == 1L && got(("a", "c")) == 1L)
+    assert(got(("a", "d")) == 2L && got(("a", "e")) == 3L && got(("a", "f")) == 4L)
+    assert(got(("b", "f")) == 4L && !got.contains(("f", "a")))
+  }
+
+  test("transitiveClosure: follows only the most frequent predicate, drops self-pairs") {
+    // p wins the frequency vote (2 vs 1); the q edge must not bridge;
+    // the p-cycle a->b->a produces (a,b) and (b,a) but no (a,a)/(b,b)
+    val tr = triplesDf(("a", "p", "b"), ("b", "p", "a"), ("b", "q", "z"))
+    val got = Analytics.transitiveClosure(tr).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "a") -> 1L))
+  }
+
+  test("degreeMixing: log2 buckets over the star-plus-edge graph") {
+    // hub h -> x1..x4 (out-degree 4 -> bucket 2, each xi in-degree 1 ->
+    // bucket 0); plus x1 -> x2 (out 1 -> bucket 0, x2 in-degree 2 -> bucket 1)
+    val es = (1 to 4).map(i => ("h", "r", s"x$i")) :+ (("x1", "r", "x2"))
+    val tr = triplesDf(es: _*)
+    val got = Analytics.degreeMixing(tr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((2L, 0L) -> 3L, (2L, 1L) -> 1L, (0L, 1L) -> 1L))
+  }
+
   test("kCore: 3-core of K4 plus pendant chain is exactly the K4") {
     val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
     val chain = Seq("d" -> "e", "e" -> "f")
