@@ -639,14 +639,18 @@ object Analytics {
     * Buckets use length(bin(d)) − 1 — pure integer log2, no float
     * boundary drift against the oracle.
     *
-    * Scale shape: two entity-keyed joins of the edge table against the
-    * two node-sized degree tables, then a partial-aggregated count into
-    * at most 64×64 groups (map-side combine collapses everything before
-    * the one tiny exchange).
+    * Scale shape: the distinct edge set is checkpoint-staged ONCE (three
+    * references: both degree aggregates and the probe side — unstaged,
+    * each replays the full extraction lineage), then two entity-keyed
+    * joins against the two node-sized degree tables and a
+    * partial-aggregated count into at most 64×64 groups (map-side
+    * combine collapses everything before the one tiny exchange).
     */
   def degreeMixing(triples: DataFrame): DataFrame = {
-    val ed = triples.select("subject", "obj").distinct()
-      .where(col("subject") =!= col("obj"))
+    val ed = graft.util.Materialize.stage(
+      triples.select("subject", "obj").distinct()
+        .where(col("subject") =!= col("obj"))
+    )
     val outDeg = ed.groupBy(col("subject").as("v")).agg(count(lit(1)).as("dout"))
     val inDeg = ed.groupBy(col("obj").as("v")).agg(count(lit(1)).as("din"))
     ed.join(outDeg.select(col("v").as("subject"), col("dout")), "subject")
