@@ -606,6 +606,41 @@ object Dedup {
           .as("keep")
       )
 
+  /** Soft dedup: per-document sampling weight in permille instead of a
+    * hard keep/drop — every member of a duplicate cluster of size s gets
+    * weight 1000 div s (singletons 1000), so a training sampler sees
+    * each duplicated CONTENT with total mass ~1000 regardless of how
+    * many near-copies the crawl captured, without discarding the
+    * per-copy variation a hard keep list throws away (the
+    * RefinedWeb/Gopher-style alternative to [[nearDupKeep]]). Output:
+    * (doc_id, group_size, weight_permille) for every input document.
+    *
+    * Shape at scale: the group table (the small duplicate subset) is
+    * staged once — its size aggregate and the corpus join both read the
+    * checkpoint; the per-group size table is cluster-count-sized and
+    * AQE-broadcastable; everything upstream is the banded-LSH + CC
+    * shape documented on [[minhashGroups]].
+    */
+  def softWeights(
+      docs: DataFrame,
+      thetaPct: Int = 90,
+      seeds: Int = 16,
+      bands: Int = 8,
+      cap: Int = DefaultLeadCap
+  ): DataFrame = {
+    val grp = graft.util.Materialize.stage(minhashGroups(docs, thetaPct, seeds, bands, cap))
+    val sz = grp.groupBy("dup_group").agg(count(lit(1)).as("group_size"))
+    docs
+      .select(col("doc_id"))
+      .join(grp, Seq("doc_id"), "left")
+      .join(sz, Seq("dup_group"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"),
+        expr("CAST(1000 div coalesce(group_size, CAST(1 AS BIGINT)) AS BIGINT)").as("weight_permille")
+      )
+  }
+
   val SimhashBits = 16
 
   /** 16-bit SimHash per document over the token multiset. Bit j of a

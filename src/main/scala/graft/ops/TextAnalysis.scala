@@ -346,6 +346,78 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(byRank).cast("long"))
   }
 
+  /** Zipf frequency spectrum of the corpus vocabulary: for each log2
+    * occurrence bucket (⌊log2 f⌋ via length(bin(f)) − 1 — the same pure
+    * integer log2 as the degree-mixing matrix), the number of distinct
+    * words whose corpus frequency lands in it and their total
+    * occurrence mass. The spectrum is the whole-vocabulary complement
+    * of [[vocabTopK]]'s head sample: its slope is the Zipf exponent, a
+    * singleton-heavy tail (bucket 0) flags OCR noise / boilerplate
+    * churn, a fat head flags template dominance — standard corpus
+    * pathology checks before tokenizer training.
+    *
+    * Shape at scale: one token-keyed partial-agg exchange (the vocab
+    * count), then a second partial agg into ≤ 64 buckets — the final
+    * exchange carries at most 64 rows per map task. No windows, no
+    * joins.
+    */
+  def zipfSpectrum(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TokenRules.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("f"))
+      .select((length(bin(col("f"))) - 1).cast("bigint").as("freq_bucket"), col("f"))
+      .groupBy("freq_bucket")
+      .agg(count(lit(1)).as("n_words"), sum(col("f")).cast("bigint").as("occurrences"))
+
+  /** Heaps'-law vocabulary-growth curve: at every power-of-two doc_id
+    * checkpoint p (docs with doc_id < p), the cumulative document
+    * count, token count and DISTINCT-word count. Sub-linear distinct
+    * growth is the expected Heaps regime; a curve that stays near-linear
+    * flags an id-correlated corpus (e.g. crawl shards with disjoint
+    * vocabularies) — the capacity-planning input for tokenizer and
+    * vocab sizing. Checkpoints key off doc_id VALUES, so the rule is
+    * stable under re-partitioning and needs no global row ordering.
+    *
+    * Shape at scale: each word's FIRST-occurrence doc (one token-keyed
+    * partial-agg exchange — min doc_id) maps to the first checkpoint
+    * containing it (length(bin(f)) — integer ceil-log2); per-doc token
+    * counts fold into the same ≤ 64 buckets in a zero-join scan. Both
+    * bucket tables and the checkpoint spine (sequence-exploded from the
+    * 1-row max-id aggregate) are ≤ 64 rows, so the cumulative window
+    * runs over ≤ 64 rows on one partition by construction.
+    */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    // first checkpoint exponent containing doc d: 0 for d=0 (p=1),
+    // floor(log2 d)+1 = length(bin(d)) otherwise
+    def ckExp(c: Column): Column =
+      when(c === 0L, lit(0L)).otherwise(length(bin(c)).cast("bigint"))
+    val spine = docs
+      .agg(max(col("doc_id")).as("mx"))
+      .select(explode(sequence(lit(0L), ckExp(col("mx")))).as("k"))
+    val newWords = docs
+      .select(col("doc_id"), explode(TokenRules.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(min(col("doc_id")).as("f"))
+      .groupBy(ckExp(col("f")).as("k"))
+      .agg(count(lit(1)).as("nw"))
+    val docStats = docs
+      .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+      .groupBy(ckExp(col("doc_id")).as("k"))
+      .agg(count(lit(1)).as("nd"), sum(size(col("toks"))).cast("bigint").as("nt"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(newWords, Seq("k"), "left")
+      .join(docStats, Seq("k"), "left")
+      .select(
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))").as("checkpoint"),
+        sum(coalesce(col("nd"), lit(0L))).over(w).as("n_docs"),
+        sum(coalesce(col("nt"), lit(0L))).over(w).as("cum_tokens"),
+        sum(coalesce(col("nw"), lit(0L))).over(w).as("distinct_words")
+      )
+  }
+
   /** Cross-domain contamination matrix: for every source pair, the
     * number of shared distinct 8-token grams and the gram-set Jaccard
     * (integer pct) — the standard measure of inter-domain duplication

@@ -1260,6 +1260,57 @@ object OpsQueries {
       "FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id LEFT JOIN tot ON tot.doc_id = d.doc_id " +
       "GROUP BY d.doc_id"
 
+  /** Soft-dedup sampling weights (Dedup.softWeights): weight_permille =
+    * 1000 div near-dup cluster size for every document — the oracle
+    * composes the shared MinHash pair CTEs + the CC walk with a size
+    * aggregate and the corpus left join.
+    */
+  val dedupWeights: Q = (s, dir) => Dedup.softWeights(docs(s, dir), thetaPct = 90)
+
+  val dedupWeightsSql: String =
+    s"WITH RECURSIVE $minhashPairCtes, " +
+      "e AS (SELECT a AS src, b AS dst FROM mhp UNION SELECT b, a FROM mhp), " +
+      "gnodes AS (SELECT DISTINCT src AS node FROM e), " +
+      "walk(node, label) AS (SELECT node, node FROM gnodes " +
+      "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node), " +
+      "grp AS (SELECT node AS doc_id, min(label) AS dup_group FROM walk GROUP BY node), " +
+      "sz AS (SELECT dup_group, CAST(count(*) AS BIGINT) AS group_size FROM grp GROUP BY dup_group) " +
+      "SELECT d.doc_id, coalesce(sz.group_size, CAST(1 AS BIGINT)) AS group_size, " +
+      "CAST(1000 // coalesce(sz.group_size, 1) AS BIGINT) AS weight_permille " +
+      "FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id " +
+      "LEFT JOIN sz ON sz.dup_group = grp.dup_group"
+
+  /** Zipf frequency spectrum (TextAnalysis.zipfSpectrum): log2-bucketed
+    * frequency-of-frequencies over the corpus vocabulary.
+    */
+  val textZipf: Q = (s, dir) => TextAnalysis.zipfSpectrum(docs(s, dir))
+
+  val textZipfSql: String =
+    "WITH tkx AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents), " +
+      "c AS (SELECT token, count(*) AS f FROM tkx GROUP BY token) " +
+      "SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS freq_bucket, " +
+      "CAST(count(*) AS BIGINT) AS n_words, CAST(sum(f) AS BIGINT) AS occurrences " +
+      "FROM c GROUP BY 1"
+
+  /** Heaps'-law vocabulary growth (TextAnalysis.heapsCurve): cumulative
+    * doc/token/distinct-word counts at power-of-two doc_id checkpoints.
+    */
+  val textHeaps: Q = (s, dir) => TextAnalysis.heapsCurve(docs(s, dir))
+
+  val textHeapsSql: String =
+    s"WITH $toksCte, " +
+      "mx AS (SELECT max(doc_id) AS mx FROM documents), " +
+      "spine AS (SELECT unnest(range(0, (CASE WHEN mx = 0 THEN 0 ELSE length(bin(mx)) END) + 1)) AS k FROM mx), " +
+      "fw AS (SELECT token, min(doc_id) AS f FROM (SELECT doc_id, unnest(toks) AS token FROM tk) GROUP BY token), " +
+      "nw AS (SELECT CASE WHEN f = 0 THEN 0 ELSE length(bin(f)) END AS k, count(*) AS nw FROM fw GROUP BY 1), " +
+      "ds AS (SELECT CASE WHEN doc_id = 0 THEN 0 ELSE length(bin(doc_id)) END AS k, count(*) AS nd, sum(len(toks)) AS nt FROM tk GROUP BY 1) " +
+      "SELECT CAST(CAST(1 AS BIGINT) << CAST(spine.k AS INT) AS BIGINT) AS checkpoint, " +
+      "CAST(sum(coalesce(nd, 0)) OVER w AS BIGINT) AS n_docs, " +
+      "CAST(sum(coalesce(nt, 0)) OVER w AS BIGINT) AS cum_tokens, " +
+      "CAST(sum(coalesce(nw, 0)) OVER w AS BIGINT) AS distinct_words " +
+      "FROM spine LEFT JOIN nw ON nw.k = spine.k LEFT JOIN ds ON ds.k = spine.k " +
+      "WINDOW w AS (ORDER BY spine.k)"
+
   // ----- registry -----
 
   val all: Map[String, Q] = Map(
@@ -1329,7 +1380,10 @@ object OpsQueries {
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
     "multimodal_features" -> multimodalFeatures,
-    "multimodal_phash" -> multimodalPhash
+    "multimodal_phash" -> multimodalPhash,
+    "dedup_weights" -> dedupWeights,
+    "text_zipf" -> textZipf,
+    "text_heaps" -> textHeaps
   )
 
   val oracles: Map[String, String] = Map(
@@ -1399,6 +1453,9 @@ object OpsQueries {
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_features" -> multimodalFeaturesSql,
-    "multimodal_phash" -> multimodalPhashSql
+    "multimodal_phash" -> multimodalPhashSql,
+    "dedup_weights" -> dedupWeightsSql,
+    "text_zipf" -> textZipfSql,
+    "text_heaps" -> textHeapsSql
   )
 }

@@ -1024,6 +1024,27 @@ object Queries {
       "FROM ed JOIN od ON od.v = ed.subject JOIN idg ON idg.v = ed.obj " +
       "GROUP BY 1, 2"
 
+  /** Directed 3-node motif census (Analytics.motifCensus): reciprocal
+    * dyads, feed-forward loops and 3-cycles, each counted once.
+    */
+  val kgMotifs: Q = (s, dir) =>
+    Analytics.motifCensus(triples(s, dir))
+
+  val kgMotifsSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS MATERIALIZED (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
+      "recip AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ed x WHERE x.subject < x.obj " +
+      "AND EXISTS (SELECT 1 FROM ed y WHERE y.subject = x.obj AND y.obj = x.subject)), " +
+      "w AS MATERIALIZED (SELECT e1.subject AS a, e1.obj AS b, e2.obj AS c " +
+      "FROM ed e1 JOIN ed e2 ON e1.obj = e2.subject WHERE e1.subject <> e2.obj), " +
+      "ffl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w " +
+      "WHERE EXISTS (SELECT 1 FROM ed z WHERE z.subject = w.a AND z.obj = w.c)), " +
+      "cyc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w WHERE a < b AND a < c " +
+      "AND EXISTS (SELECT 1 FROM ed z WHERE z.subject = w.c AND z.obj = w.a)) " +
+      "SELECT 'recip' AS motif, n FROM recip " +
+      "UNION ALL SELECT 'ffl' AS motif, n FROM ffl " +
+      "UNION ALL SELECT 'cycle' AS motif, n FROM cyc"
+
   val kgKcore: Q = (s, dir) =>
     Analytics.kCore(triples(s, dir), k = 3)
 
@@ -1657,6 +1678,7 @@ object Queries {
     "kg_clustering" -> kgClustering,
     "kg_transitive" -> kgTransitive,
     "kg_degree_mixing" -> kgDegreeMixing,
+    "kg_motifs" -> kgMotifs,
     "kg_kcore" -> kgKcore,
     "kg_harmonic" -> kgHarmonic,
     "kg_sssp" -> kgSssp,
@@ -1732,6 +1754,7 @@ object Queries {
     "kg_clustering" -> kgClusteringSql,
     "kg_transitive" -> kgTransitiveSql,
     "kg_degree_mixing" -> kgDegreeMixingSql,
+    "kg_motifs" -> kgMotifsSql,
     "kg_kcore" -> kgKcoreSql,
     "kg_harmonic" -> kgHarmonicSql,
     "kg_sssp" -> kgSsspSql,

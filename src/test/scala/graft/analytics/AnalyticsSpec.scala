@@ -600,6 +600,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("p", "q", 2L, 3L, 2L, 666L)))
   }
 
+  test("motifCensus: one of each motif, parallel predicates collapse") {
+    val tr = triplesDf(
+      ("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c"), // ffl
+      ("a", "q", "b"), // parallel predicate — same distinct edge
+      ("d", "r", "e"), ("e", "r", "d"), // reciprocal dyad
+      ("f", "r", "g"), ("g", "r", "h"), ("h", "r", "f") // 3-cycle, once
+    )
+    val got = Analytics.motifCensus(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("recip" -> 1L, "ffl" -> 1L, "cycle" -> 1L))
+  }
+
+  test("motifCensus: midFanoutCap drops hub-mid wedges only") {
+    val tr = triplesDf(
+      ("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c"), // mid b: 1·1 = 1
+      ("x1", "r", "m"), ("x2", "r", "m"), // hub mid m: in 2 · out 2 = 4
+      ("m", "r", "y1"), ("m", "r", "y2"),
+      ("x1", "r", "y1") // shortcut → ffl through m
+    )
+    val off = Analytics.motifCensus(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(off("ffl") == 2L)
+    val capped = Analytics.motifCensus(tr, midFanoutCap = 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(capped("ffl") == 1L) // the b-mid FFL survives, the m-mid one is capped away
+  }
+
   test("graphDiff plan shape: one exchange, no join operator") {
     val oldT = triplesDf(("a", "r", "b"))
     val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))

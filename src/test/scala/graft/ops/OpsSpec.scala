@@ -1077,4 +1077,37 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(uncapped.map(r => (r.getLong(0), r.getLong(2))).toSet == Set((100L, 0L)))
     assert(uncapped.head.getLong(1) == 1L) // min base partner
   }
+
+  test("softWeights: cluster mass splits in permille, singletons keep 1000") {
+    val txt = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (0L, txt), (1L, txt), // exact near-dup pair → cluster of 2
+      (2L, "zebra quark mamba lantern onyx")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = Dedup.softWeights(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 2L, 500L), (1L, 2L, 500L), (2L, 1L, 1000L)))
+  }
+
+  test("zipfSpectrum: log2 frequency-of-frequencies over the vocab") {
+    val d = Seq((0L, "a a a b b c"), (1L, "a c d")).toDF("doc_id", "text")
+    // f: a=4 b=2 c=2 d=1 → bucket 2: (1 word, 4 occ); 1: (2, 4); 0: (1, 1)
+    val got = TextAnalysis.zipfSpectrum(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 1L, 4L), (1L, 2L, 4L), (0L, 1L, 1L)))
+  }
+
+  test("heapsCurve: cumulative vocab growth at power-of-two checkpoints") {
+    val d = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "c d"), (3L, "d e"), (4L, "a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.heapsCurve(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 1L, 2L, 2L), // docs {0}: 2 tokens, words {a,b}
+      (2L, 2L, 4L, 3L), // + doc 1: +c
+      (4L, 4L, 8L, 5L), // + docs 2,3: +d,e
+      (8L, 5L, 9L, 5L) // + doc 4: no new words
+    ))
+  }
 }
