@@ -886,6 +886,33 @@ object Analytics {
       )
   }
 
+  /** Community quotient (condensed) graph over the LPA partition: each
+    * community becomes a supernode; every distinct directed entity edge
+    * contributes one count to its (src_comm, dst_comm) superedge —
+    * cross-community edges become inter-supernode edges, intra-community
+    * edges the supernode's self-loop weight (the standard condensation
+    * convention, so no edge mass is lost). The summarization graph a KG
+    * browser renders when the full graph is too large to draw — and the
+    * first level of multilevel layout/partitioning at webgraph scale.
+    * Output: (src_comm, dst_comm, n_edges).
+    *
+    * Shape at scale: the label table is staged once (two entity-keyed
+    * equi-join references — AQE handles hub skew), then one
+    * partial-aggregated exchange on the (src_comm, dst_comm) key whose
+    * cardinality is bounded by communities², not edges.
+    */
+  def condenseGraph(triples: DataFrame, iterations: Int = 4): DataFrame = {
+    val lab = graft.util.Materialize.stage(labelPropagation(triples, iterations))
+    triples
+      .select("subject", "obj")
+      .distinct()
+      .where(col("subject") =!= col("obj"))
+      .join(lab.select(col("entity").as("subject"), col("community").as("src_comm")), "subject")
+      .join(lab.select(col("entity").as("obj"), col("community").as("dst_comm")), "obj")
+      .groupBy("src_comm", "dst_comm")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
   /** Negative-sample generation for KG-embedding training (the corrupt-
     * triple pass TransE-family trainers run over the graph): each triple
     * (s, p, o) is paired with a pseudo-random OTHER object of the same

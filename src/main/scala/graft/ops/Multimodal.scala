@@ -147,6 +147,70 @@ object Multimodal {
     * per-payload total window and the bit-sum aggregate that follows
     * on the same partitioning.
     */
+  /** Media near-duplicate pairs: every payload pair whose perceptual
+    * hashes differ in at most `maxHamming` of the 16 bits — the
+    * image/audio analogue of SimHash text near-dup, and the dedup pass
+    * a multimodal training pipeline runs after [[perceptualHash]].
+    * Output: (a, b, hamming) with a < b.
+    *
+    * Shape at scale: the SAME pigeonhole band argument as text SimHash —
+    * split 16 bits into nBands ≥ maxHamming + 1 bands; any pair within
+    * the budget agrees exactly on ≥ 1 band (lossless), so candidates
+    * come from an equi-join on (band, band value), never an all-pairs
+    * bit_count theta-join. CAVEAT: pair output is inherently quadratic
+    * in each hash-collision class — on payloads whose byte histograms
+    * barely differ (e.g. same-generator text bytes) the 16-bit aHash
+    * collapses to a handful of values and this emits ~all pairs. Run it
+    * on corpora where the hash discriminates (real image/audio bytes);
+    * for a bounded-output verdict on ANY corpus use [[phashDedup]],
+    * which is what the driver registry exercises.
+    */
+  def nearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 2, bins: Int = 16): DataFrame = {
+    require(maxHamming < bins, s"maxHamming must be < $bins")
+    val nBands = (1 to bins).filter(bins % _ == 0).find(_ >= maxHamming + 1).get
+    val bandBits = bins / nBands
+    val mask = (1 << bandBits) - 1
+    val banded = perceptualHash(media, bins).select(
+      col("doc_id"),
+      col("phash"),
+      posexplode(
+        array((0 until nBands).map(b => expr(s"(phash >> ${b * bandBits}) & $mask")): _*)
+      ).as(Seq("band", "bval"))
+    )
+    val l = banded.select(col("band"), col("bval"), col("doc_id").as("a"), col("phash").as("pa"))
+    val r = banded.select(col("band"), col("bval"), col("doc_id").as("b"), col("phash").as("pb"))
+    l.join(r, Seq("band", "bval"))
+      .where(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .distinct()
+  }
+
+  /** Exact perceptual-hash dedup verdict: payloads indistinguishable
+    * under the 16-bin aHash collapse to the group's min doc_id — the
+    * coarse O(n) pre-filter a multimodal pipeline runs BEFORE any
+    * pairwise verification (and the safe registry form of
+    * [[nearDupPairs]]: output is one row per payload no matter how
+    * degenerate the hash distribution gets). Output:
+    * (doc_id, dup_of, keep).
+    *
+    * Shape at scale: the phash table is staged once (group aggregate +
+    * join probe both read the checkpoint); the representative table has
+    * one row per distinct hash and joins back on the hash key — a hot
+    * hash value is ONE group row, never a pair explosion.
+    */
+  def phashDedup(media: Dataset[MediaRow], bins: Int = 16): DataFrame = {
+    val ph = graft.util.Materialize.stage(perceptualHash(media, bins))
+    val rep = ph.groupBy("phash").agg(min(col("doc_id")).as("dup_of"))
+    ph.join(rep, Seq("phash"))
+      .select(
+        col("doc_id"),
+        col("dup_of"),
+        when(col("doc_id") === col("dup_of"), 1L).otherwise(0L).as("keep")
+      )
+  }
+
   def perceptualHash(media: Dataset[MediaRow], bins: Int = 16): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     extractFeatures(media, bins)

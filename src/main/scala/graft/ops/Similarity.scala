@@ -177,6 +177,34 @@ object Similarity {
       )
   }
 
+  /** Inter-class centroid separation: exact squared L2 distance between
+    * every label-centroid pair (label_a < label_b) in quantized-unit² —
+    * read next to [[centroidSpread]]'s intra-class scatter it gives the
+    * Fisher-style separation ratio an embedding-collapse monitor
+    * tracks (inter-distance shrinking toward intra-spread = the space
+    * is folding). Output: (label_a, label_b, centroid_d2).
+    *
+    * Shape at scale: everything downstream of the centroid aggregate
+    * operates on the labels×dims table (tiny); the pair join is an
+    * equi-join on dim with the staged centroid table on both sides —
+    * labels² × dims intermediate rows, independent of corpus size.
+    */
+  def centroidSeparation(embeddings: DataFrame): DataFrame = {
+    val cent = graft.util.Materialize.stage(centroids(embeddings))
+    cent.as("a")
+      .join(
+        cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label")
+      )
+      .select(
+        col("a.label").as("label_a"),
+        col("b.label").as("label_b"),
+        (col("a.cval") - col("b.cval")).as("d")
+      )
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("d") * col("d")).as("centroid_d2"))
+  }
+
   val Planes = 8
 
   /** Deterministic integer hyperplane weight for (plane j, dim d) —

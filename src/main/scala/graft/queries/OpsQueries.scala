@@ -538,6 +538,17 @@ object OpsQueries {
       "CAST(sum((e.x - c.cval) * (e.x - c.cval)) AS BIGINT) AS spread_d2 " +
       "FROM exd e JOIN cen c ON c.label = e.label AND c.dim = e.dim GROUP BY e.label"
 
+  /** Inter-class centroid separation (Similarity.centroidSeparation):
+    * exact squared L2 distance between every label-centroid pair.
+    */
+  val embSeparation: Q = (s, dir) => Similarity.centroidSeparation(emb(s, dir))
+
+  val embSeparationSql: String =
+    s"WITH $centroidCtes " +
+      "SELECT a.label AS label_a, b.label AS label_b, " +
+      "CAST(sum((a.cval - b.cval) * (a.cval - b.cval)) AS BIGINT) AS centroid_d2 " +
+      "FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2"
+
   /** Bigram LM table — top-5 continuations per head word with integer
     * conditional probability and collocation lift
     * (TextAnalysis.lmBigrams); the oracle replays the identical
@@ -1250,15 +1261,35 @@ object OpsQueries {
   val multimodalPhash: Q = (s, dir) =>
     Multimodal.perceptualHash(Multimodal.mediaTable(docs(s, dir)))
 
-  val multimodalPhashSql: String =
-    "WITH b AS (SELECT doc_id, (ord(substr(text, CAST(i AS INT), 1)) * 16) // 256 AS bin " +
+  private val phashCtes: String =
+    "b AS (SELECT doc_id, (ord(substr(text, CAST(i AS INT), 1)) * 16) // 256 AS bin " +
       "FROM documents CROSS JOIN UNNEST(range(1, strlen(text) + 1)) AS t(i)), " +
       "c AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), " +
-      "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1) " +
-      "SELECT d.doc_id, CAST(coalesce(sum(CASE WHEN 16 * c.n > tot.total " +
+      "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1), " +
+      "ph AS (SELECT d.doc_id, CAST(coalesce(sum(CASE WHEN 16 * c.n > tot.total " +
       "THEN (CAST(1 AS BIGINT) << CAST(c.bin AS INT)) ELSE 0 END), 0) AS BIGINT) AS phash " +
       "FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id LEFT JOIN tot ON tot.doc_id = d.doc_id " +
-      "GROUP BY d.doc_id"
+      "GROUP BY d.doc_id)"
+
+  val multimodalPhashSql: String =
+    s"WITH $phashCtes SELECT doc_id, phash FROM ph"
+
+  /** Exact-pHash media dedup verdict (Multimodal.phashDedup): O(n)
+    * output per corpus regardless of hash-collision structure — the
+    * registry form of the media near-dup family (the banded pair
+    * emitter Multimodal.nearDupPairs is sbt-tested; its pair output is
+    * quadratic per collision class, which this fixture's degenerate
+    * byte histograms would make ~all-pairs).
+    */
+  val multimodalDedup: Q = (s, dir) =>
+    Multimodal.phashDedup(Multimodal.mediaTable(docs(s, dir)))
+
+  val multimodalDedupSql: String =
+    s"WITH $phashCtes, " +
+      "rep AS (SELECT phash, min(doc_id) AS dup_of FROM ph GROUP BY phash) " +
+      "SELECT ph.doc_id, rep.dup_of, " +
+      "CAST(CASE WHEN ph.doc_id = rep.dup_of THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+      "FROM ph JOIN rep ON rep.phash = ph.phash"
 
   /** Soft-dedup sampling weights (Dedup.softWeights): weight_permille =
     * 1000 div near-dup cluster size for every document — the oracle
@@ -1383,7 +1414,9 @@ object OpsQueries {
     "multimodal_phash" -> multimodalPhash,
     "dedup_weights" -> dedupWeights,
     "text_zipf" -> textZipf,
-    "text_heaps" -> textHeaps
+    "text_heaps" -> textHeaps,
+    "multimodal_dedup" -> multimodalDedup,
+    "emb_separation" -> embSeparation
   )
 
   val oracles: Map[String, String] = Map(
@@ -1456,6 +1489,8 @@ object OpsQueries {
     "multimodal_phash" -> multimodalPhashSql,
     "dedup_weights" -> dedupWeightsSql,
     "text_zipf" -> textZipfSql,
-    "text_heaps" -> textHeapsSql
+    "text_heaps" -> textHeapsSql,
+    "multimodal_dedup" -> multimodalDedupSql,
+    "emb_separation" -> embSeparationSql
   )
 }

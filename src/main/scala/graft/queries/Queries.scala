@@ -1610,6 +1610,26 @@ object Queries {
       "FROM sz LEFT JOIN inn ON inn.community = sz.community LEFT JOIN crx ON crx.community = sz.community"
   }
 
+  /** Community quotient graph (Analytics.condenseGraph): one supernode
+    * per LPA community, distinct-edge counts per community pair
+    * (intra-community mass lands on the supernode self-loop) — the
+    * oracle composes the unrolled LPA rounds with two label joins over
+    * the same distinct directed edge set.
+    */
+  val kgCondense: Q = (s, dir) =>
+    Analytics.condenseGraph(triples(s, dir), iterations = lpaRounds)
+
+  val kgCondenseSql: String = {
+    val lpaIdx = kgCommunitiesSql.indexOf("SELECT v AS entity")
+    val ctes = kgCommunitiesSql.substring(0, lpaIdx)
+    ctes +
+      s", lab AS (SELECT v AS entity, label AS community FROM l$lpaRounds) " +
+      "SELECT la.community AS src_comm, lb.community AS dst_comm, " +
+      "CAST(count(*) AS BIGINT) AS n_edges " +
+      "FROM ed e JOIN lab la ON la.entity = e.subject JOIN lab lb ON lb.entity = e.obj " +
+      "GROUP BY 1, 2"
+  }
+
   /** Deterministic negative samples for KG-embedding training
     * (Analytics.negativeSamples): within-relation tail corruption via a
     * seeded md5 shuffle, wrap-around pairing, and a filtered anti-join
@@ -1687,6 +1707,7 @@ object Queries {
     "kg_negatives" -> kgNegatives,
     "kg_communities" -> kgCommunities,
     "kg_comm_stats" -> kgCommStats,
+    "kg_condense" -> kgCondense,
     "events_sessions" -> eventsSessions,
     "events_funnel" -> eventsFunnel,
     "events_cohorts" -> eventsCohorts,
@@ -1763,6 +1784,7 @@ object Queries {
     "kg_negatives" -> kgNegativesSql,
     "kg_communities" -> kgCommunitiesSql,
     "kg_comm_stats" -> kgCommStatsSql,
+    "kg_condense" -> kgCondenseSql,
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_cohorts" -> eventsCohortsSql,

@@ -627,6 +627,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(capped("ffl") == 1L) // the b-mid FFL survives, the m-mid one is capped away
   }
 
+  test("condenseGraph: quotient counts match the LPA partition exactly") {
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+      ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+      ("a2", "b1"), ("b2", "a1"),
+      ("a2", "b1"), // duplicate edge — must not double count
+      // isolated pair: sync LPA's 2-node oscillation lands them in
+      // DIFFERENT communities after an even round count, guaranteeing
+      // at least one cross-community edge in the fixture
+      ("c1", "c2")
+    )
+    val tr = triplesDf(edges.map { case (s, o) => (s, "r", o) }: _*)
+    val labels = Analytics.labelPropagation(tr, iterations = 4).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // recompute the quotient from the labels over the distinct edge set
+    // (intra-community edges land on the supernode self-loop)
+    val expected = edges.distinct
+      .map { case (s, o) => (labels(s), labels(o)) }
+      .groupBy(identity)
+      .map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSet
+    val got = Analytics.condenseGraph(tr, iterations = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // fixture sanity: the quotient must have both a cross edge and a self-loop
+    assert(expected.exists { case (a, b, _) => a != b })
+    assert(expected.exists { case (a, b, _) => a == b })
+    assert(got == expected)
+  }
+
   test("graphDiff plan shape: one exchange, no join operator") {
     val oldT = triplesDf(("a", "r", "b"))
     val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))

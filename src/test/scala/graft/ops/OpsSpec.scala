@@ -135,6 +135,61 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(spread == Set((0L, 2L, 10000L), (1L, 1L, 0L)))
   }
 
+  test("centroidSeparation: exact pairwise centroid distance squared") {
+    val fx = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    // centroids: l0 = (50, 50), l1 = (90, 10), l2 = (0, 0)
+    val got = Similarity.centroidSeparation(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, 1L, 40L * 40 + 40L * 40), // (50-90)² + (50-10)²
+      (0L, 2L, 50L * 50 + 50L * 50),
+      (1L, 2L, 90L * 90 + 10L * 10)
+    ))
+  }
+
+  test("multimodal nearDupPairs: banded pairs equal the all-pairs hamming rule") {
+    val base = "the quick brown fox jumps over the lazy dog " * 10
+    val media = Seq(
+      (1L, base, "s"), (2L, base + "!", "s"), // near-identical payloads
+      (3L, "completely different payload bytes zebra quark", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = Multimodal.nearDupPairs(Multimodal.mediaTable(media), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent all-pairs replay from the phash table
+    val ph = Multimodal.perceptualHash(Multimodal.mediaTable(media)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- ph.keys; b <- ph.keys if a < b
+      h = java.lang.Long.bitCount(ph(a) ^ ph(b)).toLong if h <= 2
+    } yield (a, b, h)).toSet
+    assert(expected.nonEmpty) // the near-identical pair must qualify
+    assert(got == expected)
+  }
+
+  test("phashDedup: exact-hash groups collapse to min doc_id, O(n) rows") {
+    val base = "the quick brown fox jumps over the lazy dog " * 10
+    val media = Seq(
+      (1L, base, "s"), (2L, base, "s"), // identical payloads → same phash
+      (3L, "completely different payload bytes zebra quark", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = Multimodal.phashDedup(Multimodal.mediaTable(media)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ph = Multimodal.perceptualHash(Multimodal.mediaTable(media)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = ph.map { case (id, h) =>
+      val rep = ph.collect { case (i2, h2) if h2 == h => i2 }.min
+      (id, rep, if (id == rep) 1L else 0L)
+    }.toSet
+    assert(got == expected)
+    assert(got.size == 3L) // one verdict row per payload
+    assert(got.contains((2L, 1L, 0L))) // the identical pair collapses
+  }
+
   test("rrfSearch: fusion replays from engine BM25 ranks + independent cosine") {
     val query = "spark join merge"
     val bm25 = TextAnalysis.bm25(docs, query, k = Int.MaxValue).collect()
