@@ -449,6 +449,29 @@ object Analytics {
     reached
   }
 
+  /** Seed eccentricity profile over the undirected collapsed graph:
+    * for each of the deterministic BFS seeds, the maximum finite
+    * distance reached (its eccentricity — each one a diameter lower
+    * bound), the reachable-node count, and the summed distance (whose
+    * ratio to n_reached is the seed's mean shortest-path length) — the
+    * standard small-world / effective-diameter audit run from a seed
+    * sample because the exact all-pairs version is quadratic. Output:
+    * (seed, ecc, n_reached, sum_dist), self excluded.
+    *
+    * Shape at scale: exactly [[bfsDistances]]'s frontier BFS (nSeeds×
+    * nodes state, one equi-join per level, constant-depth staged
+    * plans), folded by one tiny per-seed aggregate.
+    */
+  def seedEccentricity(triples: DataFrame, nSeeds: Int = 8, maxRounds: Int = 10): DataFrame =
+    bfsDistances(triples, nSeeds, maxRounds)
+      .where(col("dist") >= 1L)
+      .groupBy("seed")
+      .agg(
+        max(col("dist")).as("ecc"),
+        count(lit(1)).as("n_reached"),
+        sum(col("dist")).cast("bigint").as("sum_dist")
+      )
+
   def harmonicCentrality(triples: DataFrame, nSeeds: Int = 8, maxRounds: Int = 10): DataFrame =
     bfsDistances(triples, nSeeds, maxRounds)
       .where(col("dist") >= 1L)

@@ -641,6 +641,35 @@ object Dedup {
       )
   }
 
+  /** Duplicate-cluster size spectrum: for every near-dup cluster size s
+    * (singletons included as s = 1), how many documents and clusters
+    * the corpus holds at that size — the one-page "how duplicated is
+    * this crawl" profile (mass in s = 1 → clean corpus; a fat tail →
+    * template farms) read before choosing hard-keep vs soft-weight
+    * dedup. n_clusters = n_docs div s exactly, since every cluster of
+    * size s contributes s member rows. Output:
+    * (group_size, n_docs, n_clusters).
+    *
+    * Shape at scale: [[softWeights]]'s banded-LSH + CC machinery, then
+    * one partial-aggregated exchange into at most max-cluster-size
+    * groups.
+    */
+  def clusterSizeProfile(
+      docs: DataFrame,
+      thetaPct: Int = 90,
+      seeds: Int = 16,
+      bands: Int = 8,
+      cap: Int = DefaultLeadCap
+  ): DataFrame =
+    softWeights(docs, thetaPct, seeds, bands, cap)
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        col("group_size"),
+        col("n_docs"),
+        expr("n_docs div group_size").as("n_clusters")
+      )
+
   val SimhashBits = 16
 
   /** 16-bit SimHash per document over the token multiset. Bit j of a

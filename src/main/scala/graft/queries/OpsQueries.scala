@@ -1311,6 +1311,18 @@ object OpsQueries {
       "FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id " +
       "LEFT JOIN sz ON sz.dup_group = grp.dup_group"
 
+  /** Duplicate-cluster size spectrum (Dedup.clusterSizeProfile):
+    * documents and clusters per near-dup cluster size, singletons
+    * included — the oracle wraps the weights statement as a derived
+    * table and folds it.
+    */
+  val dedupSizes: Q = (s, dir) => Dedup.clusterSizeProfile(docs(s, dir), thetaPct = 90)
+
+  val dedupSizesSql: String =
+    s"SELECT group_size, CAST(count(*) AS BIGINT) AS n_docs, " +
+      s"CAST(count(*) // group_size AS BIGINT) AS n_clusters " +
+      s"FROM ($dedupWeightsSql) GROUP BY group_size"
+
   /** Zipf frequency spectrum (TextAnalysis.zipfSpectrum): log2-bucketed
     * frequency-of-frequencies over the corpus vocabulary.
     */
@@ -1416,7 +1428,8 @@ object OpsQueries {
     "text_zipf" -> textZipf,
     "text_heaps" -> textHeaps,
     "multimodal_dedup" -> multimodalDedup,
-    "emb_separation" -> embSeparation
+    "emb_separation" -> embSeparation,
+    "dedup_sizes" -> dedupSizes
   )
 
   val oracles: Map[String, String] = Map(
@@ -1491,6 +1504,7 @@ object OpsQueries {
     "text_zipf" -> textZipfSql,
     "text_heaps" -> textHeapsSql,
     "multimodal_dedup" -> multimodalDedupSql,
-    "emb_separation" -> embSeparationSql
+    "emb_separation" -> embSeparationSql,
+    "dedup_sizes" -> dedupSizesSql
   )
 }

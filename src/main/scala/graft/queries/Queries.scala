@@ -1096,6 +1096,22 @@ object Queries {
       s"CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro FROM r$rounds WHERE dist >= 1 GROUP BY node"
   }
 
+  /** Seed eccentricity profile (Analytics.seedEccentricity): per-seed
+    * max finite distance, reach count and distance mass over the same
+    * 8-seed BFS as kg_harmonic — the oracle reuses the unrolled BFS
+    * rounds with a per-seed fold.
+    */
+  val kgEcc: Q = (s, dir) =>
+    Analytics.seedEccentricity(triples(s, dir), nSeeds = 8)
+
+  val kgEccSql: String = {
+    val cut = kgHarmonicSql.indexOf("SELECT node AS entity")
+    kgHarmonicSql.substring(0, cut) +
+      "SELECT seed, CAST(max(dist) AS BIGINT) AS ecc, " +
+      "CAST(count(*) AS BIGINT) AS n_reached, CAST(sum(dist) AS BIGINT) AS sum_dist " +
+      "FROM r8 WHERE dist >= 1 GROUP BY seed"
+  }
+
   /** Single-source shortest-path distances (Analytics.bfsDistances with
     * one seed): (entity, dist) for every node within 8 undirected hops
     * of the deterministic (md5, value)-first seed — the frontier-BFS
@@ -1701,6 +1717,7 @@ object Queries {
     "kg_motifs" -> kgMotifs,
     "kg_kcore" -> kgKcore,
     "kg_harmonic" -> kgHarmonic,
+    "kg_ecc" -> kgEcc,
     "kg_sssp" -> kgSssp,
     "kg_walks" -> kgWalks,
     "kg_walk_cooc" -> kgWalkCooc,
@@ -1778,6 +1795,7 @@ object Queries {
     "kg_motifs" -> kgMotifsSql,
     "kg_kcore" -> kgKcoreSql,
     "kg_harmonic" -> kgHarmonicSql,
+    "kg_ecc" -> kgEccSql,
     "kg_sssp" -> kgSsspSql,
     "kg_walks" -> kgWalksSql,
     "kg_walk_cooc" -> kgWalkCoocSql,

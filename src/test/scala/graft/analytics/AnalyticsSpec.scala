@@ -656,6 +656,18 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("seedEccentricity: per-seed max/count/sum over BFS distances") {
+    // path a-b-c-d; all four nodes become seeds (nSeeds covers them)
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
+    val got = Analytics.seedEccentricity(tr, nSeeds = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // ends see (1,2,3): ecc 3, sum 6; middles see (1,1,2): ecc 2, sum 4
+    assert(got == Set(
+      ("a", 3L, 3L, 6L), ("d", 3L, 3L, 6L),
+      ("b", 2L, 3L, 4L), ("c", 2L, 3L, 4L)
+    ))
+  }
+
   test("graphDiff plan shape: one exchange, no join operator") {
     val oldT = triplesDf(("a", "r", "b"))
     val newT = triplesDf(("a", "r", "b"), ("b", "r", "c"))

@@ -1144,6 +1144,19 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((0L, 2L, 500L), (1L, 2L, 500L), (2L, 1L, 1000L)))
   }
 
+  test("clusterSizeProfile: docs and clusters per size, singletons at 1") {
+    val txt = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val txt2 = (100 to 120).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, txt), (1L, txt), (2L, txt), // cluster of 3
+      (3L, txt2), (4L, txt2), // cluster of 2
+      (5L, "zebra quark mamba lantern onyx") // singleton
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = Dedup.clusterSizeProfile(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 3L, 1L), (2L, 2L, 1L), (1L, 1L, 1L)))
+  }
+
   test("zipfSpectrum: log2 frequency-of-frequencies over the vocab") {
     val d = Seq((0L, "a a a b b c"), (1L, "a c d")).toDF("doc_id", "text")
     // f: a=4 b=2 c=2 d=1 → bucket 2: (1 word, 4 occ); 1: (2, 4); 0: (1, 1)
