@@ -1451,6 +1451,28 @@ object Queries {
       "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
       "FROM events e JOIN f ON f.user_id = e.user_id GROUP BY 1, 2"
 
+  /** Growth-accounting lifecycle (EventsStream.lifecycle): per-day
+    * new/retained/resurrected/churned user counts with a 7-day gap
+    * rule; churn is only counted once confirmed (return after the gap,
+    * or the gap fully elapsed inside the corpus).
+    */
+  val eventsLifecycle: Q = (s, dir) =>
+    graft.streaming.EventsStream.lifecycle(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsLifecycleSql: String =
+    "WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "fl AS (SELECT user_id, day, lag(day) OVER w AS prev, lead(day) OVER w AS nxt FROM act " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY day)), " +
+      "mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events), " +
+      "a AS (SELECT day, CASE WHEN prev IS NULL THEN 'new' " +
+      "WHEN date_diff('day', prev, day) > 7 THEN 'resurrected' " +
+      "ELSE 'retained' END AS status FROM fl), " +
+      "c AS (SELECT day + 1 AS day, 'churned' AS status FROM fl, mx " +
+      "WHERE (nxt IS NOT NULL AND date_diff('day', day, nxt) > 7) " +
+      "OR (nxt IS NULL AND date_diff('day', day, max_day) >= 7)) " +
+      "SELECT day, status, CAST(count(*) AS BIGINT) AS n_users " +
+      "FROM (SELECT * FROM a UNION ALL SELECT * FROM c) GROUP BY 1, 2"
+
   /** As-of join — each purchase gets the user's prevailing view event
     * (ops.Temporal.asofJoin); the oracle replays the identical
     * union-and-window merge with the same (ts, side, event_id) total
@@ -1728,6 +1750,7 @@ object Queries {
     "events_sessions" -> eventsSessions,
     "events_funnel" -> eventsFunnel,
     "events_cohorts" -> eventsCohorts,
+    "events_lifecycle" -> eventsLifecycle,
     "events_asof" -> eventsAsof,
     "events_range_join" -> eventsRangeJoin,
     "conv_flatten" -> convFlatten,
@@ -1806,6 +1829,7 @@ object Queries {
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_cohorts" -> eventsCohortsSql,
+    "events_lifecycle" -> eventsLifecycleSql,
     "events_asof" -> eventsAsofSql,
     "events_range_join" -> eventsRangeJoinSql,
     "conv_flatten" -> convFlattenSql,

@@ -438,6 +438,48 @@ object EventsStream {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Growth-accounting lifecycle table: for every calendar day, how
+    * many users were `new` (first-ever active day), `retained` (active
+    * within `gapDays` of their previous active day), `resurrected`
+    * (active after a gap longer than `gapDays`) or `churned` (counted
+    * the day AFTER their last activity, once the gap is confirmed —
+    * either they came back later, or `gapDays` have elapsed before the
+    * corpus's last day, so end-of-data is never misread as churn). The
+    * standard DAU decomposition a growth dashboard reads. Output:
+    * (day, status, n_users).
+    *
+    * Shape at scale: one distinct (user, day) exchange, then per-user
+    * lag/lead windows whose partitions are bounded by calendar days —
+    * never by event volume; the corpus max-day is a 1-row broadcast
+    * (the same scalar crossJoin pattern as kg_stats).
+    */
+  def lifecycle(events: DataFrame, gapDays: Int = 7): DataFrame = {
+    val act = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val flagged = act
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+    val active = flagged.select(
+      col("day"),
+      when(col("prev").isNull, lit("new"))
+        .when(datediff(col("day"), col("prev")) > gapDays, lit("resurrected"))
+        .otherwise(lit("retained"))
+        .as("status")
+    )
+    val maxDay = events.agg(max(to_date(col("ts"))).as("max_day"))
+    val churned = flagged
+      .crossJoin(maxDay)
+      .where(
+        (col("nxt").isNotNull && datediff(col("nxt"), col("day")) > gapDays) ||
+          (col("nxt").isNull && datediff(col("max_day"), col("day")) >= gapDays)
+      )
+      .select(date_add(col("day"), 1).as("day"), lit("churned").as("status"))
+    active
+      .unionByName(churned)
+      .groupBy("day", "status")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Stream-stream bounded-range join — Structured Streaming's
     * canonical hard case: probe and target events arrive as (possibly
     * the same) unbounded streams; emit (probe, target) pairs whose

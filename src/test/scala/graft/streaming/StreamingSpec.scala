@@ -648,4 +648,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .toSet
     assert(got == Set(("a", "2024-02-05", 100L, 10L, 0L, 90L)))
   }
+
+  test("lifecycle: new/retained/resurrected plus confirmed-only churn") {
+    // user 1: 02-01 (new), 02-03 (retained, gap 2), 02-15 (resurrected,
+    //   gap 12 > 7 — which also confirms churn on 02-04); final day is
+    //   the corpus max so their trailing gap is unconfirmed -> no churn.
+    // user 2: 02-01 only; 14 days elapse before corpus end -> churned 02-02.
+    // user 3: 02-14 only; 1 day before corpus end -> gap unconfirmed, no churn.
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 09:00:00")),
+      (1L, Timestamp.valueOf("2024-02-01 11:00:00")), // same-day dup: one active day
+      (1L, Timestamp.valueOf("2024-02-03 09:00:00")),
+      (1L, Timestamp.valueOf("2024-02-15 09:00:00")),
+      (2L, Timestamp.valueOf("2024-02-01 09:00:00")),
+      (3L, Timestamp.valueOf("2024-02-14 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventsStream.lifecycle(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-02-01", "new", 2L),
+      ("2024-02-03", "retained", 1L),
+      ("2024-02-15", "resurrected", 1L),
+      ("2024-02-04", "churned", 1L),
+      ("2024-02-02", "churned", 1L),
+      ("2024-02-14", "new", 1L)
+    ))
+  }
 }
