@@ -448,34 +448,41 @@ object EventsStream {
     * standard DAU decomposition a growth dashboard reads. Output:
     * (day, status, n_users).
     *
-    * Shape at scale: one distinct (user, day) exchange, then per-user
-    * lag/lead windows whose partitions are bounded by calendar days —
-    * never by event volume; the corpus max-day is a 1-row broadcast
-    * (the same scalar crossJoin pattern as kg_stats).
+    * Shape at scale: ONE distinct (user, day) exchange and ONE per-user
+    * lag/lead window (partitions bounded by calendar days, never event
+    * volume) produce BOTH the activity status and the confirmed-churn
+    * entry via an array-explode — a union of two windowed branches
+    * would plan the scan+distinct+sort subtree twice. The corpus
+    * max-day is a 1-row broadcast (the same scalar crossJoin pattern
+    * as kg_stats).
     */
   def lifecycle(events: DataFrame, gapDays: Int = 7): DataFrame = {
     val act = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val w = Window.partitionBy("user_id").orderBy("day")
-    val flagged = act
+    val maxDay = events.agg(max(to_date(col("ts"))).as("max_day"))
+    val status = when(col("prev").isNull, lit("new"))
+      .when(datediff(col("day"), col("prev")) > gapDays, lit("resurrected"))
+      .otherwise(lit("retained"))
+    val churnConfirmed =
+      (col("nxt").isNotNull && datediff(col("nxt"), col("day")) > gapDays) ||
+        (col("nxt").isNull && datediff(col("max_day"), col("day")) >= gapDays)
+    act
       .withColumn("prev", lag(col("day"), 1).over(w))
       .withColumn("nxt", lead(col("day"), 1).over(w))
-    val active = flagged.select(
-      col("day"),
-      when(col("prev").isNull, lit("new"))
-        .when(datediff(col("day"), col("prev")) > gapDays, lit("resurrected"))
-        .otherwise(lit("retained"))
-        .as("status")
-    )
-    val maxDay = events.agg(max(to_date(col("ts"))).as("max_day"))
-    val churned = flagged
       .crossJoin(maxDay)
-      .where(
-        (col("nxt").isNotNull && datediff(col("nxt"), col("day")) > gapDays) ||
-          (col("nxt").isNull && datediff(col("max_day"), col("day")) >= gapDays)
+      .select(
+        explode(filter(
+          array(
+            struct(col("day").as("day"), status.as("status")),
+            struct(
+              date_add(col("day"), 1).as("day"),
+              when(churnConfirmed, lit("churned")).as("status")
+            )
+          ),
+          e => e.getField("status").isNotNull
+        )).as("e")
       )
-      .select(date_add(col("day"), 1).as("day"), lit("churned").as("status"))
-    active
-      .unionByName(churned)
+      .select(col("e.day").as("day"), col("e.status").as("status"))
       .groupBy("day", "status")
       .agg(count(lit(1)).as("n_users"))
   }
