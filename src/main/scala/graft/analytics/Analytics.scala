@@ -936,6 +936,74 @@ object Analytics {
       .agg(count(lit(1)).as("n_edges"))
   }
 
+  /** Newman modularity of the LPA partition over the distinct
+    * undirected edge set — the single scalar that says whether the
+    * community structure is real (Q ≫ 0) or noise (Q ≈ 0), the
+    * accept/reject gate a clustering pipeline reads before trusting
+    * per-community rollups. Q = Σ_c (e_c/m − (d_c/2m)²) with e_c =
+    * intra-community edges, d_c = degree mass of community c, m =
+    * total undirected edges; reported in exact integer permille via
+    * the common-denominator identity Q·4m² = 4m·Σe_c − Σd_c². The
+    * numerator is clamped at 0 BEFORE the division so integer
+    * truncation (Spark DECIMAL DIV) and floor (DuckDB HUGEINT //)
+    * agree — synchronous-LPA partitions can in principle go negative,
+    * and the clamped form is the documented rule on both sides.
+    * Output: one row (n_edges, n_communities, n_internal, q_permille).
+    *
+    * Shape at scale: reuses the staged LPA label table (two
+    * entity-keyed equi-joins over the distinct least/greatest edge
+    * set — AQE handles hub skew), then a community-keyed
+    * partial-aggregated exchange (bounded by community count) folded
+    * into a 1-row aggregate. d_c² and 4m² widen to DECIMAL(38,0)
+    * (HUGEINT in the oracle): a webgraph community of 10^9 degree
+    * mass squares past Long without wrapping.
+    */
+  def modularity(triples: DataFrame, iterations: Int = 4): DataFrame = {
+    val lab = graft.util.Materialize.stage(labelPropagation(triples, iterations))
+    val ed = triples
+      .select(
+        least(col("subject"), col("obj")).as("a"),
+        greatest(col("subject"), col("obj")).as("b")
+      )
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val labeled = ed
+      .join(lab.select(col("entity").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("entity").as("b"), col("community").as("cb")), "b")
+    // per community: internal edge count and degree mass (2·internal + cross)
+    val per = labeled
+      .select(
+        explode(
+          array(
+            struct(col("ca").as("community"), lit(1L).as("d"), when(col("ca") === col("cb"), 1L).otherwise(0L).as("in")),
+            struct(col("cb").as("community"), lit(1L).as("d"), lit(0L).as("in"))
+          )
+        ).as("e")
+      )
+      .select("e.*")
+      .groupBy("community")
+      .agg(sum(col("d")).as("deg"), sum(col("in")).as("internal"))
+    per
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("internal")).as("n_internal"),
+        // m = Σd_c div 2 (integer — Σd_c is even by construction; never
+        // float division, which loses exactness past 2^53)
+        expr("sum(deg) div 2").as("m"),
+        sum(expr("CAST(deg AS DECIMAL(38,0)) * deg")).as("dsq")
+      )
+      .select(
+        col("m").as("n_edges"),
+        col("n_communities"),
+        col("n_internal"),
+        expr(
+          "CAST(greatest(CAST(0 AS DECIMAL(38,0)), " +
+            "4000 * CAST(m AS DECIMAL(38,0)) * n_internal - 1000 * dsq) DIV " +
+            "(4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
+        ).as("q_permille")
+      )
+  }
+
   /** Negative-sample generation for KG-embedding training (the corrupt-
     * triple pass TransE-family trainers run over the graph): each triple
     * (s, p, o) is paired with a pseudo-random OTHER object of the same

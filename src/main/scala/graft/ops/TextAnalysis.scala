@@ -87,6 +87,43 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens")
     )
 
+  /** Flesch–Kincaid-style readability grade in exact integer milli
+    * units — the grade-level curriculum signal (order easy → hard)
+    * computed without a single float: with w = words, s = sentences
+    * (clamped ≥ 1 — headline-only docs have no terminator), y =
+    * syllables (vowel-group runs `[aeiouy]+`, clamped ≥ w — every word
+    * has at least one syllable), the FK grade
+    * 0.39·w/s + 11.8·y/w − 15.59, scaled ×1000, becomes the single
+    * rational (390·w² + 11800·y·s − 15590·s·w) / (s·w) — reported as
+    * grade_milli with the numerator clamped at 0 BEFORE the integer
+    * division so truncation (Spark div) and floor (DuckDB //) agree.
+    * Numerator terms stay far inside Long for any document under
+    * ~10^8 tokens. Output:
+    * (doc_id, n_words, n_sentences, n_syllables, grade_milli).
+    *
+    * Shape at scale: one zero-shuffle codegen'd scan — three
+    * RE2-compatible regex counts and integer arithmetic per row,
+    * nothing aggregated.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        size(TokenRules.tokens(col("text"))).cast("long").as("n_words"),
+        greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("n_sentences"),
+        regexp_count(col("text"), lit("[aeiouy]+")).cast("long").as("raw_syll")
+      )
+      .where(col("n_words") > 0)
+      .withColumn("n_syllables", greatest(col("n_words"), col("raw_syll")))
+      .withColumn(
+        "grade_milli",
+        expr(
+          "greatest(0L, 390 * n_words * n_words + 11800 * n_syllables * n_sentences " +
+            "- 15590 * n_sentences * n_words) div (n_sentences * n_words)"
+        )
+      )
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "grade_milli")
+
   /** Token-level n-gram length for benchmark decontamination (the
     * standard 8-token collision rule) and the deterministic eval-split
     * modulus used to synthesise an "eval suite" from the corpus.

@@ -464,6 +464,23 @@ object OpsQueries {
       "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens " +
       "FROM tk JOIN documents USING (doc_id)"
 
+  /** FK-style readability grade (TextAnalysis.readability): the exact
+    * integer rational (390w² + 11800ys − 15590sw) div (sw) with the
+    * numerator clamped at 0 before the division (truncate == floor on
+    * non-negatives, so Spark div and DuckDB // agree).
+    */
+  val textReadability: Q = (s, dir) => TextAnalysis.readability(docs(s, dir))
+
+  val textReadabilitySql: String =
+    s"WITH $toksCte, f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, " +
+      "greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences, " +
+      "CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS raw_syll " +
+      "FROM tk JOIN documents USING (doc_id) WHERE len(toks) > 0), " +
+      "g AS (SELECT doc_id, n_words, n_sentences, greatest(n_words, raw_syll) AS n_syllables FROM f) " +
+      "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+      "CAST(greatest(0, 390 * n_words * n_words + 11800 * n_syllables * n_sentences " +
+      "- 15590 * n_sentences * n_words) // (n_sentences * n_words) AS BIGINT) AS grade_milli FROM g"
+
   /** TF-IDF keyword extraction — top-3 distinctive tokens per document
     * with the integer surrogate score (1000 * tf * N) div df; ties on
     * the token so the per-doc top-k is total-ordered on both sides.
@@ -1377,6 +1394,7 @@ object OpsQueries {
     "text_langid" -> textLangId,
     "text_quality" -> textQuality,
     "text_token_counts" -> textTokenCounts,
+    "text_readability" -> textReadability,
     "text_keywords" -> textKeywords,
     "text_sketch" -> textSketch,
     "text_cms" -> textCms,
@@ -1453,6 +1471,7 @@ object OpsQueries {
     "text_langid" -> textLangIdSql,
     "text_quality" -> textQualitySql,
     "text_token_counts" -> textTokenCountsSql,
+    "text_readability" -> textReadabilitySql,
     "text_keywords" -> textKeywordsSql,
     "text_sketch" -> textSketchSql,
     "text_cms" -> textCmsSql,

@@ -1473,6 +1473,67 @@ object Queries {
       "SELECT day, status, CAST(count(*) AS BIGINT) AS n_users " +
       "FROM (SELECT * FROM a UNION ALL SELECT * FROM c) GROUP BY 1, 2"
 
+  /** RFM quartile segmentation (EventsStream.rfm): recency bucketed by
+    * exact day, frequency/monetary by log2; quartile = ceil(4·cum/n)
+    * over the bucket histogram, r_score inverted. The oracle replays
+    * the identical bucket + cumulative rule.
+    */
+  val eventsRfm: Q = (s, dir) =>
+    graft.streaming.EventsStream.rfm(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsRfmSql: String =
+    "WITH mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events), " +
+      "per AS (SELECT user_id, " +
+      "CAST(date_diff('day', max(CAST(ts AS DATE)), (SELECT max_day FROM mx)) AS BIGINT) AS recency_days, " +
+      "CAST(count(*) AS BIGINT) AS frequency, " +
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS monetary_milli " +
+      "FROM events GROUP BY user_id), " +
+      "b AS (SELECT *, recency_days AS rb, CAST(length(bin(frequency)) AS BIGINT) AS fb, " +
+      "CASE WHEN monetary_milli = 0 THEN 0 ELSE CAST(length(bin(monetary_milli)) AS BIGINT) END AS mb FROM per), " +
+      "n AS (SELECT count(*) AS n FROM per), " +
+      "cr AS (SELECT rb, sum(count(*)) OVER (ORDER BY rb) AS cum FROM b GROUP BY rb), " +
+      "cf AS (SELECT fb, sum(count(*)) OVER (ORDER BY fb) AS cum FROM b GROUP BY fb), " +
+      "cm AS (SELECT mb, sum(count(*)) OVER (ORDER BY mb) AS cum FROM b GROUP BY mb) " +
+      "SELECT b.user_id, b.recency_days, b.frequency, b.monetary_milli, " +
+      "CAST(5 - ((4 * cr.cum + n.n - 1) // n.n) AS BIGINT) AS r_score, " +
+      "CAST((4 * cf.cum + n.n - 1) // n.n AS BIGINT) AS f_score, " +
+      "CAST((4 * cm.cum + n.n - 1) // n.n AS BIGINT) AS m_score " +
+      "FROM b JOIN cr USING (rb) JOIN cf USING (fb) JOIN cm USING (mb) CROSS JOIN n"
+
+  /** First-touch attribution (EventsStream.attribution): each purchase
+    * gets the user's FIRST view in (ts, side, event_id) order plus the
+    * running touch count — the same union-and-window merge as the
+    * as-of join with first_value/count instead of last_value.
+    */
+  val eventsAttribution: Q = (s, dir) =>
+    graft.streaming.EventsStream.attribution(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsAttributionSql: String =
+    "WITH t AS (SELECT user_id, ts, event_id, " +
+      "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side, " +
+      "CASE WHEN event_type = 'view' THEN event_id END AS v_id " +
+      "FROM events WHERE event_type IN ('purchase', 'view')), " +
+      "w AS (SELECT *, " +
+      "first_value(v_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch_id, " +
+      "count(v_id) OVER (PARTITION BY user_id ORDER BY ts, side, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_touches FROM t) " +
+      "SELECT event_id AS probe_id, user_id, first_touch_id, " +
+      "CAST(n_touches AS BIGINT) AS n_touches FROM w WHERE side = 1"
+
+  /** Power-user curve (EventsStream.activityHistogram): log2-bucketed
+    * events-per-user histogram, the activity analogue of
+    * kg_degree_dist.
+    */
+  val eventsActivity: Q = (s, dir) =>
+    graft.streaming.EventsStream.activityHistogram(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsActivitySql: String =
+    "WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1) " +
+      "SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, " +
+      "CAST(CAST(1 AS BIGINT) << CAST(length(bin(n)) - 1 AS INT) AS BIGINT) AS lo, " +
+      "CAST(count(*) AS BIGINT) AS n_users FROM per GROUP BY 1, 2"
+
   /** As-of join — each purchase gets the user's prevailing view event
     * (ops.Temporal.asofJoin); the oracle replays the identical
     * union-and-window merge with the same (ts, side, event_id) total
@@ -1668,6 +1729,33 @@ object Queries {
       "GROUP BY 1, 2"
   }
 
+  /** Newman modularity of the LPA partition (Analytics.modularity):
+    * exact integer permille via Q·4m² = 4m·Σe_c − Σd_c², numerator
+    * clamped at 0 before the division so DECIMAL DIV (truncate) and
+    * HUGEINT // (floor) agree; the oracle composes the unrolled LPA
+    * rounds with the identical per-community degree/internal rollup.
+    */
+  val kgModularity: Q = (s, dir) =>
+    Analytics.modularity(triples(s, dir), iterations = lpaRounds)
+
+  val kgModularitySql: String = {
+    val lpaIdx = kgCommunitiesSql.indexOf("SELECT v AS entity")
+    val ctes = kgCommunitiesSql.substring(0, lpaIdx)
+    ctes +
+      s", lab AS (SELECT v AS entity, label AS community FROM l$lpaRounds), " +
+      "edu AS (SELECT DISTINCT least(subject, obj) AS a, greatest(subject, obj) AS b FROM tr WHERE subject <> obj), " +
+      "lb AS (SELECT e.a, e.b, la.community AS ca, lbj.community AS cb FROM edu e " +
+      "JOIN lab la ON la.entity = e.a JOIN lab lbj ON lbj.entity = e.b), " +
+      "per AS (SELECT community, CAST(sum(d) AS BIGINT) AS deg, CAST(sum(i) AS BIGINT) AS internal FROM " +
+      "(SELECT ca AS community, 1 AS d, CASE WHEN ca = cb THEN 1 ELSE 0 END AS i FROM lb " +
+      "UNION ALL SELECT cb, 1, 0 FROM lb) GROUP BY 1), " +
+      "sc AS (SELECT CAST(count(*) AS BIGINT) AS n_communities, CAST(sum(internal) AS BIGINT) AS n_internal, " +
+      "CAST(sum(deg) // 2 AS BIGINT) AS m, sum(CAST(deg AS HUGEINT) * deg) AS dsq FROM per) " +
+      "SELECT m AS n_edges, n_communities, n_internal, " +
+      "CAST(greatest(CAST(0 AS HUGEINT), 4000 * CAST(m AS HUGEINT) * n_internal - 1000 * dsq) " +
+      "// (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_permille FROM sc"
+  }
+
   /** Deterministic negative samples for KG-embedding training
     * (Analytics.negativeSamples): within-relation tail corruption via a
     * seeded md5 shuffle, wrap-around pairing, and a filtered anti-join
@@ -1747,10 +1835,14 @@ object Queries {
     "kg_communities" -> kgCommunities,
     "kg_comm_stats" -> kgCommStats,
     "kg_condense" -> kgCondense,
+    "kg_modularity" -> kgModularity,
     "events_sessions" -> eventsSessions,
     "events_funnel" -> eventsFunnel,
     "events_cohorts" -> eventsCohorts,
     "events_lifecycle" -> eventsLifecycle,
+    "events_rfm" -> eventsRfm,
+    "events_attribution" -> eventsAttribution,
+    "events_activity" -> eventsActivity,
     "events_asof" -> eventsAsof,
     "events_range_join" -> eventsRangeJoin,
     "conv_flatten" -> convFlatten,
@@ -1826,10 +1918,14 @@ object Queries {
     "kg_communities" -> kgCommunitiesSql,
     "kg_comm_stats" -> kgCommStatsSql,
     "kg_condense" -> kgCondenseSql,
+    "kg_modularity" -> kgModularitySql,
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_cohorts" -> eventsCohortsSql,
     "events_lifecycle" -> eventsLifecycleSql,
+    "events_rfm" -> eventsRfmSql,
+    "events_attribution" -> eventsAttributionSql,
+    "events_activity" -> eventsActivitySql,
     "events_asof" -> eventsAsofSql,
     "events_range_join" -> eventsRangeJoinSql,
     "conv_flatten" -> convFlattenSql,

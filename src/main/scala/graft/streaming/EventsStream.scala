@@ -487,6 +487,141 @@ object EventsStream {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** RFM segmentation — per user: Recency (days from last activity to
+    * the corpus's last day), Frequency (event count), Monetary
+    * (purchase value in exact milli units), each mapped to a quartile
+    * score 1..4 (4 = best: most recent / most active / highest spend).
+    * The standard user-value grid a lifecycle-marketing or sampling
+    * pipeline reads. Quartile rule shared with the oracle:
+    * q = ceil(4·cum/n) over the user's BUCKET, where recency buckets
+    * by exact day, and frequency/monetary by log2 (length(bin(v)); 0
+    * stays 0) — the unbounded dimensions never build a
+    * distinct-value-per-user histogram, so the rank table stays ≤ 64
+    * rows regardless of corpus size. r_score inverts its quartile
+    * (recent = small recency = high score).
+    * Output: (user_id, recency_days, frequency, monetary_milli,
+    * r_score, f_score, m_score).
+    *
+    * Shape at scale: ONE user-keyed partial-aggregated exchange builds
+    * the per-user table (staged once — it feeds three histogram builds
+    * and the final probe); the three cumulative tables are tiny
+    * (≤ n_days / ≤ 64 / ≤ 64 rows) and join back AQE-broadcast; the
+    * corpus max-day is the usual 1-row crossJoin scalar. No global
+    * window ever runs over users.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val maxDay = events.agg(max(to_date(col("ts"))).as("max_day"))
+    val per = graft.util.Materialize.stage(
+      events
+        .groupBy("user_id")
+        .agg(
+          max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("frequency"),
+          sum(
+            when(
+              col("event_type") === "purchase",
+              expr("CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+            ).otherwise(0L)
+          ).as("monetary_milli")
+        )
+        .crossJoin(maxDay)
+        .select(
+          col("user_id"),
+          datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
+          col("frequency"),
+          col("monetary_milli")
+        )
+        .withColumn("rb", col("recency_days"))
+        .withColumn("fb", length(bin(col("frequency"))).cast("long"))
+        .withColumn(
+          "mb",
+          when(col("monetary_milli") === 0L, 0L)
+            .otherwise(length(bin(col("monetary_milli"))).cast("long"))
+        )
+    )
+    val n = per.count()
+    def cumTable(bucket: String): DataFrame =
+      per
+        .groupBy(bucket)
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy(col(bucket))))
+        .select(col(bucket), expr(s"(4 * cum + ${n}L - 1) div ${n}L").as(s"q_$bucket"))
+    per
+      .join(cumTable("rb"), "rb")
+      .join(cumTable("fb"), "fb")
+      .join(cumTable("mb"), "mb")
+      .select(
+        col("user_id"),
+        col("recency_days"),
+        col("frequency"),
+        col("monetary_milli"),
+        (lit(5L) - col("q_rb")).as("r_score"),
+        col("q_fb").as("f_score"),
+        col("q_mb").as("m_score")
+      )
+  }
+
+  /** First-touch attribution — each purchase credited to the user's
+    * FIRST view at-or-before it, with the number of preceding views
+    * (the touch count) alongside: the complement of the as-of join's
+    * last-touch rule, and the other half of any attribution report.
+    * Ties at the same timestamp resolve by the same total order as
+    * asofJoin: (ts, side, event_id) with views (side 0) before
+    * purchases (side 1). Output:
+    * (probe_id, user_id, first_touch_id, n_touches).
+    *
+    * Shape at scale: the identical union-and-window merge as
+    * ops.Temporal.asofJoin — ONE exchange on user_id, one sort, a
+    * running min-struct (first non-null view) plus a running count;
+    * no join operator, so no time-range blow-up, and window
+    * partitions are bounded per user.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val t = events
+      .where(col("event_type").isin("purchase", "view"))
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        when(col("event_type") === "view", col("event_id")).as("v_id")
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.select(
+      col("event_id").as("probe_id"),
+      col("user_id"),
+      first(col("v_id"), ignoreNulls = true).over(w).as("first_touch_id"),
+      count(col("v_id")).over(w).as("n_touches"),
+      col("side")
+    ).where(col("side") === 1)
+      .drop("side")
+  }
+
+  /** Power-user curve: log2-bucketed events-per-user histogram — the
+    * activity analogue of the KG degree distribution, the one-glance
+    * answer to "is engagement heavy-tailed, and how fat is the tail".
+    * Output: (bucket, lo, n_users) where bucket = floor(log2(count))
+    * and lo = 2^bucket, its smallest member.
+    *
+    * Shape at scale: one user-keyed partial-aggregated exchange, then
+    * a ≤ 64-key aggregate — the same two-level shape as
+    * kg_degree_dist; nothing is ever globally sorted.
+    */
+  def activityHistogram(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy((length(bin(col("n"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("lo"),
+        col("n_users")
+      )
+
   /** Stream-stream bounded-range join — Structured Streaming's
     * canonical hard case: probe and target events arrive as (possibly
     * the same) unbounded streams; emit (probe, target) pairs whose

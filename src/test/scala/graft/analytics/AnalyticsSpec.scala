@@ -677,4 +677,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("modularity: two disjoint triangles score exactly Q = 1/2") {
+    // LPA converges to one label per triangle; m = 6, each community
+    // has e_c = 3 internal edges and degree mass d_c = 6, so
+    // Q = 2·(3/6 − (6/12)²) = 0.5 → 500 permille exactly
+    val tr = triplesDf(
+      ("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"),
+      ("d", "r", "e"), ("e", "r", "f"), ("f", "r", "d")
+    )
+    val got = Analytics.modularity(tr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((6L, 2L, 6L, 500L)))
+  }
+
+  test("modularity: single clique clamps at 0 (all mass on one community)") {
+    // one community holding every edge: Q = e/m − (2m/2m)² = 1 − 1 = 0;
+    // the identity's numerator is exactly 0, the clamp keeps it there
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"))
+    val got = Analytics.modularity(tr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((3L, 1L, 3L, 0L)))
+  }
 }

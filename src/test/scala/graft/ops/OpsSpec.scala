@@ -1178,4 +1178,26 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       (8L, 5L, 9L, 5L) // + doc 4: no new words
     ))
   }
+
+  test("readability: exact integer FK rational with both clamps") {
+    val d = Seq(
+      // 10 words ("aa" ×5 interleaved "bb" ×5), one terminator: w=10,
+      // s=1, raw vowel groups 5 < w → syllables clamp to 10;
+      // (390·100 + 11800·10 − 15590·10) div 10 = 1100 div 10 = 110
+      (0L, "aa bb aa bb aa bb aa bb aa bb."),
+      // no terminator → sentence clamp to 1; single word "xxx": w=1,
+      // raw_syll 0 → 1; numerator 390+11800−15590 < 0 → grade 0
+      (1L, "xxx"),
+      // w=2 ("aeiou", "aeiou!"): raw vowel groups 2 (one run each),
+      // s=1; (390·4 + 11800·2·1 − 15590·1·2) div 2 = −6060 → 0
+      (2L, "aeiou aeiou!")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (0L, 10L, 1L, 10L, 110L),
+      (1L, 1L, 1L, 1L, 0L),
+      (2L, 2L, 1L, 2L, 0L)
+    ))
+  }
 }

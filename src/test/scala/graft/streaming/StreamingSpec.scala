@@ -674,4 +674,71 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       ("2024-02-14", "new", 1L)
     ))
   }
+
+  test("rfm: quartiles over day/log2 buckets, r_score inverted") {
+    // max_day = 02-10; four users, one per quartile on each dimension:
+    //   u1: recency 0, freq 1 (fb 1), monetary 0      (mb 0)
+    //   u2: recency 1, freq 2 (fb 2), monetary 1000   (mb 10)
+    //   u3: recency 5, freq 4 (fb 3), monetary 10000  (mb 14)
+    //   u4: recency 9, freq 8 (fb 4), monetary 100000 (mb 17)
+    // n=4, each bucket holds one user → quartile = cum ∈ {1,2,3,4}
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = (
+      Seq((1L, t("2024-02-10 09:00:00"), "view", 0.0)) ++
+        Seq((2L, t("2024-02-09 09:00:00"), "view", 5.0), (2L, t("2024-02-09 10:00:00"), "purchase", 1.0)) ++
+        Seq(
+          (3L, t("2024-02-04 09:00:00"), "view", 0.0), (3L, t("2024-02-05 09:00:00"), "purchase", 4.0),
+          (3L, t("2024-02-05 10:00:00"), "purchase", 6.0), (3L, t("2024-02-05 11:00:00"), "view", 0.0)
+        ) ++
+        (1 to 6).map(h => (4L, t(f"2024-02-01 0$h:00:00"), "view", 0.0)) ++
+        Seq((4L, t("2024-02-01 07:00:00"), "purchase", 50.0), (4L, t("2024-02-01 08:00:00"), "purchase", 50.0))
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = EventsStream.rfm(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 0L, 4L, 1L, 1L),
+      (2L, 1L, 2L, 1000L, 3L, 2L, 2L),
+      (3L, 5L, 4L, 10000L, 2L, 3L, 3L),
+      (4L, 9L, 8L, 100000L, 1L, 4L, 4L)
+    ))
+  }
+
+  test("attribution: first-touch view plus running touch count") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: views 10, 11 then purchases 12, 13 after a third view 14?
+      (10L, 1L, t("2024-02-01 09:00:00"), "view"),
+      (11L, 1L, t("2024-02-01 10:00:00"), "view"),
+      (12L, 1L, t("2024-02-01 11:00:00"), "purchase"),
+      (14L, 1L, t("2024-02-01 12:00:00"), "view"),
+      (13L, 1L, t("2024-02-01 13:00:00"), "purchase"), // 3 touches now
+      // u2: purchase with no views → null first touch, 0 touches
+      (20L, 2L, t("2024-02-01 09:00:00"), "purchase"),
+      // u3: view and purchase at the SAME ts — side orders view first
+      (30L, 3L, t("2024-02-01 09:00:00"), "view"),
+      (31L, 3L, t("2024-02-01 09:00:00"), "purchase"),
+      // non-attributable types are ignored entirely
+      (32L, 3L, t("2024-02-01 08:00:00"), "signup")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventsStream.attribution(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (12L, 1L, Some(10L), 2L),
+      (13L, 1L, Some(10L), 3L),
+      (20L, 2L, None, 0L),
+      (31L, 3L, Some(30L), 1L)
+    ))
+  }
+
+  test("activityHistogram: log2 events-per-user buckets") {
+    val ev = (Seq.fill(1)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(3)(3L) ++ Seq.fill(8)(4L))
+      .map(u => (u, Timestamp.valueOf("2024-02-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventsStream.activityHistogram(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // counts 1→bucket 0; 2,3→bucket 1; 8→bucket 3
+    assert(got == Set((0L, 1L, 1L), (1L, 2L, 2L), (3L, 8L, 1L)))
+  }
 }
