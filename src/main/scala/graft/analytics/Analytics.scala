@@ -482,6 +482,115 @@ object Analytics {
       )
       .select(col("node").as("entity"), col("n_reached"), col("harmonic_micro"))
 
+  /** Approximate betweenness centrality — bounded-depth Brandes from
+    * the same 8 deterministic (md5, value)-first seeds as
+    * kg_harmonic/kg_ecc: the standard sampled estimator (Brandes &
+    * Pich), since exact betweenness is all-pairs and unpayable at
+    * webgraph scale. Per seed: a level-synchronous forward pass counts
+    * shortest paths (σ(v) = Σ σ(u) over dist-(k−1) neighbors), then the
+    * backward dependency accumulation runs level-by-level with the
+    * DECLARED integer rule δ(v) = Σ_w (σ(v)·(1000+δ(w))) div σ(w) —
+    * one floor division per DAG edge, so both engines replay the exact
+    * same integers (the approximation is the seed sample and the depth
+    * bound, never float drift). Output: (entity, bc_milli) over every
+    * node within `rounds` hops of ≥ 1 seed, seeds' own rows excluded
+    * per Brandes; unreached interior nodes never appear.
+    *
+    * Shape at scale: ≤ 2×diameter staged equi-joins at nSeeds×nodes
+    * state (the bfsDistances discipline: stage + fresh-attribute
+    * re-bind per level, constant-depth plans); the forward loop fuses
+    * shell discovery and σ-counting into ONE frontier join per level
+    * and stops at the first empty shell. σ and the δ products widen to
+    * DECIMAL(38,0)/HUGEINT — path counts grow exponentially with depth
+    * and a Long wraps at branching ~230^8. Every join touches one BFS
+    * shell, never the whole reach set.
+    */
+  def betweenness(triples: DataFrame, nSeeds: Int = 8, rounds: Int = 8): DataFrame = {
+    def staged(df: DataFrame): DataFrame = {
+      val m = graft.util.Materialize.stage(df)
+      m.sparkSession.createDataFrame(m.rdd, m.schema)
+    }
+    val nb = staged(undirectedNb(triples))
+    // fused forward pass: ONE frontier loop produces both the BFS shell
+    // membership and the shortest-path counts — the σ sum over a new
+    // node's frontier predecessors IS the level-synchronous Brandes
+    // count (a separate bfsDistances pass would re-run the identical 8
+    // joins just to rediscover the shells), and the loop stops at the
+    // first empty shell instead of scheduling 8−diameter empty jobs.
+    // All column names are pairwise distinct across join inputs, so no
+    // alias resolution ambiguity can silently weaken a join condition.
+    val seeds = nb.select(col("v")).distinct()
+      .orderBy(md5(col("v")), col("v"))
+      .limit(nSeeds)
+      .select(col("v").as("seed"))
+    val sig = scala.collection.mutable.ArrayBuffer[DataFrame](
+      staged(seeds.select(col("seed"), col("seed").as("node"), expr("CAST(1 AS DECIMAL(38,0))").as("sigma")))
+    )
+    var reached = sig(0).select("seed", "node")
+    var depth = 0
+    var growing = true
+    while (growing && depth < rounds) {
+      val nxt = staged(
+        sig(depth)
+          .join(nb, col("node") === col("v"))
+          .groupBy(col("seed"), col("u").as("node"))
+          .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
+          .join(reached, Seq("seed", "node"), "left_anti")
+      )
+      if (nxt.isEmpty) growing = false
+      else {
+        sig += nxt
+        reached = staged(reached.unionByName(nxt.select("seed", "node")))
+        depth += 1
+      }
+    }
+    // backward: dependency accumulation from the deepest non-empty
+    // shell upward; that shell has no successors, so its delta is 0
+    var deltaNext = sig(depth).select(
+      col("seed"),
+      col("node"),
+      expr("CAST(0 AS DECIMAL(38,0))").as("delta")
+    )
+    val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- (depth - 1) to 1 by -1) {
+      val succ = sig(k + 1)
+        .select(col("seed").as("wseed"), col("node").as("w"), col("sigma").as("wsig"))
+      val dlt = deltaNext
+        .select(col("seed").as("dseed"), col("node").as("dnode"), col("delta").as("wdelta"))
+      val dk = staged(
+        sig(k)
+          .join(nb, col("node") === col("v"))
+          .join(succ, col("seed") === col("wseed") && col("u") === col("w"))
+          .join(dlt, col("wseed") === col("dseed") && col("w") === col("dnode"), "left")
+          .select(
+            col("seed"),
+            col("node"),
+            expr("(CAST(sigma AS DECIMAL(38,0)) * (1000 + coalesce(wdelta, 0))) DIV wsig").as("c")
+          )
+          .groupBy("seed", "node")
+          .agg(sum(expr("CAST(c AS DECIMAL(38,0))")).cast("decimal(38,0)").as("delta"))
+      )
+      perLevel += dk
+      deltaNext = dk
+    }
+    val bc = perLevel
+      .reduceOption(_ unionByName _)
+      .map(_.groupBy("node").agg(sum("delta").as("b")))
+      .getOrElse(reached.limit(0).select(col("node"), lit(null).cast("decimal(38,0)").as("b")))
+    // universe = every reached (seed, node) row except each seed's own
+    // dist-0 self row (Brandes excludes v = s; a seed reached by a
+    // DIFFERENT seed still qualifies)
+    reached
+      .where(col("node") =!= col("seed"))
+      .select("node")
+      .distinct()
+      .join(bc, Seq("node"), "left")
+      .select(
+        col("node").as("entity"),
+        expr("CAST(coalesce(b, 0) AS BIGINT)").as("bc_milli")
+      )
+  }
+
   def linkPredict(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
     val nb = graft.util.Materialize.stage(undirectedNb(triples))
     val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))

@@ -424,6 +424,55 @@ object Similarity {
     )
   }
 
+  /** Scalar (SQ8-style) quantization — the memory-tier companion to
+    * [[pqCodes]]: every dimension is affinely mapped to an 8-bit code
+    * against its corpus-wide [min, max] range (the FAISS
+    * ScalarQuantizer rule), and the exact reconstruction error is
+    * reported per vector so an index builder can decide SQ8-vs-PQ per
+    * corpus. All arithmetic is exact-integer over the shared
+    * centi-quantized vectors: code = round(255·(x−mn)/r) as
+    * (510·(x−mn)+r) div (2r), recon = mn + (2·code·r+255) div 510,
+    * both non-negative so truncation == floor across engines; a
+    * constant dimension (r = 0) codes to 0 and reconstructs exactly.
+    * Output: (vec_id, label, code_sum, err_sum_centi, err_max_centi)
+    * — code_sum pins the code assignment itself to the oracle, the
+    * err columns the reconstruction rule.
+    *
+    * Shape at scale: one dimension-keyed partial-aggregated exchange
+    * (≤ dims rows out) folded into a 1-row sorted struct array that
+    * crossJoins back (broadcast — the kg_stats scalar pattern), then
+    * ONE zero-shuffle codegen'd corpus pass does codes + errors
+    * row-locally via zip_with. Two corpus scans total (train + encode)
+    * — the standard SQ shape; nothing per-vector ever shuffles.
+    */
+  def sqCodes(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+    val st = exploded(q)
+      .groupBy("d")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(expr("array_sort(collect_list(struct(d, mn, mx)))").as("st"))
+    // code for one element pair (x, s) — inlined twice below because SQL
+    // lambdas have no let-binding
+    val code = "(CASE WHEN s.mx = s.mn THEN 0L " +
+      "ELSE (510 * (x - s.mn) + (s.mx - s.mn)) div (2 * (s.mx - s.mn)) END)"
+    q.crossJoin(st)
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        expr(
+          s"zip_with(v, st, (x, s) -> struct($code AS c, " +
+            s"abs(x - (s.mn + (2 * $code * (s.mx - s.mn) + 255) div 510)) AS e))"
+        ).as("pe")
+      )
+      .select(
+        col("vec_id"),
+        col("label"),
+        expr("aggregate(pe, 0L, (a, e) -> a + e.c)").as("code_sum"),
+        expr("aggregate(pe, 0L, (a, e) -> a + e.e)").as("err_sum_centi"),
+        expr("aggregate(pe, 0L, (a, e) -> greatest(a, e.e))").as("err_max_centi")
+      )
+  }
+
   /** IVF ANN with TRAINED centroids — the scale path beyond fixed
     * hyperplanes: a deterministic hash-seeded sample of `nCells` vectors
     * is refined by one Lloyd iteration (assign-all → integer-mean

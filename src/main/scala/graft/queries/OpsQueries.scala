@@ -555,6 +555,27 @@ object OpsQueries {
       "CAST(sum((e.x - c.cval) * (e.x - c.cval)) AS BIGINT) AS spread_d2 " +
       "FROM exd e JOIN cen c ON c.label = e.label AND c.dim = e.dim GROUP BY e.label"
 
+  /** SQ8 scalar quantization (Similarity.sqCodes): per-dimension
+    * [min,max] affine 8-bit codes with exact integer reconstruction
+    * error; code and recon divisions are over non-negative terms so
+    * truncate == floor across engines.
+    */
+  val embQuantize: Q = (s, dir) => Similarity.sqCodes(emb(s, dir))
+
+  val embQuantizeSql: String = {
+    val code = "(CASE WHEN mx = mn THEN 0 ELSE (510 * (x - mn) + (mx - mn)) // (2 * (mx - mn)) END)"
+    s"WITH $quantCte, " +
+      "ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+      "generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q), " +
+      "st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d), " +
+      s"pe AS (SELECT vec_id, label, $code AS c, " +
+      s"abs(x - (mn + (2 * $code * (mx - mn) + 255) // 510)) AS e " +
+      "FROM ex JOIN st USING (d)) " +
+      "SELECT vec_id, label, CAST(sum(c) AS BIGINT) AS code_sum, " +
+      "CAST(sum(e) AS BIGINT) AS err_sum_centi, CAST(max(e) AS BIGINT) AS err_max_centi " +
+      "FROM pe GROUP BY vec_id, label"
+  }
+
   /** Inter-class centroid separation (Similarity.centroidSeparation):
     * exact squared L2 distance between every label-centroid pair.
     */
@@ -1447,6 +1468,7 @@ object OpsQueries {
     "text_heaps" -> textHeaps,
     "multimodal_dedup" -> multimodalDedup,
     "emb_separation" -> embSeparation,
+    "emb_quantize" -> embQuantize,
     "dedup_sizes" -> dedupSizes
   )
 
@@ -1524,6 +1546,7 @@ object OpsQueries {
     "text_heaps" -> textHeapsSql,
     "multimodal_dedup" -> multimodalDedupSql,
     "emb_separation" -> embSeparationSql,
+    "emb_quantize" -> embQuantizeSql,
     "dedup_sizes" -> dedupSizesSql
   )
 }

@@ -1138,6 +1138,43 @@ object Queries {
     base + steps + s"SELECT node AS entity, dist FROM r$rounds"
   }
 
+  /** Sampled bounded-depth Brandes betweenness (Analytics.betweenness):
+    * forward shell-synchronous path counting then backward dependency
+    * accumulation with the declared per-edge integer rule
+    * σv·(1000+δw) div σw — the oracle replays the identical shells,
+    * HUGEINT-widened where Spark widens to DECIMAL(38,0).
+    */
+  val kgBetweenness: Q = (s, dir) =>
+    Analytics.betweenness(triples(s, dir), nSeeds = 8, rounds = 8)
+
+  val kgBetweennessSql: String = {
+    val rounds = 8
+    val cut = kgHarmonicSql.indexOf("SELECT node AS entity")
+    val base = kgHarmonicSql.substring(0, cut)
+    val sg0 = s", sg0 AS MATERIALIZED (SELECT seed, node, CAST(1 AS HUGEINT) AS sigma FROM r$rounds WHERE dist = 0)"
+    val sgs = (1 to rounds).map { k =>
+      s"sg$k AS MATERIALIZED (SELECT t.seed, t.node, CAST(sum(t.sigma) AS HUGEINT) AS sigma FROM " +
+        s"(SELECT r.seed, g.u AS node, r.sigma FROM sg${k - 1} r JOIN nbq g ON g.v = r.node) t " +
+        s"JOIN r$rounds dt ON dt.seed = t.seed AND dt.node = t.node AND dt.dist = $k " +
+        "GROUP BY t.seed, t.node)"
+    }.mkString(", ", ", ", "")
+    val dlTop = s", dl$rounds AS (SELECT seed, node, CAST(0 AS HUGEINT) AS delta FROM sg$rounds)"
+    val dls = ((rounds - 1) to 1 by -1).map { k =>
+      s"dl$k AS MATERIALIZED (SELECT s.seed, s.node, " +
+        s"CAST(sum((s.sigma * (1000 + coalesce(d.delta, 0))) // w.sigma) AS HUGEINT) AS delta " +
+        s"FROM sg$k s JOIN nbq g ON g.v = s.node " +
+        s"JOIN sg${k + 1} w ON w.seed = s.seed AND w.node = g.u " +
+        s"LEFT JOIN dl${k + 1} d ON d.seed = s.seed AND d.node = g.u " +
+        "GROUP BY s.seed, s.node)"
+    }.mkString(", ", ", ", "")
+    val alld = ((rounds - 1) to 1 by -1).map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")
+    base + sg0 + sgs + dlTop + dls +
+      s", alld AS ($alld), bc AS (SELECT node, sum(delta) AS b FROM alld GROUP BY node) " +
+      s"SELECT n.node AS entity, CAST(coalesce(bc.b, 0) AS BIGINT) AS bc_milli " +
+      s"FROM (SELECT DISTINCT node FROM r$rounds WHERE dist >= 1) n " +
+      "LEFT JOIN bc ON bc.node = n.node"
+  }
+
   /** Deterministic random-walk corpus (Analytics.randomWalks), 4 steps
     * from every non-isolated node. The oracle unrolls the identical
     * md5-indexed neighbor choice per step, so walks are bit-identical.
@@ -1827,6 +1864,7 @@ object Queries {
     "kg_motifs" -> kgMotifs,
     "kg_kcore" -> kgKcore,
     "kg_harmonic" -> kgHarmonic,
+    "kg_betweenness" -> kgBetweenness,
     "kg_ecc" -> kgEcc,
     "kg_sssp" -> kgSssp,
     "kg_walks" -> kgWalks,
@@ -1910,6 +1948,7 @@ object Queries {
     "kg_motifs" -> kgMotifsSql,
     "kg_kcore" -> kgKcoreSql,
     "kg_harmonic" -> kgHarmonicSql,
+    "kg_betweenness" -> kgBetweennessSql,
     "kg_ecc" -> kgEccSql,
     "kg_sssp" -> kgSsspSql,
     "kg_walks" -> kgWalksSql,

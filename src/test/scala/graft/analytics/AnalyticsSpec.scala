@@ -678,6 +678,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("betweenness: path graph accumulates chain dependencies") {
+    // path a–b–c–d, all 4 nodes are seeds. Per endpoint seed the two
+    // interior nodes take δ = 2000 / 1000; per interior seed the other
+    // interior takes 1000. Totals: interior 4000, endpoints 0.
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
+    val got = Analytics.betweenness(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 0L), ("b", 4000L), ("c", 4000L), ("d", 0L)))
+  }
+
+  test("betweenness: 4-cycle splits sigma across the two shortest paths") {
+    // diamond a–b–d–c–a: every opposite pair has TWO shortest paths, so
+    // each mid node takes (1·(1000+0)) div 2 = 500 per traversal;
+    // by symmetry every node totals 1000
+    val tr = triplesDf(("a", "r", "b"), ("a", "r", "c"), ("b", "r", "d"), ("c", "r", "d"))
+    val got = Analytics.betweenness(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1000L), ("b", 1000L), ("c", 1000L), ("d", 1000L)))
+  }
+
   test("modularity: two disjoint triangles score exactly Q = 1/2") {
     // LPA converges to one label per triangle; m = 6, each community
     // has e_c = 3 internal edges and degree mass d_c = 6, so

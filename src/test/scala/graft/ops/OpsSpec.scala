@@ -1179,6 +1179,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("sqCodes: affine 8-bit codes, rounding error, and the r=0 branch") {
+    // dim 0 spans [0, 1000] centi (r=1000 > 510, so the 255-level grid
+    // is coarser than a centi): 0→code 0, 1→code 0 (recon 0, err 1),
+    // 1000→code 255 (recon exact). dim 1 is CONSTANT (r=0): code 0,
+    // recon mn, err 0 — the degenerate-dimension branch.
+    val e = Seq(
+      (1L, Seq(0.0f, 1.0f), 0),
+      (2L, Seq(0.01f, 1.0f), 0),
+      (3L, Seq(10.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.sqCodes(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 1L, 1L),
+      (3L, 1L, 255L, 0L, 0L)
+    ))
+  }
+
   test("readability: exact integer FK rational with both clamps") {
     val d = Seq(
       // 10 words ("aa" ×5 interleaved "bb" ×5), one terminator: w=10,
