@@ -672,6 +672,42 @@ object Analytics {
       .select(col("entity"), coalesce(col("tcnt"), lit(0L)).as("triangles"))
   }
 
+  /** Global transitivity (wedge-closure ratio) of the undirected
+    * collapsed graph — 3·triangles / wedges in integer permille, the
+    * one-number complement of the per-node [[clusteringCoefficient]]:
+    * corpus-level "is this KG clumpy or star-shaped", and the standard
+    * sanity gate on extraction quality drift between recrawls (a
+    * transitivity collapse usually means hub-spam edges flooded in).
+    * Output: one row (n_triangles, n_wedges, transitivity_permille).
+    *
+    * Shape at scale: the same ONE staged O(m^1.5) oriented-wedge pass
+    * as triangleCounts (each distinct triangle counted at its 3
+    * corners, summed and divided by 3), plus a node-sized degree
+    * aggregate for Σ d(d−1)/2 — both folded to 1-row frames and
+    * crossJoined (scalar pattern). Wedge and permille arithmetic widen
+    * to DECIMAL(38,0): a 1e8-degree hub alone contributes ~1e16
+    * wedges, and 3000·triangles can pass a Long on a webgraph.
+    */
+  def transitivity(triples: DataFrame): DataFrame = {
+    val nb = graft.util.Materialize.stage(undirectedNb(triples))
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    val tsum = triangleTable(nb, deg)
+      .agg(expr("sum(triangles) div 3").as("n_triangles"))
+    val wsum = deg.agg(
+      expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * (d - 1)) DIV 2 AS DECIMAL(38,0))").as("w")
+    )
+    tsum
+      .crossJoin(wsum)
+      .select(
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("CAST(coalesce(w, 0) AS BIGINT)").as("n_wedges"),
+        expr(
+          "CAST(CASE WHEN coalesce(w, 0) = 0 THEN 0 ELSE " +
+            "(CAST(coalesce(n_triangles, 0) AS DECIMAL(38,0)) * 3000) DIV w END AS BIGINT)"
+        ).as("transitivity_permille")
+      )
+  }
+
   /** Local clustering coefficient per entity in integer permille over
     * the undirected self-loop-free collapsed graph:
     * lcc = 2·triangles(v) / (d·(d−1)) for degree ≥ 2, else 0 — the

@@ -982,6 +982,24 @@ object Queries {
       "// (CAST(deg.d AS HUGEINT) * (deg.d - 1)) ELSE 0 END AS BIGINT) AS lcc_permille " +
       "FROM tc JOIN deg ON deg.v = tc.entity"
 
+  /** Global transitivity scalar (Analytics.transitivity): 3·triangles
+    * div wedges in permille over the same oriented-wedge triangle CTEs
+    * as kg_clustering; the oracle counts distinct triangle rows where
+    * Spark sums per-corner credits div 3 — identical by construction.
+    */
+  val kgTransitivity: Q = (s, dir) =>
+    Analytics.transitivity(triples(s, dir))
+
+  val kgTransitivitySql: String = {
+    val cut = kgClusteringSql.indexOf(", x AS (SELECT unnest")
+    kgClusteringSql.substring(0, cut) +
+      ", ts AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM t), " +
+      "ws AS (SELECT CAST(coalesce(sum(CAST(d AS HUGEINT) * (d - 1)), 0) // 2 AS HUGEINT) AS w FROM deg) " +
+      "SELECT ts.n_triangles, CAST(ws.w AS BIGINT) AS n_wedges, " +
+      "CAST(CASE WHEN ws.w = 0 THEN 0 ELSE (CAST(ts.n_triangles AS HUGEINT) * 3000) // ws.w END AS BIGINT) AS transitivity_permille " +
+      "FROM ts CROSS JOIN ws"
+  }
+
   /** Bounded-depth transitive closure over the corpus's most frequent
     * predicate (Analytics.transitiveClosure) — the hierarchy-closure
     * primitive. Oracle unrolls the frontier expansion with min-hops
@@ -1404,6 +1422,22 @@ object Queries {
       "h AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS head_cnt FROM p GROUP BY 1) " +
       "SELECT p.event_type, p.next_type, p.cnt, (1000 * p.cnt) // h.head_cnt AS p_cond_milli " +
       "FROM p JOIN h USING (event_type)"
+
+  /** 3-step event-path mining (EventsStream.trigrams): per-user ordered
+    * (t1, t2, t3) counts with the third-step conditional in milli —
+    * the oracle replays the same double-lead window and pair marginal.
+    */
+  val eventsTrigrams: Q = (s, dir) =>
+    graft.streaming.EventsStream.trigrams(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsTrigramsSql: String =
+    "WITH nx AS (SELECT event_type AS t1, " +
+      "lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3 " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "p AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt FROM nx WHERE t3 IS NOT NULL GROUP BY 1, 2, 3), " +
+      "h AS (SELECT t1, t2, CAST(sum(cnt) AS BIGINT) AS head_cnt FROM p GROUP BY 1, 2) " +
+      "SELECT p.t1, p.t2, p.t3, p.cnt, (1000 * p.cnt) // h.head_cnt AS p_cond_milli " +
+      "FROM p JOIN h USING (t1, t2)"
 
   val eventsWindow: Q = (s, dir) =>
     graft.streaming.EventsStream.windowedStats(s.read.parquet(s"$dir/events.parquet"))
@@ -1859,6 +1893,7 @@ object Queries {
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
     "kg_clustering" -> kgClustering,
+    "kg_transitivity" -> kgTransitivity,
     "kg_transitive" -> kgTransitive,
     "kg_degree_mixing" -> kgDegreeMixing,
     "kg_motifs" -> kgMotifs,
@@ -1888,6 +1923,7 @@ object Queries {
     "events_user_stats" -> eventsUserStats,
     "events_props" -> eventsProps,
     "events_transitions" -> eventsTransitions,
+    "events_trigrams" -> eventsTrigrams,
     "events_scd" -> eventsScd,
     "events_sliding" -> eventsSliding,
     "events_value_stats" -> eventsValueStats,
@@ -1943,6 +1979,7 @@ object Queries {
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
     "kg_clustering" -> kgClusteringSql,
+    "kg_transitivity" -> kgTransitivitySql,
     "kg_transitive" -> kgTransitiveSql,
     "kg_degree_mixing" -> kgDegreeMixingSql,
     "kg_motifs" -> kgMotifsSql,
@@ -1972,6 +2009,7 @@ object Queries {
     "events_user_stats" -> eventsUserStatsSql,
     "events_props" -> eventsPropsSql,
     "events_transitions" -> eventsTransitionsSql,
+    "events_trigrams" -> eventsTrigramsSql,
     "events_scd" -> eventsScdSql,
     "events_sliding" -> eventsSlidingSql,
     "events_value_stats" -> eventsValueStatsSql,

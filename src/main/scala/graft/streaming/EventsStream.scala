@@ -303,6 +303,42 @@ object EventsStream {
       )
   }
 
+  /** Third-order event-sequence mining: counts of every observed
+    * 3-step (type → type → type) path in per-user time order, with the
+    * conditional probability of the third step GIVEN the leading pair
+    * in integer milli — the path-discovery table behind funnel design
+    * (the 2-step [[transitions]] matrix cannot distinguish
+    * view→cart→purchase from view→cart→abandon). Output:
+    * (t1, t2, t3, cnt, p_cond_milli).
+    *
+    * Shape at scale: the identical single window pass as transitions —
+    * ONE exchange on user_id, one sort, two lead() reads from the same
+    * frame (Spark plans one Window operator), then a types³-bounded
+    * aggregate; the pair-marginal join is AQE-broadcast.
+    */
+  def trigrams(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = events
+      .select(
+        col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3")
+      )
+      .where(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("cnt"))
+    val heads = tri.groupBy("t1", "t2").agg(sum("cnt").as("head_cnt"))
+    tri
+      .join(heads, Seq("t1", "t2"))
+      .select(
+        col("t1"),
+        col("t2"),
+        col("t3"),
+        col("cnt"),
+        expr("(1000 * cnt) div head_cnt").as("p_cond_milli")
+      )
+  }
+
   /** Schema-on-read parsing of the semi-structured `props` JSON column:
     * the integer `k` field is pulled with a codegen'd JSON-path
     * expression (get_json_object — a one-field probe never pays

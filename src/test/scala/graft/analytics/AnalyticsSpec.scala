@@ -678,6 +678,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("transitivity: triangle+pendant closes 3 of 5 wedges") {
+    // triangle a-b-c plus pendant c-d: 1 triangle, wedges = Σd(d−1)/2
+    // = (2+2+6+0)/2 = 5 → 3000·1 div 5 = 600 permille
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"), ("c", "r", "d"))
+    val got = Analytics.transitivity(tr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 5L, 600L)))
+  }
+
+  test("transitivity: star graph has wedges but zero closure") {
+    val tr = triplesDf(("hub", "r", "x"), ("hub", "r", "y"), ("hub", "r", "z"))
+    val got = Analytics.transitivity(tr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 3L, 0L)))
+  }
+
   test("betweenness: path graph accumulates chain dependencies") {
     // path a–b–c–d, all 4 nodes are seeds. Per endpoint seed the two
     // interior nodes take δ = 2000 / 1000; per interior seed the other

@@ -732,6 +732,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("trigrams: 3-step paths with pair-conditional milli") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, t("2024-02-01 09:00:00"), "view"),
+      (2L, 1L, t("2024-02-01 09:01:00"), "view"),
+      (3L, 1L, t("2024-02-01 09:02:00"), "cart"),
+      (4L, 1L, t("2024-02-01 09:03:00"), "purchase"),
+      (5L, 2L, t("2024-02-01 09:00:00"), "view"),
+      (6L, 2L, t("2024-02-01 09:01:00"), "cart"),
+      (7L, 2L, t("2024-02-01 09:02:00"), "abandon")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventsStream.trigrams(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    // (view,cart) leads to purchase and abandon once each -> 500/500;
+    // (view,view) always leads to cart -> 1000
+    assert(got == Set(
+      ("view", "view", "cart", 1L, 1000L),
+      ("view", "cart", "purchase", 1L, 500L),
+      ("view", "cart", "abandon", 1L, 500L)
+    ))
+  }
+
   test("activityHistogram: log2 events-per-user buckets") {
     val ev = (Seq.fill(1)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(3)(3L) ++ Seq.fill(8)(4L))
       .map(u => (u, Timestamp.valueOf("2024-02-01 09:00:00")))
