@@ -44,4 +44,45 @@ object GraphDiff {
         when(col("net") > 0, lit("added")).otherwise(lit("removed")).as("change")
       )
   }
+
+  /** Per-predicate recrawl churn rollup — the relation-level "what
+    * actually moved" dashboard over the same two snapshots: for every
+    * predicate, how many distinct triples each side holds, how many
+    * were added/removed, and the symmetric-difference churn rate
+    * 1000·(added+removed) div (n_old+n_new) in permille (0 = the
+    * relation is recrawl-stable, 1000 = full turnover — the signal
+    * that a predicate's extractions are crawl-noise rather than
+    * facts). Output:
+    * (predicate, n_old, n_new, n_added, n_removed, churn_permille).
+    *
+    * Shape at scale: the [[triples]] tag-and-sum classification (ONE
+    * triple-keyed exchange — net −1/+1/0 per key, membership per side
+    * read off (net, cnt)) followed by a predicate-keyed
+    * partial-aggregated exchange bounded by the relation vocabulary.
+    * No anti-joins, no second corpus pass.
+    */
+  def predicateChurn(oldTriples: DataFrame, newTriples: DataFrame): DataFrame = {
+    val o = oldTriples.select(
+      col("subject"), col("predicate"), col("obj"), lit(-1L).as("w"))
+    val n = newTriples.select(
+      col("subject"), col("predicate"), col("obj"), lit(1L).as("w"))
+    o.union(n)
+      .groupBy("subject", "predicate", "obj")
+      .agg(sum("w").as("net"), count(lit(1)).as("cnt"))
+      .groupBy("predicate")
+      .agg(
+        count(when(col("net") === -1L || col("cnt") === 2L, lit(1))).as("n_old"),
+        count(when(col("net") === 1L || col("cnt") === 2L, lit(1))).as("n_new"),
+        count(when(col("net") === 1L, lit(1))).as("n_added"),
+        count(when(col("net") === -1L, lit(1))).as("n_removed")
+      )
+      .select(
+        col("predicate"),
+        col("n_old"),
+        col("n_new"),
+        col("n_added"),
+        col("n_removed"),
+        expr("(1000 * (n_added + n_removed)) div (n_old + n_new)").as("churn_permille")
+      )
+  }
 }

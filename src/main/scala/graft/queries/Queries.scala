@@ -191,6 +191,36 @@ object Queries {
       s"UNION ALL SELECT subject, predicate, obj, 'removed' AS change FROM (($oldT) EXCEPT ($newT))"
   }
 
+  /** Per-predicate recrawl churn (GraphDiff.predicateChurn) over the
+    * same old/new doc split as kg_diff: side membership read off the
+    * (net, cnt) tag-and-sum classification, churn rate in permille.
+    */
+  val kgChurn: Q = (s, dir) => {
+    val d = docs(s, dir)
+    graft.analytics.GraphDiff.predicateChurn(
+      TokenRules.triples(d.where(col("doc_id") % 3 =!= 0)),
+      TokenRules.triples(d.where(col("doc_id") % 3 =!= 2))
+    )
+  }
+
+  val kgChurnSql: String = {
+    def side(pred: String): String =
+      s"WITH toks_cte AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents WHERE $pred), " +
+        s"raw_cte AS (${TokenRules.Sql.rawTriplesCte}) ${TokenRules.Sql.triplesCte}"
+    val oldT = side("doc_id % 3 <> 0")
+    val newT = side("doc_id % 3 <> 2")
+    s"WITH k AS (SELECT subject, predicate, obj, CAST(sum(w) AS BIGINT) AS net, count(*) AS cnt FROM (" +
+      s"SELECT *, -1 AS w FROM ($oldT) UNION ALL SELECT *, 1 AS w FROM ($newT)) GROUP BY 1, 2, 3) " +
+      "SELECT predicate, " +
+      "CAST(count(CASE WHEN net = -1 OR cnt = 2 THEN 1 END) AS BIGINT) AS n_old, " +
+      "CAST(count(CASE WHEN net = 1 OR cnt = 2 THEN 1 END) AS BIGINT) AS n_new, " +
+      "CAST(count(CASE WHEN net = 1 THEN 1 END) AS BIGINT) AS n_added, " +
+      "CAST(count(CASE WHEN net = -1 THEN 1 END) AS BIGINT) AS n_removed, " +
+      "CAST((1000 * (count(CASE WHEN net = 1 THEN 1 END) + count(CASE WHEN net = -1 THEN 1 END))) " +
+      "// (count(CASE WHEN net = -1 OR cnt = 2 THEN 1 END) + count(CASE WHEN net = 1 OR cnt = 2 THEN 1 END)) AS BIGINT) AS churn_permille " +
+      "FROM k GROUP BY predicate"
+  }
+
   // ---------------------------------------------------------------
   // Aggregation operators (SURVEY §2.4)
   // ---------------------------------------------------------------
@@ -1858,6 +1888,7 @@ object Queries {
     "kg_edges" -> kgEdges,
     "kg_aggregate" -> kgAggregate,
     "kg_diff" -> kgDiff,
+    "kg_churn" -> kgChurn,
     "kg_degree" -> kgDegree,
     "kg_pred_counts" -> kgPredCounts,
     "kg_top_entities" -> kgTopEntities,
@@ -1944,6 +1975,7 @@ object Queries {
     "kg_edges" -> kgEdgesSql,
     "kg_aggregate" -> kgAggregateSql,
     "kg_diff" -> kgDiffSql,
+    "kg_churn" -> kgChurnSql,
     "kg_degree" -> kgDegreeSql,
     "kg_pred_counts" -> kgPredCountsSql,
     "kg_top_entities" -> kgTopEntitiesSql,

@@ -1,9 +1,9 @@
 package graft.analytics
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.SparkTestBase
+import graft.{GenSampling, SparkTestBase}
 
-class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
+class AnalyticsSpec extends AnyFunSuite with SparkTestBase with GenSampling {
 
   import spark.implicits._
 
@@ -678,6 +678,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("predicateChurn: side membership off the tag-and-sum, two exchanges") {
+    val oldT = triplesDf(("a", "r", "b"), ("a", "r", "c"), ("a", "q", "b"))
+    val newT = triplesDf(("a", "r", "b"), ("a", "r", "d"), ("a", "q", "b"))
+    val df = GraphDiff.predicateChurn(oldT, newT)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // r: 2 old, 2 new, 1 added (a,r,d), 1 removed (a,r,c) → 500‰;
+    // q: untouched → 0‰
+    assert(got == Set(("r", 2L, 2L, 1L, 1L, 500L), ("q", 1L, 1L, 0L, 0L, 0L)))
+    // after execution the AQE plan prints final AND initial trees —
+    // count shuffles in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.indexOf("Initial Plan") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 2, finalPlan)
+    assert(!finalPlan.contains("Join"), finalPlan)
+  }
+
   test("transitivity: triangle+pendant closes 3 of 5 wedges") {
     // triangle a-b-c plus pendant c-d: 1 triangle, wedges = Σd(d−1)/2
     // = (2+2+6+0)/2 = 5 → 3000·1 div 5 = 600 permille
@@ -712,6 +733,64 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     val got = Analytics.betweenness(tr).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set(("a", 1000L), ("b", 1000L), ("c", 1000L), ("d", 1000L)))
+  }
+
+  test("betweenness: matches an in-memory Brandes with the same integer rule") {
+    // seeded random graphs, every node a seed (≤ 8 nodes, nSeeds = 8):
+    // the Spark dataflow must replay the reference algorithm exactly —
+    // shells, sigma sums, and the per-edge floor-divided delta rule
+    import org.scalacheck.Gen
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def reference(edges: Set[(String, String)]): Map[String, Long] = {
+      val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+        .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+      val nodes = adj.keySet
+      val seeds = nodes.toSeq.sortBy(v => (md5hex(v), v)).take(8)
+      val bc = scala.collection.mutable.Map.empty[String, BigInt]
+      val universe = scala.collection.mutable.Set.empty[String]
+      for (s <- seeds) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sigma = scala.collection.mutable.Map(s -> BigInt(1))
+        val shells = scala.collection.mutable.ArrayBuffer(Seq(s))
+        var frontier = Seq(s)
+        var d = 0
+        while (frontier.nonEmpty && d < 8) {
+          val nxt = scala.collection.mutable.Map.empty[String, BigInt]
+          for (v <- frontier; u <- adj(v) if !dist.contains(u))
+            nxt(u) = nxt.getOrElse(u, BigInt(0)) + sigma(v)
+          val nf = nxt.keys.toSeq.sorted
+          nf.foreach { u => dist(u) = d + 1; sigma(u) = nxt(u) }
+          frontier = nf
+          if (nf.nonEmpty) shells += nf
+          d += 1
+        }
+        val delta = scala.collection.mutable.Map.empty[String, BigInt]
+        for (k <- (shells.length - 2) to 1 by -1; v <- shells(k)) {
+          val acc = adj(v).toSeq
+            .filter(w => dist.get(w).contains(k + 1))
+            .map(w => sigma(v) * (1000 + delta.getOrElse(w, BigInt(0))) / sigma(w))
+            .sum
+          delta(v) = acc
+        }
+        for ((v, dd) <- dist if dd >= 1) {
+          universe += v
+          bc(v) = bc.getOrElse(v, BigInt(0)) + delta.getOrElse(v, BigInt(0))
+        }
+      }
+      universe.map(v => v -> bc.getOrElse(v, BigInt(0)).toLong).toMap
+    }
+    val edgeGen = Gen
+      .listOfN(12, Gen.zip(Gen.choose(0, 7), Gen.choose(0, 7)))
+      .map(_.collect { case (a, b) if a != b => (s"n$a", s"n$b") }.toSet)
+      .suchThat(_.nonEmpty)
+    forAllSamples(edgeGen, n = 6) { edges =>
+      val tr = edges.toSeq.map { case (a, b) => (a, "r", b) }.toDF("subject", "predicate", "obj")
+      val got = Analytics.betweenness(tr).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == reference(edges), s"edges: $edges")
+    }
   }
 
   test("modularity: two disjoint triangles score exactly Q = 1/2") {
