@@ -445,16 +445,39 @@ object Similarity {
     * row-locally via zip_with. Two corpus scans total (train + encode)
     * — the standard SQ shape; nothing per-vector ever shuffles.
     */
-  def sqCodes(embeddings: DataFrame): DataFrame = {
-    val q = quantized(embeddings)
-    val st = exploded(q)
+  /** Per-dimension [min, max] stats folded to a 1-row sorted struct
+    * array — the SQ trainer table shared by [[sqCodes]] and
+    * [[sqRecon]].
+    */
+  private def sqStats(q: DataFrame): DataFrame =
+    exploded(q)
       .groupBy("d")
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .agg(expr("array_sort(collect_list(struct(d, mn, mx)))").as("st"))
-    // code for one element pair (x, s) — inlined twice below because SQL
-    // lambdas have no let-binding
-    val code = "(CASE WHEN s.mx = s.mn THEN 0L " +
-      "ELSE (510 * (x - s.mn) + (s.mx - s.mn)) div (2 * (s.mx - s.mn)) END)"
+
+  /** SQ8 code for one (x, s) zip_with pair — inlined where used
+    * because SQL lambdas have no let-binding.
+    */
+  private val SqCode = "(CASE WHEN s.mx = s.mn THEN 0L " +
+    "ELSE (510 * (x - s.mn) + (s.mx - s.mn)) div (2 * (s.mx - s.mn)) END)"
+
+  /** (vec_id, label, v) with v REPLACED by its SQ8 reconstruction —
+    * the decoded view an SQ-compressed index actually ranks with.
+    */
+  private def sqRecon(q: DataFrame): DataFrame =
+    q.crossJoin(sqStats(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        expr(
+          s"zip_with(v, st, (x, s) -> s.mn + (2 * $SqCode * (s.mx - s.mn) + 255) div 510)"
+        ).as("v")
+      )
+
+  def sqCodes(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+    val st = sqStats(q)
+    val code = SqCode
     q.crossJoin(st)
       .select(
         col("vec_id"),
@@ -470,6 +493,49 @@ object Similarity {
         expr("aggregate(pe, 0L, (a, e) -> a + e.c)").as("code_sum"),
         expr("aggregate(pe, 0L, (a, e) -> a + e.e)").as("err_sum_centi"),
         expr("aggregate(pe, 0L, (a, e) -> greatest(a, e.e))").as("err_max_centi")
+      )
+  }
+
+  /** Exact top-k over the SQ8-RECONSTRUCTED vectors — what an
+    * SQ-compressed index actually returns before any exact rerank.
+    * Same broadcast-query brute shape as [[bruteTopK]], scoring the
+    * decoded values with the shared integer cosine. Output:
+    * (q, n, score_milli, rnk).
+    */
+  def sqTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val qr = graft.util.Materialize.stage(sqRecon(quantized(embeddings)))
+    perQueryTopK(queryScored(qr, qr.where(col("vec_id") < nQueries)), k)
+  }
+
+  /** Recall@k of the SQ8-reconstructed ranking against the exact brute
+    * ranking — the accept/reject gate on the quantizer itself (the
+    * [[annRecall]] harness pointed at lossy compression instead of
+    * bucket pruning): if recall here is low, SQ8 is destroying
+    * neighborhoods and the index needs PQ or more bits, no matter how
+    * good the reconstruction-error numbers look. Output:
+    * (q, n_true, n_hits_sq, recall_sq_permille).
+    *
+    * Shape at scale: two brute passes (exact + reconstructed — each
+    * broadcast-queries × one corpus scan) and a per-query semi-join;
+    * the recall table is nQueries rows.
+    */
+  def annRecallSq(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val brute = graft.util.Materialize.stage(
+      bruteTopK(embeddings, nQueries, k).select(col("q"), col("n"))
+    )
+    val hits = brute
+      .join(sqTopK(embeddings, nQueries, k).select("q", "n"), Seq("q", "n"), "left_semi")
+      .groupBy("q")
+      .agg(count(lit(1)).as("h"))
+    brute
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q"), "left")
+      .select(
+        col("q"),
+        col("n_true"),
+        coalesce(col("h"), lit(0L)).as("n_hits_sq"),
+        expr("(1000 * coalesce(h, 0L)) div n_true").as("recall_sq_permille")
       )
   }
 

@@ -687,6 +687,44 @@ object OpsQueries {
   val annRecall: Q = (s, dir) =>
     Similarity.annRecall(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
 
+  /** SQ8-reconstructed brute ranking (Similarity.sqTopK): the oracle
+    * rebuilds the per-dimension reconstruction in long format, folds it
+    * back to ordered lists, and reuses the exact scored/ranked shape of
+    * ann_topk over the decoded values.
+    */
+  val annSq: Q = (s, dir) =>
+    Similarity.sqTopK(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
+
+  val annSqSql: String = {
+    val code = "(CASE WHEN mx = mn THEN 0 ELSE (510 * (x - mn) + (mx - mn)) // (2 * (mx - mn)) END)"
+    s"WITH $quantCte, " +
+      "ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q), " +
+      "st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d), " +
+      s"re AS (SELECT vec_id, d, mn + (2 * $code * (mx - mn) + 255) // 510 AS rx FROM ex JOIN st USING (d)), " +
+      "qq AS (SELECT vec_id, list(rx ORDER BY d) AS v FROM re GROUP BY vec_id), " +
+      "scored AS (SELECT qs.vec_id AS q, c.vec_id AS n, " +
+      s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS score_milli " +
+      s"FROM qq qs JOIN qq c ON qs.vec_id < $AnnNQueries AND c.vec_id <> qs.vec_id), " +
+      "ranked AS (SELECT q, n, score_milli, row_number() OVER (PARTITION BY q ORDER BY score_milli DESC, n) AS rnk FROM scored) " +
+      s"SELECT q, n, score_milli, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= $AnnK"
+  }
+
+  /** Recall@k of the SQ8 ranking vs the exact brute ranking
+    * (Similarity.annRecallSq) — same hit-intersection shape as
+    * ann_recall pointed at the quantizer.
+    */
+  val annRecallSq: Q = (s, dir) =>
+    Similarity.annRecallSq(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
+
+  val annRecallSqSql: String =
+    s"WITH bt AS ($annTopKSql), sq AS ($annSqSql), " +
+      "hs AS (SELECT bt.q, CAST(count(*) AS BIGINT) AS h FROM bt " +
+      "JOIN sq r ON r.q = bt.q AND r.n = bt.n GROUP BY bt.q), " +
+      "t AS (SELECT q, CAST(count(*) AS BIGINT) AS n_true FROM bt GROUP BY q) " +
+      "SELECT t.q, t.n_true, CAST(coalesce(hs.h, 0) AS BIGINT) AS n_hits_sq, " +
+      "CAST((1000 * coalesce(hs.h, 0)) // t.n_true AS BIGINT) AS recall_sq_permille " +
+      "FROM t LEFT JOIN hs ON hs.q = t.q"
+
   /** Composes the three already-verified ranking oracles (each a full
     * WITH query, legal as a CTE body) and intersects them per query.
     */
@@ -1429,6 +1467,8 @@ object OpsQueries {
     "text_boilerplate" -> textBoilerplate,
     "ann_lsh_probe" -> annLshProbe,
     "ann_recall" -> annRecall,
+    "ann_sq" -> annSq,
+    "ann_recall_sq" -> annRecallSq,
     "dedup_contain" -> dedupContain,
     "dedup_recall" -> dedupRecall,
     "dup_grams" -> dupGrams,
@@ -1507,6 +1547,8 @@ object OpsQueries {
     "text_boilerplate" -> textBoilerplateSql,
     "ann_lsh_probe" -> annLshProbeSql,
     "ann_recall" -> annRecallSql,
+    "ann_sq" -> annSqSql,
+    "ann_recall_sq" -> annRecallSqSql,
     "dedup_contain" -> dedupContainSql,
     "dedup_recall" -> dedupRecallSql,
     "dup_grams" -> dupGramsSql,

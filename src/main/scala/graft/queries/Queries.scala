@@ -1301,6 +1301,32 @@ object Queries {
       "SELECT conversation_id, string_agg(role || ': ' || content, chr(10) ORDER BY seq) AS flattened " +
       "FROM msgs WHERE role IN ('user', 'assistant') GROUP BY conversation_id"
 
+  /** Per-conversation turn-structure stats (Conversations.stats) over
+    * the same synthesized messages table as conv_flatten; the oracle
+    * replays the identical kept-role filter, lag() window and counts.
+    */
+  val convStats: Q = (s, dir) => {
+    val msgs = docs(s, dir).select(
+      (col("doc_id") % 50).as("conversation_id"),
+      col("doc_id").as("seq"),
+      expr(msgRoleCase).as("role"),
+      substring(col("text"), 1, 40).as("content")
+    )
+    graft.sources.Conversations.stats(msgs)
+  }
+
+  val convStatsSql: String =
+    s"WITH msgs AS (SELECT doc_id % 50 AS conversation_id, doc_id AS seq, $msgRoleCase AS role, " +
+      "substr(text, 1, 40) AS content FROM documents), " +
+      "f AS (SELECT *, lag(role) OVER (PARTITION BY conversation_id ORDER BY seq) AS prev_role " +
+      "FROM msgs WHERE role IN ('user', 'assistant')) " +
+      "SELECT conversation_id, CAST(count(*) AS BIGINT) AS n_messages, " +
+      "CAST(count(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS n_user, " +
+      "CAST(count(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT) AS n_assistant, " +
+      "CAST(sum(length(content)) AS BIGINT) AS content_chars, " +
+      "CAST(count(CASE WHEN prev_role IS NOT NULL AND role <> prev_role THEN 1 END) AS BIGINT) AS n_switches " +
+      "FROM f GROUP BY conversation_id"
+
   // ---------------------------------------------------------------
   // Events: the streaming transform applied as a batch frame (the same
   // windowedStats body runs under readStream — StreamingSpec asserts
@@ -1950,6 +1976,7 @@ object Queries {
     "events_asof" -> eventsAsof,
     "events_range_join" -> eventsRangeJoin,
     "conv_flatten" -> convFlatten,
+    "conv_stats" -> convStats,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
     "events_props" -> eventsProps,
@@ -2037,6 +2064,7 @@ object Queries {
     "events_asof" -> eventsAsofSql,
     "events_range_join" -> eventsRangeJoinSql,
     "conv_flatten" -> convFlattenSql,
+    "conv_stats" -> convStatsSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,
     "events_props" -> eventsPropsSql,

@@ -41,4 +41,36 @@ object Conversations {
           "\n"
         ).as("flattened")
       )
+
+  /** Per-conversation turn-structure stats — the filter signals an
+    * SFT-data pipeline reads before a conversation enters training:
+    * kept-message count, per-role counts, total content length, and
+    * the number of role ALTERNATIONS in seq order (a 40-message
+    * conversation with 1 switch is a monologue dump, not a dialogue).
+    * Only the kept user/assistant turns count, same as [[flatten]].
+    * Output: (conversation_id, n_messages, n_user, n_assistant,
+    * content_chars, n_switches).
+    *
+    * Shuffle shape: ONE exchange — the per-conversation lag() window
+    * and the same-key aggregate share the hash partitioning, so the
+    * groupBy adds no second Exchange.
+    */
+  def stats(messages: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conversation_id")
+      .orderBy("seq")
+    messages
+      .where(col("role").isin(KeptRoles: _*))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .groupBy("conversation_id")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        count(when(col("role") === "user", lit(1))).as("n_user"),
+        count(when(col("role") === "assistant", lit(1))).as("n_assistant"),
+        sum(length(col("content"))).cast("long").as("content_chars"),
+        count(
+          when(col("prev_role").isNotNull && col("role") =!= col("prev_role"), lit(1))
+        ).as("n_switches")
+      )
+  }
 }

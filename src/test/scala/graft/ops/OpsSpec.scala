@@ -1198,6 +1198,17 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("annRecallSq: exactly-reconstructable vectors give perfect recall") {
+    // every dim spans ≤ 2.00 (200 centi < the 255-level grid), so SQ8
+    // reconstructs bit-exactly and the SQ ranking must equal brute
+    val e = (0 until 6)
+      .map(i => (i.toLong, Seq((i % 3) * 1.0f, (i % 2) * 1.0f, 1.0f), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.annRecallSq(e, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 3L, 3L, 1000L), (1L, 3L, 3L, 1000L)))
+  }
+
   test("readability: exact integer FK rational with both clamps") {
     val d = Seq(
       // 10 words ("aa" ×5 interleaved "bb" ×5), one terminator: w=10,

@@ -34,4 +34,21 @@ class ConversationsSpec extends AnyFunSuite with SparkTestBase {
     val msgs = Seq((9L, 0L, "system", "x")).toDF("conversation_id", "seq", "role", "content")
     assert(Conversations.flatten(msgs).count() == 0)
   }
+
+  test("stats: per-role counts, content length, and role alternations") {
+    val msgs = Seq(
+      (1L, 1L, "user", "hi"),
+      (1L, 2L, "assistant", "hello"),
+      (1L, 3L, "assistant", "more"), // consecutive same role: no switch
+      (1L, 4L, "user", "ok"),
+      (1L, 5L, "system", "dropped"), // filtered before everything
+      (2L, 1L, "user", "solo")
+    ).toDF("conversation_id", "seq", "role", "content")
+    val got = Conversations.stats(msgs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // conv 1: 4 kept, 2/2 roles, 13 chars, switches u→a and a→u = 2;
+    // conv 2: single turn, 0 switches
+    assert(got == Set((1L, 4L, 2L, 2L, 13L, 2L), (2L, 1L, 1L, 0L, 4L, 0L)))
+  }
 }
