@@ -412,14 +412,7 @@ object Analytics {
     * so the plan depth stays constant; early-stops on an empty frontier.
     */
   def bfsDistances(triples: DataFrame, nSeeds: Int = 8, maxRounds: Int = 10): DataFrame = {
-    // stage, then re-bind to fresh attributes: the repeated
-    // union/anti-join of checkpointed rounds otherwise trips Spark's
-    // Union constraint rewrite on stale expression ids ("key not
-    // found") — a fresh LogicalRDD per round carries no constraints
-    def staged(df: DataFrame): DataFrame = {
-      val m = graft.util.Materialize.stage(df)
-      m.sparkSession.createDataFrame(m.rdd, m.schema)
-    }
+    import graft.util.Materialize.{stageFresh => staged}
     val nb = staged(undirectedNb(triples))
     val seeds = nb.select(col("v")).distinct()
       .orderBy(md5(col("v")), col("v"))
@@ -506,10 +499,7 @@ object Analytics {
     * shell, never the whole reach set.
     */
   def betweenness(triples: DataFrame, nSeeds: Int = 8, rounds: Int = 8): DataFrame = {
-    def staged(df: DataFrame): DataFrame = {
-      val m = graft.util.Materialize.stage(df)
-      m.sparkSession.createDataFrame(m.rdd, m.schema)
-    }
+    import graft.util.Materialize.{stageFresh => staged}
     val nb = staged(undirectedNb(triples))
     // fused forward pass: ONE frontier loop produces both the BFS shell
     // membership and the shortest-path counts — the σ sum over a new
@@ -759,10 +749,7 @@ object Analytics {
     * near-linear; the depth cap bounds the blow-up for anything else.
     */
   def transitiveClosure(triples: DataFrame, maxHops: Int = 4): DataFrame = {
-    def staged(df: DataFrame): DataFrame = {
-      val m = graft.util.Materialize.stage(df)
-      m.sparkSession.createDataFrame(m.rdd, m.schema)
-    }
+    import graft.util.Materialize.{stageFresh => staged}
     val top = triples.groupBy("predicate").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("predicate"))
       .limit(1)

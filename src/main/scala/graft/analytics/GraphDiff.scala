@@ -25,17 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object GraphDiff {
 
-  /** (subject, predicate, obj, change∈{added,removed}) between two
-    * distinct-triple snapshots.
+  /** The shared tag-and-sum classification: ±1-tagged union grouped on
+    * the triple key. net −1 = old-only, +1 = new-only, 0 (cnt 2) = in
+    * both. ONE definition so [[triples]] and [[predicateChurn]] can
+    * never disagree about what changed.
     */
-  def triples(oldTriples: DataFrame, newTriples: DataFrame): DataFrame = {
+  private def taggedNet(oldTriples: DataFrame, newTriples: DataFrame): DataFrame = {
     val o = oldTriples.select(
       col("subject"), col("predicate"), col("obj"), lit(-1L).as("w"))
     val n = newTriples.select(
       col("subject"), col("predicate"), col("obj"), lit(1L).as("w"))
     o.union(n)
       .groupBy("subject", "predicate", "obj")
-      .agg(sum("w").as("net"))
+      .agg(sum("w").as("net"), count(lit(1)).as("cnt"))
+  }
+
+  /** (subject, predicate, obj, change∈{added,removed}) between two
+    * distinct-triple snapshots.
+    */
+  def triples(oldTriples: DataFrame, newTriples: DataFrame): DataFrame =
+    taggedNet(oldTriples, newTriples)
       .where(col("net") =!= 0L)
       .select(
         col("subject"),
@@ -43,7 +52,6 @@ object GraphDiff {
         col("obj"),
         when(col("net") > 0, lit("added")).otherwise(lit("removed")).as("change")
       )
-  }
 
   /** Per-predicate recrawl churn rollup — the relation-level "what
     * actually moved" dashboard over the same two snapshots: for every
@@ -61,14 +69,8 @@ object GraphDiff {
     * partial-aggregated exchange bounded by the relation vocabulary.
     * No anti-joins, no second corpus pass.
     */
-  def predicateChurn(oldTriples: DataFrame, newTriples: DataFrame): DataFrame = {
-    val o = oldTriples.select(
-      col("subject"), col("predicate"), col("obj"), lit(-1L).as("w"))
-    val n = newTriples.select(
-      col("subject"), col("predicate"), col("obj"), lit(1L).as("w"))
-    o.union(n)
-      .groupBy("subject", "predicate", "obj")
-      .agg(sum("w").as("net"), count(lit(1)).as("cnt"))
+  def predicateChurn(oldTriples: DataFrame, newTriples: DataFrame): DataFrame =
+    taggedNet(oldTriples, newTriples)
       .groupBy("predicate")
       .agg(
         count(when(col("net") === -1L || col("cnt") === 2L, lit(1))).as("n_old"),
@@ -84,5 +86,4 @@ object GraphDiff {
         col("n_removed"),
         expr("(1000 * (n_added + n_removed)) div (n_old + n_new)").as("churn_permille")
       )
-  }
 }

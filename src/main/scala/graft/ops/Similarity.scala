@@ -42,10 +42,6 @@ object Similarity {
       expr("aggregate(v, 0L, (acc, x) -> acc + x * x)").as("n2")
     )
 
-  /** Exact brute-force top-k: for each query vector (vec_id < nQueries),
-    * the k nearest other vectors by quantized cosine. Query side is
-    * broadcast; the corpus is scanned once.
-    */
   /** The shared integer cosine score: monotone in cosine, exact in
     * BIGINT (sign-preserving square over the norm product). Every
     * ANN/rerank path — and each path's DuckDB oracle — uses this ONE
@@ -94,6 +90,10 @@ object Similarity {
       .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Exact brute-force top-k: for each query vector (vec_id < nQueries),
+    * the k nearest other vectors by quantized cosine. Query side is
+    * broadcast; the corpus is scanned once.
+    */
   def bruteTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
     val q = quantized(embeddings)
     val queries = q.where(col("vec_id") < nQueries)
@@ -424,27 +424,6 @@ object Similarity {
     )
   }
 
-  /** Scalar (SQ8-style) quantization — the memory-tier companion to
-    * [[pqCodes]]: every dimension is affinely mapped to an 8-bit code
-    * against its corpus-wide [min, max] range (the FAISS
-    * ScalarQuantizer rule), and the exact reconstruction error is
-    * reported per vector so an index builder can decide SQ8-vs-PQ per
-    * corpus. All arithmetic is exact-integer over the shared
-    * centi-quantized vectors: code = round(255·(x−mn)/r) as
-    * (510·(x−mn)+r) div (2r), recon = mn + (2·code·r+255) div 510,
-    * both non-negative so truncation == floor across engines; a
-    * constant dimension (r = 0) codes to 0 and reconstructs exactly.
-    * Output: (vec_id, label, code_sum, err_sum_centi, err_max_centi)
-    * — code_sum pins the code assignment itself to the oracle, the
-    * err columns the reconstruction rule.
-    *
-    * Shape at scale: one dimension-keyed partial-aggregated exchange
-    * (≤ dims rows out) folded into a 1-row sorted struct array that
-    * crossJoins back (broadcast — the kg_stats scalar pattern), then
-    * ONE zero-shuffle codegen'd corpus pass does codes + errors
-    * row-locally via zip_with. Two corpus scans total (train + encode)
-    * — the standard SQ shape; nothing per-vector ever shuffles.
-    */
   /** Per-dimension [min, max] stats folded to a 1-row sorted struct
     * array — the SQ trainer table shared by [[sqCodes]] and
     * [[sqRecon]].
@@ -474,6 +453,27 @@ object Similarity {
         ).as("v")
       )
 
+  /** Scalar (SQ8-style) quantization — the memory-tier companion to
+    * [[pqCodes]]: every dimension is affinely mapped to an 8-bit code
+    * against its corpus-wide [min, max] range (the FAISS
+    * ScalarQuantizer rule), and the exact reconstruction error is
+    * reported per vector so an index builder can decide SQ8-vs-PQ per
+    * corpus. All arithmetic is exact-integer over the shared
+    * centi-quantized vectors: code = round(255·(x−mn)/r) as
+    * (510·(x−mn)+r) div (2r), recon = mn + (2·code·r+255) div 510,
+    * both non-negative so truncation == floor across engines; a
+    * constant dimension (r = 0) codes to 0 and reconstructs exactly.
+    * Output: (vec_id, label, code_sum, err_sum_centi, err_max_centi)
+    * — code_sum pins the code assignment itself to the oracle, the
+    * err columns the reconstruction rule.
+    *
+    * Shape at scale: one dimension-keyed partial-aggregated exchange
+    * (≤ dims rows out) folded into a 1-row sorted struct array that
+    * crossJoins back (broadcast — the kg_stats scalar pattern), then
+    * ONE zero-shuffle codegen'd corpus pass does codes + errors
+    * row-locally via zip_with. Two corpus scans total (train + encode)
+    * — the standard SQ shape; nothing per-vector ever shuffles.
+    */
   def sqCodes(embeddings: DataFrame): DataFrame = {
     val q = quantized(embeddings)
     val st = sqStats(q)

@@ -35,6 +35,13 @@ object OpsQueries {
   private def listNorm(a: String): String =
     s"CAST(list_sum(list_transform($a, x -> x * x)) AS BIGINT)"
 
+  /** The SQ8 code rule as DuckDB SQL over (x, mn, mx) columns — ONE
+    * definition shared by the emb_quantize and ann_sq oracles, mirroring
+    * the single Scala-side Similarity.SqCode.
+    */
+  private val sqCodeSql: String =
+    "(CASE WHEN mx = mn THEN 0 ELSE (510 * (x - mn) + (mx - mn)) // (2 * (mx - mn)) END)"
+
   // ----- dedup -----
 
   val dedupExact: Q = (s, dir) => Dedup.exact(docs(s, dir))
@@ -563,7 +570,7 @@ object OpsQueries {
   val embQuantize: Q = (s, dir) => Similarity.sqCodes(emb(s, dir))
 
   val embQuantizeSql: String = {
-    val code = "(CASE WHEN mx = mn THEN 0 ELSE (510 * (x - mn) + (mx - mn)) // (2 * (mx - mn)) END)"
+    val code = sqCodeSql
     s"WITH $quantCte, " +
       "ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
       "generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q), " +
@@ -696,7 +703,7 @@ object OpsQueries {
     Similarity.sqTopK(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
 
   val annSqSql: String = {
-    val code = "(CASE WHEN mx = mn THEN 0 ELSE (510 * (x - mn) + (mx - mn)) // (2 * (mx - mn)) END)"
+    val code = sqCodeSql
     s"WITH $quantCte, " +
       "ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q), " +
       "st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d), " +

@@ -575,13 +575,17 @@ object EventsStream {
             .otherwise(length(bin(col("monetary_milli"))).cast("long"))
         )
     )
-    val n = per.count()
+    // user total as a 1-row crossJoin scalar (the max_day pattern) —
+    // never a driver-side count(), which would run an eager job at
+    // plan-construction time and bake a stale literal into the plan
+    val nRow = per.agg(count(lit(1)).as("n"))
     def cumTable(bucket: String): DataFrame =
       per
         .groupBy(bucket)
         .agg(count(lit(1)).as("c"))
         .withColumn("cum", sum("c").over(Window.orderBy(col(bucket))))
-        .select(col(bucket), expr(s"(4 * cum + ${n}L - 1) div ${n}L").as(s"q_$bucket"))
+        .crossJoin(nRow)
+        .select(col(bucket), expr("(4 * cum + n - 1) div n").as(s"q_$bucket"))
     per
       .join(cumTable("rb"), "rb")
       .join(cumTable("fb"), "fb")

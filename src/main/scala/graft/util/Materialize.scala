@@ -18,4 +18,17 @@ object Materialize {
   def stage(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** [[stage]], then re-bind the result to FRESH attributes: the
+    * repeated union/anti-join of checkpointed rounds in iterative
+    * operators (BFS, transitive closure, betweenness) otherwise trips
+    * Spark's Union constraint rewrite on stale expression ids ("key
+    * not found") — a fresh LogicalRDD per round carries no
+    * constraints. One definition so the rebind discipline cannot
+    * drift between the iterative operators.
+    */
+  def stageFresh(df: DataFrame): DataFrame = {
+    val m = stage(df)
+    m.sparkSession.createDataFrame(m.rdd, m.schema)
+  }
 }
