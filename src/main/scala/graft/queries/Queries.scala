@@ -1784,6 +1784,31 @@ object Queries {
       "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' " +
       "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1"
 
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * line quantity clears a threshold, with their customer. The plan
+    * the relational side must produce: the HAVING aggregate runs
+    * FIRST on lineitem alone (one orderkey-keyed partial-aggregated
+    * exchange that shrinks the probe side to qualifying orders before
+    * any join), then two equi-joins whose small filtered side AQE
+    * broadcasts — never an aggregate after the 3-way join.
+    */
+  val q18LargeOrders: Q = (s, dir) => {
+    val big = s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .where(col("total_qty") > 200L)
+    s.read.parquet(s"$dir/orders.parquet")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(s.read.parquet(s"$dir/customer.parquet"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("total_qty"))
+  }
+
+  val q18LargeOrdersSql: String =
+    "WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +
+      "FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 200) " +
+      "SELECT c_custkey, o_orderkey, total_qty FROM big " +
+      "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey"
+
   /** Synchronous label-propagation communities
     * (Analytics.labelPropagation, 4 fixed rounds). The oracle unrolls
     * the identical rounds: per round, neighbor-label counts then argmax
@@ -1992,7 +2017,8 @@ object Queries {
     "events_debounce" -> eventsDebounce,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
-    "q5_local_supplier" -> q5LocalSupplier
+    "q5_local_supplier" -> q5LocalSupplier,
+    "q18_large_orders" -> q18LargeOrders
   ) ++ OpsQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -2080,6 +2106,7 @@ object Queries {
     "events_debounce" -> eventsDebounceSql,
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,
-    "q5_local_supplier" -> q5LocalSupplierSql
+    "q5_local_supplier" -> q5LocalSupplierSql,
+    "q18_large_orders" -> q18LargeOrdersSql
   ) ++ OpsQueries.oracles
 }
