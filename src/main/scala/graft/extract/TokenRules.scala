@@ -86,6 +86,43 @@ object TokenRules {
   def edges(triples: DataFrame): DataFrame =
     triples.select(col("predicate")).distinct()
 
+  /** Per-document extraction-yield profile — the audit row a corpus
+    * curator reads before trusting the KG: token count, distinct
+    * mention count, distinct valid-triple count, and both densities in
+    * per-kilo-token integer units. A 5k-token page yielding 2 triples
+    * is boilerplate/garbage for extraction purposes no matter what its
+    * text-quality score says; density is the signal that routes
+    * documents between the KG pipeline and the discard/LLM-retry
+    * queues. Output: (doc_id, n_tokens, n_mentions, n_triples,
+    * mentions_per_kilo, triples_per_kilo), one row per non-empty doc.
+    *
+    * Shape at scale: ONE zero-Exchange codegen'd scan — mentions and
+    * valid windows are counted row-locally with
+    * filter/transform/array_distinct over the token array; nothing is
+    * exploded, nothing shuffles (the oracle reaches the same counts
+    * through its long-format CTEs).
+    */
+  def docDensity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(
+          s"CAST(size(array_distinct(filter(toks, t -> length(t) >= $MinEntityLen))) AS BIGINT)"
+        ).as("n_mentions"),
+        expr(
+          "CASE WHEN size(toks) >= 3 THEN CAST(size(array_distinct(filter(" +
+            "transform(sequence(0, size(toks) - 3), i -> struct(" +
+            "element_at(toks, i + 1) AS s, element_at(toks, i + 2) AS p, element_at(toks, i + 3) AS o)), " +
+            s"w -> length(w.s) >= $MinEntityLen AND length(w.o) >= $MinEntityLen))) AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END"
+        ).as("n_triples")
+      )
+      .withColumn("mentions_per_kilo", expr("(1000 * n_mentions) div n_tokens"))
+      .withColumn("triples_per_kilo", expr("(1000 * n_triples) div n_tokens"))
+
   /** The matching DuckDB SQL building blocks (kept adjacent to the Scala
     * so rule changes update both sides together).
     */

@@ -120,6 +120,26 @@ object Queries {
       "m AS (SELECT doc_id, unnest(toks) AS entity FROM t) " +
       s"SELECT DISTINCT doc_id, entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}"
 
+  /** Per-document extraction-yield profile (TokenRules.docDensity):
+    * row-local mention/valid-window counts and per-kilo-token
+    * densities; the oracle reaches the identical counts through the
+    * long-format raw-triple CTE with a per-doc struct-DISTINCT.
+    */
+  val kgDocDensity: Q = (s, dir) => TokenRules.docDensity(docs(s, dir))
+
+  val kgDocDensitySql: String =
+    s"WITH toks_cte AS (${TokenRules.Sql.toksCte}), " +
+      s"raw_cte AS (${TokenRules.Sql.rawTriplesCte}), " +
+      "dt AS (SELECT doc_id, CAST(count(DISTINCT (subject, predicate, obj)) AS BIGINT) AS n_triples " +
+      s"FROM raw_cte WHERE length(subject) >= ${TokenRules.MinEntityLen} AND length(obj) >= ${TokenRules.MinEntityLen} GROUP BY doc_id), " +
+      "base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      s"CAST(len(list_distinct(list_filter(toks, x -> length(x) >= ${TokenRules.MinEntityLen}))) AS BIGINT) AS n_mentions " +
+      "FROM toks_cte WHERE len(toks) > 0) " +
+      "SELECT b.doc_id, b.n_tokens, b.n_mentions, CAST(coalesce(dt.n_triples, 0) AS BIGINT) AS n_triples, " +
+      "(1000 * b.n_mentions) // b.n_tokens AS mentions_per_kilo, " +
+      "(1000 * coalesce(dt.n_triples, 0)) // b.n_tokens AS triples_per_kilo " +
+      "FROM base b LEFT JOIN dt USING (doc_id)"
+
   private def deriveEntities(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(TokenRules.tokens(col("text"))).as("entity"))
@@ -1934,6 +1954,7 @@ object Queries {
 
   val all: Map[String, Q] = Map(
     "kg_mentions" -> kgMentions,
+    "kg_doc_density" -> kgDocDensity,
     "kg_entities" -> kgEntities,
     "kg_triples" -> kgTriples,
     "kg_edges" -> kgEdges,
@@ -2023,6 +2044,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "kg_mentions" -> kgMentionsSql,
+    "kg_doc_density" -> kgDocDensitySql,
     "kg_entities" -> kgEntitiesSql,
     "kg_triples" -> kgTriplesSql,
     "kg_edges" -> kgEdgesSql,

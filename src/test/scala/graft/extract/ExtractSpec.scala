@@ -113,4 +113,27 @@ class ExtractSpec extends AnyFunSuite with SparkTestBase {
     val rels = PatternScorer.relations(Seq((convo, ents)), isConversation = true).head
     assert(rels.contains(Triple("user", "says", "What")))
   }
+
+  test("docDensity: row-local mention/window counts and per-kilo units") {
+    import spark.implicits._
+    val d = Seq(
+      // 5 tokens, mentions {aaaa, cccc, dddd}; windows: (aaaa bb cccc)
+      // and (cccc dddd aaaa) valid, (bb cccc dddd) has a short subject
+      (1L, "aaaa bb cccc dddd aaaa"),
+      // short tokens only: no mentions, no valid windows
+      (2L, "xx yy"),
+      // repeated windows dedup: {(aaaa bbbb aaaa), (bbbb aaaa bbbb)}
+      (3L, "aaaa bbbb aaaa bbbb aaaa"),
+      // empty after tokenization: filtered out entirely
+      (4L, " ")
+    ).toDF("doc_id", "text")
+    val got = TokenRules.docDensity(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      (1L, 5L, 3L, 2L, 600L, 400L),
+      (2L, 2L, 0L, 0L, 0L, 0L),
+      (3L, 5L, 2L, 2L, 400L, 400L)
+    ))
+  }
 }
