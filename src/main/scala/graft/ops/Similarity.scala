@@ -177,6 +177,47 @@ object Similarity {
       )
   }
 
+  /** Per-vector centroid-distance outlier score — label-noise mining:
+    * each vector's exact squared distance to its label centroid,
+    * normalized by the label's MEAN squared distance as
+    * ratio_milli = 1000·d²·n div Σd² (a ratio ≫ 1000 marks a vector
+    * sitting far outside its class — a mislabeled example or an
+    * embedding-model failure, the rows a training-data audit pulls
+    * first). All integer: the 1000·d²·n product widens to
+    * DECIMAL(38,0) (HUGEINT in the oracle) since n alone can be 10^9
+    * at corpus scale; a collapsed label (Σd² = 0) scores 0 by rule.
+    * Output: (vec_id, label, d2, ratio_milli).
+    *
+    * Shape at scale: the label×dims centroid table joins the exploded
+    * corpus (AQE broadcast), ONE (vec_id, label)-keyed
+    * partial-aggregated exchange builds d², and the label rollup is a
+    * labels-sized aggregate joined back broadcast. One corpus pass
+    * after the centroid aggregate.
+    */
+  def centroidOutliers(embeddings: DataFrame): DataFrame = {
+    val cent = centroids(embeddings)
+    val d2 = quantized(embeddings)
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        posexplode(col("v")).as(Seq("dim", "x"))
+      )
+      .join(cent, Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(expr("(x - cval) * (x - cval)")).as("d2"))
+    val lbl = d2.groupBy("label").agg(sum(col("d2")).as("sum_d2"), count(lit(1)).as("n"))
+    d2.join(lbl, "label")
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("d2"),
+        expr(
+          "CASE WHEN sum_d2 = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST((CAST(1000 AS DECIMAL(38,0)) * d2 * n) DIV sum_d2 AS BIGINT) END"
+        ).as("ratio_milli")
+      )
+  }
+
   /** Inter-class centroid separation: exact squared L2 distance between
     * every label-centroid pair (label_a < label_b) in quantized-unit² —
     * read next to [[centroidSpread]]'s intra-class scatter it gives the

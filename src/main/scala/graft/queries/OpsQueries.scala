@@ -583,6 +583,22 @@ object OpsQueries {
       "FROM pe GROUP BY vec_id, label"
   }
 
+  /** Centroid-distance outlier scores (Similarity.centroidOutliers):
+    * exact per-vector d² to the label centroid, normalized by the
+    * label mean via the division-free 1000·d²·n div Σd² rational.
+    */
+  val embOutliers: Q = (s, dir) => Similarity.centroidOutliers(emb(s, dir))
+
+  val embOutliersSql: String =
+    s"WITH $centroidCtes, " +
+      "d2 AS (SELECT e.vec_id, e.label, CAST(sum((e.x - c.cval) * (e.x - c.cval)) AS BIGINT) AS d2 " +
+      "FROM exd e JOIN cen c ON c.label = e.label AND c.dim = e.dim GROUP BY 1, 2), " +
+      "l AS (SELECT label, CAST(sum(d2) AS BIGINT) AS sum_d2, CAST(count(*) AS BIGINT) AS n FROM d2 GROUP BY 1) " +
+      "SELECT d2.vec_id, d2.label, d2.d2, " +
+      "CASE WHEN l.sum_d2 = 0 THEN CAST(0 AS BIGINT) " +
+      "ELSE CAST((CAST(1000 AS HUGEINT) * d2.d2 * l.n) // l.sum_d2 AS BIGINT) END AS ratio_milli " +
+      "FROM d2 JOIN l USING (label)"
+
   /** Inter-class centroid separation (Similarity.centroidSeparation):
     * exact squared L2 distance between every label-centroid pair.
     */
@@ -1516,6 +1532,7 @@ object OpsQueries {
     "multimodal_dedup" -> multimodalDedup,
     "emb_separation" -> embSeparation,
     "emb_quantize" -> embQuantize,
+    "emb_outliers" -> embOutliers,
     "dedup_sizes" -> dedupSizes
   )
 
@@ -1596,6 +1613,7 @@ object OpsQueries {
     "multimodal_dedup" -> multimodalDedupSql,
     "emb_separation" -> embSeparationSql,
     "emb_quantize" -> embQuantizeSql,
+    "emb_outliers" -> embOutliersSql,
     "dedup_sizes" -> dedupSizesSql
   )
 }

@@ -1681,6 +1681,38 @@ object Queries {
       "CAST(CAST(1 AS BIGINT) << CAST(length(bin(n)) - 1 AS INT) AS BIGINT) AS lo, " +
       "CAST(count(*) AS BIGINT) AS n_users FROM per GROUP BY 1, 2"
 
+  /** Longest consecutive-day streak per user (EventsStream.streaks):
+    * the day − row_number() islands trick; best streak ties resolve
+    * to the earliest start on both sides.
+    */
+  val eventsStreaks: Q = (s, dir) =>
+    graft.streaming.EventsStream.streaks(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsStreaksSql: String =
+    "WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "i AS (SELECT user_id, day, day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor FROM act), " +
+      "r AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len, min(day) AS start FROM i GROUP BY 1, 2), " +
+      "s AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days FROM r GROUP BY 1), " +
+      "b AS (SELECT user_id, len AS best_streak, start AS best_start FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start) AS rn FROM r) WHERE rn = 1) " +
+      "SELECT s.user_id, s.n_days, b.best_streak, b.best_start FROM s JOIN b USING (user_id)"
+
+  /** Rolling 7-day engagement (EventsStream.dauWau): exact DAU/WAU via
+    * the ×7 cover explode, stickiness in permille; only days with
+    * same-day activity are reported.
+    */
+  val eventsDauWau: Q = (s, dir) =>
+    graft.streaming.EventsStream.dauWau(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsDauWauSql: String =
+    "WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "cov AS (SELECT user_id, day + CAST(k AS INT) AS end_day FROM " +
+      "(SELECT user_id, day, unnest(range(0, 7)) AS k FROM act)), " +
+      "wau AS (SELECT end_day AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM cov GROUP BY 1), " +
+      "dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM act GROUP BY 1) " +
+      "SELECT d.day, d.dau, w.wau, (1000 * d.dau) // w.wau AS stickiness_permille " +
+      "FROM dau d JOIN wau w USING (day)"
+
   /** As-of join — each purchase gets the user's prevailing view event
     * (ops.Temporal.asofJoin); the oracle replays the identical
     * union-and-window merge with the same (ts, side, event_id) total
@@ -2017,6 +2049,8 @@ object Queries {
     "events_cohorts" -> eventsCohorts,
     "events_lifecycle" -> eventsLifecycle,
     "events_rfm" -> eventsRfm,
+    "events_streaks" -> eventsStreaks,
+    "events_dau_wau" -> eventsDauWau,
     "events_attribution" -> eventsAttribution,
     "events_activity" -> eventsActivity,
     "events_asof" -> eventsAsof,
@@ -2107,6 +2141,8 @@ object Queries {
     "events_cohorts" -> eventsCohortsSql,
     "events_lifecycle" -> eventsLifecycleSql,
     "events_rfm" -> eventsRfmSql,
+    "events_streaks" -> eventsStreaksSql,
+    "events_dau_wau" -> eventsDauWauSql,
     "events_attribution" -> eventsAttributionSql,
     "events_activity" -> eventsActivitySql,
     "events_asof" -> eventsAsofSql,

@@ -303,6 +303,80 @@ object EventsStream {
       )
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands metric an engagement dashboard reports: per
+    * user, their active-day count, longest run of consecutive days,
+    * and the day that run started. Islands via the standard trick:
+    * day − row_number() over per-user day order is CONSTANT within a
+    * consecutive run, so a (user, anchor) aggregate isolates runs
+    * without self-joins. Ties in streak length resolve to the
+    * earliest start (min over (−len, start)). Output:
+    * (user_id, n_days, best_streak, best_start).
+    *
+    * Shape at scale: ONE distinct (user, day) exchange feeds the
+    * per-user window AND both same-key aggregates (the hash
+    * partitioning is reused — no further Exchange); window partitions
+    * are bounded by a user's active days, never event volume.
+    */
+  def streaks(events: DataFrame): DataFrame = {
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("anchor", expr("date_sub(day, CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT))"))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("len")).as("n_days"),
+        min(struct((-col("len")).as("nl"), col("start"))).as("m")
+      )
+      .select(
+        col("user_id"),
+        col("n_days"),
+        (-col("m.nl")).as("best_streak"),
+        col("m.start").as("best_start")
+      )
+  }
+
+  /** Rolling engagement: per calendar day, the exact distinct actives
+    * that day (DAU), over the trailing 7 days (WAU), and the
+    * stickiness ratio 1000·dau div wau — the growth metric pair next
+    * to [[lifecycle]]. Exact distinct-over-sliding-window via the
+    * standard cover explode: each (user, day) activity contributes
+    * membership to the 7 window END days it falls inside, then one
+    * count-distinct per (end day). Days with no activity in the
+    * window never appear. Output: (day, dau, wau, stickiness_permille).
+    *
+    * Shape at scale: the distinct (user, day) exchange, a constant ×7
+    * row-local explode (never data²), and one partial-aggregated
+    * day-keyed count-distinct (Spark plans it as two-level Expand —
+    * bounded by days × users). No self-joins, no window over the raw
+    * event stream.
+    */
+  def dauWau(events: DataFrame): DataFrame = {
+    val act = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val covered = act.select(
+      col("user_id"),
+      col("day"),
+      explode(expr("sequence(day, date_add(day, 6))")).as("end_day")
+    )
+    val wau = covered
+      .groupBy(col("end_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = act.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    // inner join: only days with same-day activity are reported (the
+    // dashboard convention — trailing-window-only days would show the
+    // corpus tail 6 extra times)
+    dau
+      .join(wau, "day")
+      .select(
+        col("day"),
+        col("dau"),
+        col("wau"),
+        expr("(1000 * dau) div wau").as("stickiness_permille")
+      )
+  }
+
   /** Third-order event-sequence mining: counts of every observed
     * 3-step (type → type → type) path in per-user time order, with the
     * conditional probability of the third step GIVEN the leading pair

@@ -1198,6 +1198,22 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("centroidOutliers: mean-normalized d2 ratio, collapsed label scores 0") {
+    // label 0 (1-dim): centis {0, 0, 300} → centroid 100, d² {1e4, 1e4, 4e4},
+    // Σd² = 6e4 → ratios 1000·d²·3/6e4 = {500, 500, 2000};
+    // label 1: identical vectors → Σd² = 0 → rule scores 0
+    val e = Seq(
+      (1L, Seq(0.0f), 0), (2L, Seq(0.0f), 0), (3L, Seq(3.0f), 0),
+      (4L, Seq(1.0f), 1), (5L, Seq(1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 10000L, 500L), (2L, 0L, 10000L, 500L), (3L, 0L, 40000L, 2000L),
+      (4L, 1L, 0L, 0L), (5L, 1L, 0L, 0L)
+    ))
+  }
+
   test("annRecallSq: exactly-reconstructable vectors give perfect recall") {
     // every dim spans ≤ 2.00 (200 centi < the 255-level grid), so SQ8
     // reconstructs bit-exactly and the SQ ranking must equal brute

@@ -732,6 +732,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("streaks: islands isolate runs, ties take the earliest start") {
+    def t(s: String) = Timestamp.valueOf(s + " 09:00:00")
+    val ev = (
+      Seq("2024-02-01", "2024-02-02", "2024-02-03", "2024-02-05", "2024-02-06").map(d => (1L, t(d))) ++
+        Seq("2024-02-01", "2024-02-02", "2024-02-04", "2024-02-05").map(d => (2L, t(d))) ++
+        Seq((2L, Timestamp.valueOf("2024-02-01 18:00:00"))) ++ // same-day dup
+        Seq((3L, t("2024-02-10")))
+    ).toDF("user_id", "ts")
+    val got = EventsStream.streaks(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDate(3).toString)).toSet
+    assert(got == Set(
+      (1L, 5L, 3L, "2024-02-01"), // runs 3 + 2 → best 3
+      (2L, 4L, 2L, "2024-02-01"), // two len-2 runs tie → earliest start
+      (3L, 1L, 1L, "2024-02-10")
+    ))
+  }
+
+  test("dauWau: exact trailing-7-day distinct actives and stickiness") {
+    def t(s: String) = Timestamp.valueOf(s + " 09:00:00")
+    val ev = Seq((1L, t("2024-02-01")), (1L, t("2024-02-05")), (2L, t("2024-02-01")))
+      .toDF("user_id", "ts")
+    val got = EventsStream.dauWau(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 02-05's trailing week still contains both users' 02-01 activity
+    assert(got == Set(
+      ("2024-02-01", 2L, 2L, 1000L),
+      ("2024-02-05", 1L, 2L, 500L)
+    ))
+  }
+
   test("trigrams: 3-step paths with pair-conditional milli") {
     def t(s: String) = Timestamp.valueOf(s)
     val ev = Seq(
