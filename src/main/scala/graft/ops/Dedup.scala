@@ -734,4 +734,32 @@ object Dedup {
       .select("a", "b", "hamming")
       .distinct()
   }
+
+  /** Per-source duplication rollup over the [[nearDupKeep]] verdicts —
+    * the crawl-quality table a corpus curator reads per domain: how
+    * many documents each source contributed, how many the near-dup
+    * keep list drops, and the drop rate in permille (a source at
+    * 600‰ is mirror/syndication spam; its crawl priority should fall
+    * before its bytes are fetched again). Output:
+    * (source, n_docs, n_dropped, drop_permille).
+    *
+    * Shape at scale: the shared banded-LSH keep pass, one doc-keyed
+    * join to attach the source column, and a source-keyed
+    * partial-aggregated exchange bounded by the domain vocabulary.
+    */
+  def sourceDupProfile(
+      docs: DataFrame,
+      thetaPct: Int = 90,
+      seeds: Int = 16,
+      bands: Int = 8,
+      cap: Int = DefaultLeadCap
+  ): DataFrame =
+    nearDupKeep(docs, thetaPct, seeds, bands, cap)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep") === 0L, lit(1))).as("n_dropped")
+      )
+      .withColumn("drop_permille", expr("(1000 * n_dropped) div n_docs"))
 }

@@ -217,6 +217,19 @@ object OpsQueries {
       "CAST(CASE WHEN grp.dup_group IS NULL OR grp.dup_group = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep " +
       "FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id"
 
+  /** Per-source duplication rollup (Dedup.sourceDupProfile): the
+    * near-dup keep verdicts joined to sources and folded to a
+    * domain-level drop-rate table; the oracle nests the full
+    * recursive keep-list query as a derived table.
+    */
+  val dedupSourceProfile: Q = (s, dir) => Dedup.sourceDupProfile(docs(s, dir), thetaPct = 90)
+
+  val dedupSourceProfileSql: String =
+    s"SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN kl.keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+      "CAST((1000 * sum(CASE WHEN kl.keep = 0 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS drop_permille " +
+      s"FROM ($dedupKeepSql) kl JOIN documents d2 USING (doc_id) GROUP BY d2.source"
+
   /** Word2vec skip-gram pair table (TextAnalysis.skipgrams, window ±2,
     * top-5 contexts per center).
     */
@@ -1462,6 +1475,7 @@ object OpsQueries {
     "dedup_incremental" -> dedupIncremental,
     "dedup_groups" -> dedupGroups,
     "dedup_keep" -> dedupKeep,
+    "dedup_source_profile" -> dedupSourceProfile,
     "text_skipgrams" -> textSkipgrams,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -1543,6 +1557,7 @@ object OpsQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_groups" -> dedupGroupsSql,
     "dedup_keep" -> dedupKeepSql,
+    "dedup_source_profile" -> dedupSourceProfileSql,
     "text_skipgrams" -> textSkipgramsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,

@@ -1198,6 +1198,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("sourceDupProfile: per-source drop rates from the keep verdicts") {
+    val dup = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, dup, "s"),
+      (2L, dup, "s"), // exact near-dup of doc 1 → dropped
+      (3L, (13 to 24).map(i => s"zz$i").mkString(" "), "t")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceDupProfile(d, thetaPct = 90).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("s", 2L, 1L, 500L), ("t", 1L, 0L, 0L)))
+  }
+
   test("centroidOutliers: mean-normalized d2 ratio, collapsed label scores 0") {
     // label 0 (1-dim): centis {0, 0, 300} → centroid 100, d² {1e4, 1e4, 4e4},
     // Σd² = 6e4 → ratios 1000·d²·3/6e4 = {500, 500, 2000};
