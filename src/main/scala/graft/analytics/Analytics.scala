@@ -475,6 +475,27 @@ object Analytics {
       )
       .select(col("node").as("entity"), col("n_reached"), col("harmonic_micro"))
 
+  /** Per-seed reach curve (the sampled neighborhood function of
+    * ANF/HyperANF): for each BFS seed and distance, how many nodes sit
+    * exactly at that distance and cumulatively within it — the curve
+    * whose knee is the effective diameter, read per seed because the
+    * exact all-pairs version is quadratic. Output:
+    * (seed, dist, n_at, n_reached_cum), dist ≥ 1.
+    *
+    * Shape at scale: the shared [[bfsDistances]] frontier pass, a
+    * (seed, dist)-keyed partial-aggregated exchange (≤ nSeeds×rounds
+    * rows out), and a cumulative window over ≤ rounds rows per seed.
+    */
+  def reachCurve(triples: DataFrame, nSeeds: Int = 8, maxRounds: Int = 10): DataFrame = {
+    val w = Window.partitionBy("seed").orderBy("dist")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bfsDistances(triples, nSeeds, maxRounds)
+      .where(col("dist") >= 1L)
+      .groupBy("seed", "dist")
+      .agg(count(lit(1)).as("n_at"))
+      .withColumn("n_reached_cum", sum(col("n_at")).over(w))
+  }
+
   /** Approximate betweenness centrality — bounded-depth Brandes from
     * the same 8 deterministic (md5, value)-first seeds as
     * kg_harmonic/kg_ecc: the standard sampled estimator (Brandes &

@@ -146,4 +146,31 @@ object Temporal {
         (col("t_sec") - col("p_sec")).as("lag_sec")
       )
   }
+
+  /** Conversion-latency histogram over the [[rangeJoin]] pair rule —
+    * the signup→purchase delay distribution in log2 buckets (bucket 0
+    * = instant, bucket k = lags in [2^(k−1), 2^k)), with the exact
+    * min/max lag per bucket: the funnel-latency shape a growth report
+    * reads ("most conversions land within 2^7 s"). Output:
+    * (bucket, n_pairs, min_lag_sec, max_lag_sec).
+    *
+    * Shape at scale: the bounded-range equi-join's pair stream folds
+    * through ONE partial-aggregated exchange into ≤ log2(horizon)
+    * buckets; nothing beyond the shared join is added.
+    */
+  def latencyHistogram(
+      events: DataFrame,
+      probeType: String = "signup",
+      targetType: String = "purchase",
+      horizonMinutes: Int = 60
+  ): DataFrame =
+    rangeJoin(events, probeType, targetType, horizonMinutes)
+      .groupBy(
+        expr("CASE WHEN lag_sec = 0 THEN 0L ELSE CAST(length(bin(lag_sec)) AS BIGINT) END").as("bucket")
+      )
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("lag_sec")).as("min_lag_sec"),
+        max(col("lag_sec")).as("max_lag_sec")
+      )
 }

@@ -1206,6 +1206,22 @@ object Queries {
     base + steps + s"SELECT node AS entity, dist FROM r$rounds"
   }
 
+  /** Sampled neighborhood function (Analytics.reachCurve): per-seed
+    * per-distance shell sizes + cumulative reach over the same 8-seed
+    * BFS as kg_harmonic; the oracle reuses the unrolled rounds.
+    */
+  val kgReachCurve: Q = (s, dir) =>
+    Analytics.reachCurve(triples(s, dir), nSeeds = 8)
+
+  val kgReachCurveSql: String = {
+    val cut = kgHarmonicSql.indexOf("SELECT node AS entity")
+    kgHarmonicSql.substring(0, cut) +
+      ", sh AS (SELECT seed, dist, CAST(count(*) AS BIGINT) AS n_at FROM r8 WHERE dist >= 1 GROUP BY 1, 2) " +
+      "SELECT seed, dist, n_at, CAST(sum(n_at) OVER " +
+      "(PARTITION BY seed ORDER BY dist ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_reached_cum " +
+      "FROM sh"
+  }
+
   /** Sampled bounded-depth Brandes betweenness (Analytics.betweenness):
     * forward shell-synchronous path counting then backward dependency
     * accumulation with the declared per-edge integer rule
@@ -1750,6 +1766,20 @@ object Queries {
       "AND floor(epoch(p.ts)) >= floor(epoch(s.ts)) " +
       "AND floor(epoch(p.ts)) < floor(epoch(s.ts)) + 3600"
 
+  /** Conversion-latency log2 histogram (Temporal.latencyHistogram)
+    * over the same signup→purchase bounded-range pair rule as
+    * events_range_join; the oracle folds its own pair query.
+    */
+  val eventsLatencyHist: Q = (s, dir) =>
+    graft.ops.Temporal.latencyHistogram(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsLatencyHistSql: String =
+    s"WITH pairs AS ($eventsRangeJoinSql) " +
+      "SELECT CASE WHEN lag_sec = 0 THEN 0 ELSE CAST(length(bin(lag_sec)) AS BIGINT) END AS bucket, " +
+      "CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "CAST(min(lag_sec) AS BIGINT) AS min_lag_sec, CAST(max(lag_sec) AS BIGINT) AS max_lag_sec " +
+      "FROM pairs GROUP BY 1"
+
   // ---------------------------------------------------------------
   // Relational sanity check on the TPC-H-ish tables
   // ---------------------------------------------------------------
@@ -2034,6 +2064,7 @@ object Queries {
     "kg_motifs" -> kgMotifs,
     "kg_kcore" -> kgKcore,
     "kg_harmonic" -> kgHarmonic,
+    "kg_reach_curve" -> kgReachCurve,
     "kg_betweenness" -> kgBetweenness,
     "kg_ecc" -> kgEcc,
     "kg_sssp" -> kgSssp,
@@ -2055,6 +2086,7 @@ object Queries {
     "events_activity" -> eventsActivity,
     "events_asof" -> eventsAsof,
     "events_range_join" -> eventsRangeJoin,
+    "events_latency_hist" -> eventsLatencyHist,
     "conv_flatten" -> convFlatten,
     "conv_stats" -> convStats,
     "events_window" -> eventsWindow,
@@ -2126,6 +2158,7 @@ object Queries {
     "kg_motifs" -> kgMotifsSql,
     "kg_kcore" -> kgKcoreSql,
     "kg_harmonic" -> kgHarmonicSql,
+    "kg_reach_curve" -> kgReachCurveSql,
     "kg_betweenness" -> kgBetweennessSql,
     "kg_ecc" -> kgEccSql,
     "kg_sssp" -> kgSsspSql,
@@ -2147,6 +2180,7 @@ object Queries {
     "events_activity" -> eventsActivitySql,
     "events_asof" -> eventsAsofSql,
     "events_range_join" -> eventsRangeJoinSql,
+    "events_latency_hist" -> eventsLatencyHistSql,
     "conv_flatten" -> convFlattenSql,
     "conv_stats" -> convStatsSql,
     "events_window" -> eventsWindowSql,

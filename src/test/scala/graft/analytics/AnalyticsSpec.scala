@@ -715,6 +715,18 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase with GenSampling {
     assert(got.toSeq == Seq((0L, 3L, 0L)))
   }
 
+  test("reachCurve: per-seed shell sizes and cumulative reach on a path") {
+    val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
+    val got = Analytics.reachCurve(tr).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 1L, 1L, 1L), ("a", 2L, 1L, 2L), ("a", 3L, 1L, 3L),
+      ("d", 1L, 1L, 1L), ("d", 2L, 1L, 2L), ("d", 3L, 1L, 3L),
+      ("b", 1L, 2L, 2L), ("b", 2L, 1L, 3L),
+      ("c", 1L, 2L, 2L), ("c", 2L, 1L, 3L)
+    ))
+  }
+
   test("betweenness: path graph accumulates chain dependencies") {
     // path a–b–c–d, all 4 nodes are seeds. Per endpoint seed the two
     // interior nodes take δ = 2000 / 1000; per interior seed the other

@@ -91,4 +91,25 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     )
     assert(got == want)
   }
+
+  test("latencyHistogram: log2 lag buckets with exact min/max per bucket") {
+    val events = ev(
+      Seq(
+        (1L, 1L, "signup", 0L, 0.0),
+        (2L, 1L, "purchase", 0L, 1.0), // lag 0 → bucket 0
+        (3L, 1L, "purchase", 1L, 1.0), // lag 1 → bucket 1
+        (4L, 1L, "purchase", 5L, 1.0), // lag 5 → bin(101) → bucket 3
+        (5L, 1L, "purchase", 100L, 1.0), // lag 100 → 7-bit → bucket 7
+        (6L, 1L, "purchase", 4000L, 1.0) // outside the 3600 s horizon
+      )
+    )
+    val got = Temporal.latencyHistogram(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (0L, 1L, 0L, 0L),
+      (1L, 1L, 1L, 1L),
+      (3L, 1L, 5L, 5L),
+      (7L, 1L, 100L, 100L)
+    ))
+  }
 }
