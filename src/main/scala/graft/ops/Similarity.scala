@@ -272,6 +272,78 @@ object Similarity {
     quantized(embeddings)
       .select(col("vec_id"), expr(bucketExpr("v")).cast("long").as("bucket"))
 
+  /** Width of the binary similarity sketch used by [[hammingTopK]] —
+    * wider than the 8-bit LSH bucket (buckets partition, sketches
+    * RANK); 48 keeps every shiftleft below the sign bit so the packed
+    * value is identical arithmetic in both engines.
+    */
+  val SketchBits = 48
+
+  /** [[bucketExpr]] generalized to an n-bit packed sign sketch. */
+  def sketchExpr(v: String, bits: Int): String =
+    s"aggregate(transform(sequence(0, ${bits - 1}), j -> " +
+      s"CASE WHEN aggregate(zip_with($v, sequence(0, size($v) - 1), " +
+      s"(x, d) -> x * (${planeWeightExpr("j", "d")})), 0L, (a2, x2) -> a2 + x2) > 0 " +
+      "THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, b) -> acc + b)"
+
+  /** Binary-sketch ANN ranking: every vector is packed to a 48-bit
+    * sign sketch (one row-local array expression — the [[buckets]]
+    * arithmetic, 6× wider), and each query ranks the corpus by sketch
+    * HAMMING distance (ties by id) — the 1-bit-per-plane extreme of
+    * the quantization family next to [[sqTopK]] (8 bits/dim) and
+    * [[pqCodes]]: the memory shape billion-vector prefilters actually
+    * ship (48 bits/vector), with exact cosine rerank composing behind
+    * it. Output: (q, n, hamming, rnk).
+    *
+    * Shape at scale: sketching is a zero-shuffle scan; ranking is a
+    * broadcast-queries × corpus pass on 8-byte sketches (XOR +
+    * bit_count per pair — no dim-exploded join at all), then the
+    * per-query top-k window. The corpus-side payload is the sketch,
+    * never the vector.
+    */
+  def hammingTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val sk = graft.util.Materialize.stage(
+      quantized(embeddings)
+        .select(col("vec_id"), expr(sketchExpr("v", SketchBits)).cast("long").as("sk"))
+    )
+    val w = Window.partitionBy("q").orderBy(asc("hamming"), asc("n"))
+    sk.select(col("vec_id").as("n"), col("sk").as("nsk"))
+      .crossJoin(broadcast(
+        sk.where(col("vec_id") < nQueries).select(col("vec_id").as("q"), col("sk").as("qsk"))
+      ))
+      .where(col("q") =!= col("n"))
+      .select(col("q"), col("n"), expr("CAST(bit_count(qsk ^ nsk) AS BIGINT)").as("hamming"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q"), col("n"), col("hamming"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Recall@k of the 48-bit Hamming ranking against the exact brute
+    * ranking — how much neighborhood structure survives 1-bit
+    * quantization (the prefilter-quality gate: low recall here means
+    * the sketch needs more bits before it can gate an exact rerank).
+    * Output: (q, n_true, n_hits_hamming, recall_hamming_permille).
+    */
+  def annRecallHamming(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+    val brute = graft.util.Materialize.stage(
+      bruteTopK(embeddings, nQueries, k).select(col("q"), col("n"))
+    )
+    val hits = brute
+      .join(hammingTopK(embeddings, nQueries, k).select("q", "n"), Seq("q", "n"), "left_semi")
+      .groupBy("q")
+      .agg(count(lit(1)).as("h"))
+    brute
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q"), "left")
+      .select(
+        col("q"),
+        col("n_true"),
+        coalesce(col("h"), lit(0L)).as("n_hits_hamming"),
+        expr("(1000 * coalesce(h, 0L)) div n_true").as("recall_hamming_permille")
+      )
+  }
+
   /** Bucketed ANN: like [[bruteTopK]] but each query only scans its own
     * sign-bit cell. Approximate (recall < 1) by design — the scale path.
     */

@@ -596,6 +596,40 @@ object OpsQueries {
       "FROM pe GROUP BY vec_id, label"
   }
 
+  /** Binary-sketch Hamming ranking (Similarity.hammingTopK): the
+    * oracle rebuilds the 48-bit packed sign sketch with the identical
+    * plane-weight formula and ranks by bit_count(xor).
+    */
+  val annHamming: Q = (s, dir) =>
+    Similarity.hammingTopK(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
+
+  val annHammingSql: String =
+    s"WITH $quantCte, " +
+      s"pl AS (SELECT j, d, CAST(((j * 31 + d * 17) % 7) - 3 AS BIGINT) AS w FROM " +
+      s"(SELECT unnest(range(${Similarity.SketchBits})) AS j), (SELECT unnest(range(64)) AS d)), " +
+      "ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM q), " +
+      "bits AS (SELECT vec_id, j, CAST(sum(x * w) AS BIGINT) AS dotj FROM ex JOIN pl ON pl.d = ex.d GROUP BY vec_id, j), " +
+      "sk AS (SELECT vec_id, CAST(sum(CASE WHEN dotj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s FROM bits GROUP BY vec_id), " +
+      "sc AS (SELECT qs.vec_id AS q, c.vec_id AS n, CAST(bit_count(xor(qs.s, c.s)) AS BIGINT) AS hamming " +
+      s"FROM sk qs JOIN sk c ON qs.vec_id < $AnnNQueries AND c.vec_id <> qs.vec_id), " +
+      "ranked AS (SELECT q, n, hamming, row_number() OVER (PARTITION BY q ORDER BY hamming, n) AS rnk FROM sc) " +
+      s"SELECT q, n, hamming, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= $AnnK"
+
+  /** Recall@k of the Hamming ranking vs exact brute
+    * (Similarity.annRecallHamming) — the prefilter-quality gate.
+    */
+  val annRecallHamming: Q = (s, dir) =>
+    Similarity.annRecallHamming(emb(s, dir), nQueries = AnnNQueries, k = AnnK)
+
+  val annRecallHammingSql: String =
+    s"WITH bt AS ($annTopKSql), hm AS ($annHammingSql), " +
+      "hs AS (SELECT bt.q, CAST(count(*) AS BIGINT) AS h FROM bt " +
+      "JOIN hm r ON r.q = bt.q AND r.n = bt.n GROUP BY bt.q), " +
+      "t AS (SELECT q, CAST(count(*) AS BIGINT) AS n_true FROM bt GROUP BY q) " +
+      "SELECT t.q, t.n_true, CAST(coalesce(hs.h, 0) AS BIGINT) AS n_hits_hamming, " +
+      "CAST((1000 * coalesce(hs.h, 0)) // t.n_true AS BIGINT) AS recall_hamming_permille " +
+      "FROM t LEFT JOIN hs ON hs.q = t.q"
+
   /** Centroid-distance outlier scores (Similarity.centroidOutliers):
     * exact per-vector d² to the label centroid, normalized by the
     * label mean via the division-free 1000·d²·n div Σd² rational.
@@ -1506,6 +1540,8 @@ object OpsQueries {
     "ann_recall" -> annRecall,
     "ann_sq" -> annSq,
     "ann_recall_sq" -> annRecallSq,
+    "ann_hamming" -> annHamming,
+    "ann_recall_hamming" -> annRecallHamming,
     "dedup_contain" -> dedupContain,
     "dedup_recall" -> dedupRecall,
     "dup_grams" -> dupGrams,
@@ -1588,6 +1624,8 @@ object OpsQueries {
     "ann_recall" -> annRecallSql,
     "ann_sq" -> annSqSql,
     "ann_recall_sq" -> annRecallSqSql,
+    "ann_hamming" -> annHammingSql,
+    "ann_recall_hamming" -> annRecallHammingSql,
     "dedup_contain" -> dedupContainSql,
     "dedup_recall" -> dedupRecallSql,
     "dup_grams" -> dupGramsSql,

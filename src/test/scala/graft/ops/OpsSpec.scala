@@ -1226,6 +1226,25 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("hammingTopK: sketch extends the bucket bits; ranking is hamming-monotone") {
+    // the 48-bit sketch uses the identical plane-weight formula as the
+    // 8-bit LSH bucket, so the bucket must equal the sketch's low byte
+    val sk = Similarity.quantized(emb)
+      .select(col("vec_id"), expr(Similarity.sketchExpr("v", Similarity.SketchBits)).as("sk"))
+    val joined = Similarity.buckets(emb).join(sk, "vec_id")
+      .where(col("bucket") =!= (col("sk").bitwiseAND(lit(255L))))
+    assert(joined.count() == 0)
+
+    val top = Similarity.hammingTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(top.length == 15)
+    top.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1L to 5L))
+      assert(byRank.map(_._2).toSeq == byRank.map(_._2).sortBy(identity).toSeq)
+    }
+  }
+
   test("annRecallSq: exactly-reconstructable vectors give perfect recall") {
     // every dim spans ≤ 2.00 (200 centi < the 255-level grid), so SQ8
     // reconstructs bit-exactly and the SQ ranking must equal brute
