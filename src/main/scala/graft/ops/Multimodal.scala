@@ -70,6 +70,42 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Per-type payload-size spectrum: for every media type and log2
+    * size bucket, the payload count and exact min/max byte length —
+    * the storage-planning table a multimodal pipeline reads before
+    * sizing shards and decode batches (a type whose tail bucket holds
+    * 4 GB payloads needs its own batch size, not the corpus default).
+    * Output: (media_type, bucket, lo, n, min_bytes, max_bytes).
+    *
+    * Shape at scale: one zero-join scan (byte length per row inside
+    * codegen) and one partial-aggregated exchange bounded by
+    * types × 64 buckets; payload BYTES never move — only their
+    * lengths.
+    */
+  def sizeSpectrum(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .select(
+        col("media_type"),
+        length(col("media")).cast("long").as("bytes")
+      )
+      .groupBy(
+        col("media_type"),
+        expr("CASE WHEN bytes = 0 THEN -1 ELSE CAST(length(bin(bytes)) - 1 AS BIGINT) END").as("bucket")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("bytes")).as("min_bytes"),
+        max(col("bytes")).as("max_bytes")
+      )
+      .select(
+        col("media_type"),
+        col("bucket"),
+        expr("CASE WHEN bucket < 0 THEN 0L ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) END").as("lo"),
+        col("n"),
+        col("min_bytes"),
+        col("max_bytes")
+      )
+
   /** The decode stage: micro-batched mapPartitions over binary payloads. */
   def decode(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaMeta] = {
     val spark = media.sparkSession

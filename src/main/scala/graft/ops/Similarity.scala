@@ -177,6 +177,31 @@ object Similarity {
       )
   }
 
+  /** Per-label norm profile — the embedding-collapse monitor's other
+    * gauge: vector count and the exact min/max/floor-mean of the
+    * squared quantized norm per label (a label whose norm spread
+    * pinches toward a point is collapsing; one whose max runs away
+    * holds outliers before they show up in distance space). All
+    * integer: norms are exact centi-unit sums of squares, the mean is
+    * floor(Σ div n). Output: (label, n, min_n2, max_n2, avg_n2).
+    *
+    * Shape at scale: one zero-join scan computes each row's norm
+    * inside codegen; one labels-bounded partial-aggregated exchange.
+    */
+  def normProfile(embeddings: DataFrame): DataFrame =
+    quantized(embeddings)
+      .select(
+        col("label").cast("long").as("label"),
+        expr("aggregate(v, 0L, (acc, x) -> acc + x * x)").as("n2")
+      )
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        expr("sum(n2) div count(1)").as("avg_n2")
+      )
+
   /** Per-vector centroid-distance outlier score — label-noise mining:
     * each vector's exact squared distance to its label centroid,
     * normalized by the label's MEAN squared distance as

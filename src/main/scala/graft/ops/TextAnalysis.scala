@@ -87,6 +87,32 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens")
     )
 
+  /** Per-source hapax-legomena profile — lexical richness per domain:
+    * token mass, vocabulary size, words occurring exactly ONCE in the
+    * source (hapax), and hapax share of the vocabulary in permille.
+    * A source whose hapax share collapses is template/boilerplate
+    * output (the same strings over and over); one that explodes is
+    * OCR noise or id-spam — both are crawl-quality flags next to the
+    * dup-rate table. Output:
+    * (source, n_tokens, vocab, hapax, hapax_permille).
+    *
+    * Shape at scale: one (source, token)-keyed partial-aggregated
+    * exchange (map-side combine absorbs hot words), then a
+    * source-keyed rollup bounded by the domain vocabulary.
+    */
+  def hapaxProfile(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(TokenRules.tokens(col("text"))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("cnt") === 1L, lit(1))).as("hapax")
+      )
+      .withColumn("hapax_permille", expr("(1000 * hapax) div vocab"))
+
   /** Flesch–Kincaid-style readability grade in exact integer milli
     * units — the grade-level curriculum signal (order easy → hard)
     * computed without a single float: with w = words, s = sentences

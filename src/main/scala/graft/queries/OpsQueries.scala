@@ -217,6 +217,19 @@ object OpsQueries {
       "CAST(CASE WHEN grp.dup_group IS NULL OR grp.dup_group = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep " +
       "FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id"
 
+  /** Per-source hapax-legomena profile (TextAnalysis.hapaxProfile):
+    * token mass, vocabulary, once-only words and their permille share.
+    */
+  val textHapax: Q = (s, dir) => TextAnalysis.hapaxProfile(docs(s, dir))
+
+  val textHapaxSql: String =
+    "WITH tkx AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents), " +
+      "c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt FROM tkx GROUP BY 1, 2) " +
+      "SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab, " +
+      "CAST(count(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS hapax, " +
+      "CAST((1000 * count(CASE WHEN cnt = 1 THEN 1 END)) // count(*) AS BIGINT) AS hapax_permille " +
+      "FROM c GROUP BY source"
+
   /** Per-source duplication rollup (Dedup.sourceDupProfile): the
     * near-dup keep verdicts joined to sources and folded to a
     * domain-level drop-rate table; the oracle nests the full
@@ -629,6 +642,19 @@ object OpsQueries {
       "SELECT t.q, t.n_true, CAST(coalesce(hs.h, 0) AS BIGINT) AS n_hits_hamming, " +
       "CAST((1000 * coalesce(hs.h, 0)) // t.n_true AS BIGINT) AS recall_hamming_permille " +
       "FROM t LEFT JOIN hs ON hs.q = t.q"
+
+  /** Per-label norm profile (Similarity.normProfile): exact integer
+    * min/max/floor-mean squared norms, the collapse monitor's gauge.
+    */
+  val embNorms: Q = (s, dir) => Similarity.normProfile(emb(s, dir))
+
+  val embNormsSql: String =
+    s"WITH $quantCte, " +
+      "nn AS (SELECT CAST(label AS BIGINT) AS label, " +
+      "CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM q) " +
+      "SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(min(n2) AS BIGINT) AS min_n2, " +
+      "CAST(max(n2) AS BIGINT) AS max_n2, CAST(sum(n2) // count(*) AS BIGINT) AS avg_n2 " +
+      "FROM nn GROUP BY label"
 
   /** Centroid-distance outlier scores (Similarity.centroidOutliers):
     * exact per-vector d² to the label centroid, normalized by the
@@ -1365,6 +1391,21 @@ object OpsQueries {
       "CAST(240 + (doc_id % 3) * 120 AS BIGINT) AS height, " +
       "CAST(strlen(text) // 10 AS BIGINT) AS n_frames FROM documents"
 
+  /** Per-type payload-size spectrum (Multimodal.sizeSpectrum): log2
+    * byte-length buckets with exact min/max per (type, bucket).
+    */
+  val multimodalSizes: Q = (s, dir) =>
+    Multimodal.sizeSpectrum(Multimodal.mediaTable(docs(s, dir)))
+
+  val multimodalSizesSql: String =
+    "WITH m AS (SELECT 'image/fake-' || CAST(doc_id % 3 AS VARCHAR) AS media_type, " +
+      "CAST(strlen(text) AS BIGINT) AS bytes FROM documents), " +
+      "b AS (SELECT media_type, CASE WHEN bytes = 0 THEN -1 ELSE CAST(length(bin(bytes)) - 1 AS BIGINT) END AS bucket, bytes FROM m) " +
+      "SELECT media_type, bucket, " +
+      "CAST(CASE WHEN bucket < 0 THEN 0 ELSE CAST(1 AS BIGINT) << CAST(bucket AS INT) END AS BIGINT) AS lo, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(min(bytes) AS BIGINT) AS min_bytes, CAST(max(bytes) AS BIGINT) AS max_bytes " +
+      "FROM b GROUP BY 1, 2"
+
   val multimodalFrames: Q = (s, dir) =>
     Multimodal.sampleFrames(Multimodal.decode(Multimodal.mediaTable(docs(s, dir))))
 
@@ -1510,6 +1551,7 @@ object OpsQueries {
     "dedup_groups" -> dedupGroups,
     "dedup_keep" -> dedupKeep,
     "dedup_source_profile" -> dedupSourceProfile,
+    "text_hapax" -> textHapax,
     "text_skipgrams" -> textSkipgrams,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -1572,6 +1614,7 @@ object OpsQueries {
     "corpus_keep" -> corpusKeep,
     "text_redact" -> textRedact,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_sizes" -> multimodalSizes,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
     "multimodal_features" -> multimodalFeatures,
@@ -1583,6 +1626,7 @@ object OpsQueries {
     "emb_separation" -> embSeparation,
     "emb_quantize" -> embQuantize,
     "emb_outliers" -> embOutliers,
+    "emb_norms" -> embNorms,
     "dedup_sizes" -> dedupSizes
   )
 
@@ -1594,6 +1638,7 @@ object OpsQueries {
     "dedup_groups" -> dedupGroupsSql,
     "dedup_keep" -> dedupKeepSql,
     "dedup_source_profile" -> dedupSourceProfileSql,
+    "text_hapax" -> textHapaxSql,
     "text_skipgrams" -> textSkipgramsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
@@ -1656,6 +1701,7 @@ object OpsQueries {
     "corpus_keep" -> corpusKeepSql,
     "text_redact" -> textRedactSql,
     "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_sizes" -> multimodalSizesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_features" -> multimodalFeaturesSql,
@@ -1667,6 +1713,7 @@ object OpsQueries {
     "emb_separation" -> embSeparationSql,
     "emb_quantize" -> embQuantizeSql,
     "emb_outliers" -> embOutliersSql,
+    "emb_norms" -> embNormsSql,
     "dedup_sizes" -> dedupSizesSql
   )
 }

@@ -1198,6 +1198,40 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("sizeSpectrum: log2 byte buckets per media type with exact bounds") {
+    // doc_ids 0 and 3 share type image/fake-0; byte lengths 5 and 9
+    // land in buckets 2 ([4,8)) and 3 ([8,16))
+    val d = Seq(
+      (0L, "aaaaa"), (3L, "bbbbbbbbb"), (1L, "ccc")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.sizeSpectrum(Multimodal.mediaTable(d)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      ("image/fake-0", 2L, 4L, 1L, 5L, 5L),
+      ("image/fake-0", 3L, 8L, 1L, 9L, 9L),
+      ("image/fake-1", 1L, 2L, 1L, 3L, 3L)
+    ))
+  }
+
+  test("hapaxProfile: once-only words per source in permille") {
+    val d = Seq((1L, "a a b", "s"), (2L, "c", "s"), (3L, "x x", "t"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.hapaxProfile(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // s: counts a=2 b=1 c=1 → 4 tokens, vocab 3, hapax 2 → 666‰
+    assert(got == Set(("s", 4L, 3L, 2L, 666L), ("t", 2L, 1L, 0L, 0L)))
+  }
+
+  test("normProfile: exact integer norm spread per label") {
+    val e = Seq(
+      (1L, Seq(1.0f), 0), (2L, Seq(2.0f), 0), (3L, Seq(0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.normProfile(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set((0L, 2L, 10000L, 40000L, 25000L), (1L, 1L, 100L, 100L, 100L)))
+  }
+
   test("sourceDupProfile: per-source drop rates from the keep verdicts") {
     val dup = (1 to 12).map(i => s"tok$i").mkString(" ")
     val d = Seq(
