@@ -479,6 +479,74 @@ object EventsStream {
       )
   }
 
+  final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionState(startSec: Long, endSec: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long,
+      n_events: Long,
+      start_ts: Timestamp,
+      end_ts: Timestamp,
+      duration_sec: Long
+  )
+
+  /** Streaming sessionization — the canonical stateful
+    * flatMapGroupsWithState shape: per user, an OPEN session lives in
+    * GroupState; an in-gap event extends it, an over-gap event closes
+    * and emits it, and the event-time timeout (watermark passing
+    * end + gap) closes sessions no later event will ever extend — so
+    * every session emits exactly once, with state bounded per active
+    * user, never by stream age. Same session rule as the batch
+    * [[sessionize]] (seconds-floored timestamps, gap strictly
+    * greater-than); StreamingSpec asserts the emitted sessions equal
+    * the batch rows when the stream is replayed in order and flushed
+    * by a watermark advance. Cross-batch out-of-order events inside
+    * the late bound extend the open session best-effort (max end,
+    * min start) — the declared streaming semantics.
+    */
+  def sessionizeStreaming(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30,
+      lateBound: String = "1 minute"
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+    events
+      .withWatermark("ts", lateBound)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (uid, rows, state: GroupState[SessionState]) =>
+        def emit(s: SessionState): SessionOut =
+          SessionOut(uid, s.n, new Timestamp(s.startSec * 1000L), new Timestamp(s.endSec * 1000L), s.endSec - s.startSec)
+        if (state.hasTimedOut) {
+          val closed = emit(state.get)
+          state.remove()
+          Iterator.single(closed)
+        } else {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var open = state.getOption
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000L
+            open = open match {
+              case None => Some(SessionState(sec, sec, 1L))
+              case Some(o) if sec - o.endSec > gapSec =>
+                out += emit(o)
+                Some(SessionState(sec, sec, 1L))
+              case Some(o) =>
+                Some(SessionState(math.min(o.startSec, sec), math.max(o.endSec, sec), o.n + 1L))
+            }
+          }
+          open.foreach { o =>
+            state.update(o)
+            state.setTimeoutTimestamp(o.endSec * 1000L, s"$gapMinutes minutes")
+          }
+          out.iterator
+        }
+      }
+  }
+
   /** Funnel analysis: how many users progress through the ordered
     * `steps` event-type sequence — a user reaches step k when an event
     * of that type occurs at-or-after their earliest step-(k-1) reach

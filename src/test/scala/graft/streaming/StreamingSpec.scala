@@ -732,6 +732,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("sessionizeStreaming: gap-closed and timeout-flushed sessions equal batch") {
+    implicit val sql = spark.sqlContext
+    import EventsStream.SessionEvent
+    def at(s: String) = Timestamp.valueOf(s)
+    val evs = Seq(
+      SessionEvent(1L, 1L, at("2024-01-01 10:00:00")),
+      SessionEvent(1L, 2L, at("2024-01-01 10:10:00")), // same session (10 min gap)
+      SessionEvent(1L, 3L, at("2024-01-01 11:00:00")), // 50 min gap → new session
+      SessionEvent(2L, 4L, at("2024-01-01 10:05:00"))
+    )
+    val ms = MemoryStream[SessionEvent]
+    val q = EventsStream.sessionizeStreaming(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      ms.addData(evs: _*)
+      q.processAllAvailable()
+      // two sentinel batches push the watermark far past end+gap so the
+      // event-time timeouts flush every still-open session
+      ms.addData(SessionEvent(99L, 999L, at("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      ms.addData(SessionEvent(99L, 1000L, at("2024-01-01 20:00:01")))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .where(org.apache.spark.sql.functions.col("user_id") =!= 99L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+        .toSet
+      val batch = EventsStream.sessionize(evs.toDF(), gapMinutes = 30)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4), r.getLong(5)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.size == 3) // user 1 × 2 sessions + user 2 × 1
+    } finally q.stop()
+  }
+
   test("streaks: islands isolate runs, ties take the earliest start") {
     def t(s: String) = Timestamp.valueOf(s + " 09:00:00")
     val ev = (
