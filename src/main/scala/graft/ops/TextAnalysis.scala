@@ -87,6 +87,47 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens")
     )
 
+  /** Per-document n-gram novelty in crawl order — for each document,
+    * how many of its distinct 8-token grams appear HERE FIRST (their
+    * minimum doc_id is this doc): the order-sensitive complement of
+    * [[dupGramFraction]]'s corpus-global dup share, and the streaming
+    * intuition ("how much genuinely new text did this crawl batch
+    * add") as an exact batch fact. A long doc with near-zero novelty
+    * is recycled content even if no single partner clears a pairwise
+    * dedup threshold. Output:
+    * (doc_id, n_grams, n_new, novelty_permille).
+    *
+    * Shape at scale: the same staged distinct (doc, gram) table as
+    * dupGramFraction (one gram-keyed partial-aggregated exchange for
+    * the min-doc owner, map-side combined), joined back on the gram
+    * key and folded per doc. Slim keys only — gram strings and ids,
+    * never bodies.
+    */
+  def gramNovelty(docs: DataFrame, gramLen: Int = TokenGramLen): DataFrame = {
+    val k = gramLen
+    val grams = graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= k)
+        .select(
+          col("doc_id"),
+          explode(
+            expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))")
+          ).as("gram")
+        )
+        .distinct()
+    )
+    val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    grams
+      .join(first, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_new")
+      )
+      .withColumn("novelty_permille", expr("(1000 * n_new) div n_grams"))
+  }
+
   /** Per-source hapax-legomena profile — lexical richness per domain:
     * token mass, vocabulary size, words occurring exactly ONCE in the
     * source (hapax), and hapax share of the vocabulary in permille.

@@ -217,6 +217,25 @@ object OpsQueries {
       "CAST(CASE WHEN grp.dup_group IS NULL OR grp.dup_group = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep " +
       "FROM documents d LEFT JOIN grp ON grp.doc_id = d.doc_id"
 
+  /** Per-document crawl-order gram novelty (TextAnalysis.gramNovelty):
+    * distinct 8-grams first seen in this doc, in permille of the doc's
+    * gram set — the same gram CTE as dup_grams with a min-owner join.
+    */
+  val textNovelty: Q = (s, dir) => TextAnalysis.gramNovelty(docs(s, dir))
+
+  val textNoveltySql: String = {
+    val k = TextAnalysis.TokenGramLen
+    s"WITH $toksCte, " +
+      s"g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+      s"unnest(list_transform(range(1, len(toks) - ${k - 2}), i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS gram " +
+      s"FROM tk WHERE len(toks) >= $k)), " +
+      "f AS (SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc FROM g GROUP BY gram) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+      "CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) AS BIGINT) AS n_new, " +
+      "CAST((1000 * count(CASE WHEN first_doc = doc_id THEN 1 END)) // count(*) AS BIGINT) AS novelty_permille " +
+      "FROM g JOIN f USING (gram) GROUP BY doc_id"
+  }
+
   /** Per-source hapax-legomena profile (TextAnalysis.hapaxProfile):
     * token mass, vocabulary, once-only words and their permille share.
     */
@@ -1552,6 +1571,7 @@ object OpsQueries {
     "dedup_keep" -> dedupKeep,
     "dedup_source_profile" -> dedupSourceProfile,
     "text_hapax" -> textHapax,
+    "text_novelty" -> textNovelty,
     "text_skipgrams" -> textSkipgrams,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -1639,6 +1659,7 @@ object OpsQueries {
     "dedup_keep" -> dedupKeepSql,
     "dedup_source_profile" -> dedupSourceProfileSql,
     "text_hapax" -> textHapaxSql,
+    "text_novelty" -> textNoveltySql,
     "text_skipgrams" -> textSkipgramsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,

@@ -1214,6 +1214,18 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("gramNovelty: first-occurrence grams in crawl order") {
+    val nine = (1 to 9).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, nine), // 2 grams, both first here
+      (2L, nine), // exact recycle → 0 novelty
+      (3L, (1 to 8).map(i => s"x$i").mkString(" ")) // 1 fresh gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gramNovelty(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 2L, 1000L), (2L, 2L, 0L, 0L), (3L, 1L, 1L, 1000L)))
+  }
+
   test("hapaxProfile: once-only words per source in permille") {
     val d = Seq((1L, "a a b", "s"), (2L, "c", "s"), (3L, "x x", "t"))
       .toDF("doc_id", "text", "source")
