@@ -82,4 +82,32 @@ object Curation {
         expr("IF(verdict = 'keep', 1L, 0L)").as("keep")
       )
   }
+
+  /** Curation funnel — the pipeline-observability rollup of
+    * [[corpusDecision]]: per verdict (keep / each drop reason /
+    * duplicate / sampled_out), the document count, its permille of the
+    * corpus, and how many distinct sources the verdict touches. The
+    * one table a corpus-prep run prints to say where the bytes went.
+    * Output: (verdict, n_docs, permille, n_sources).
+    *
+    * Shape at scale: the shared decision pass plus ONE verdict-keyed
+    * aggregate (≤ a dozen groups) and a 1-row total crossJoin.
+    */
+  def funnel(docs: DataFrame, ratePct: Column): DataFrame = {
+    val dec = graft.util.Materialize.stage(corpusDecision(docs, ratePct))
+    val total = dec.agg(count(lit(1)).as("total"))
+    dec
+      .groupBy("verdict")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources")
+      )
+      .crossJoin(total)
+      .select(
+        col("verdict"),
+        col("n_docs"),
+        expr("(1000 * n_docs) div total").as("permille"),
+        col("n_sources")
+      )
+  }
 }

@@ -52,6 +52,35 @@ object TextAnalysis {
       )
       .withColumn("lang_pred", expr(LangVote))
 
+  /** Language-ID confusion matrix — the heuristic classifier evaluated
+    * against the corpus's ground-truth `lang` column: for every
+    * (truth, prediction) pair, the document count and its permille
+    * share of the truth language's documents (diagonal = per-language
+    * recall). The eval loop the langid heuristic ships with — when a
+    * language's diagonal drops, its marker list needs work BEFORE the
+    * filter runs over a crawl. Output:
+    * (lang, lang_pred, n, permille_of_lang).
+    *
+    * Shape at scale: the zero-shuffle langId scan, one doc-keyed join
+    * to attach truth, a (truth, pred)-keyed aggregate bounded by
+    * langs², and an AQE-broadcast per-truth total join.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cm = langId(docs)
+      .select(col("doc_id"), col("lang_pred"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy("lang").agg(sum("n").as("lang_total"))
+    cm.join(tot, "lang")
+      .select(
+        col("lang"),
+        col("lang_pred"),
+        col("n"),
+        expr("(1000 * n) div lang_total").as("permille_of_lang")
+      )
+  }
+
   /** Heuristic quality features, all integer-exact:
     * n_chars, n_tokens, avg token length (milli), stopword ratio (pct),
     * and a composite quality score (milli, capped at 1000).

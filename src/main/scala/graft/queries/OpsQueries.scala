@@ -495,6 +495,21 @@ object OpsQueries {
       "ELSE 'und' END AS lang_pred FROM c"
   }
 
+  /** Language-ID confusion matrix (TextAnalysis.langConfusion): the
+    * heuristic's predictions against the ground-truth lang column,
+    * with per-truth-language permille (diagonal = recall).
+    */
+  val textLangConfusion: Q = (s, dir) => TextAnalysis.langConfusion(docs(s, dir))
+
+  val textLangConfusionSql: String =
+    s"WITH lp AS ($textLangIdSql), " +
+      "cm AS (SELECT d.lang, lp.lang_pred, CAST(count(*) AS BIGINT) AS n " +
+      "FROM lp JOIN documents d USING (doc_id) GROUP BY 1, 2), " +
+      "t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total FROM cm GROUP BY 1) " +
+      "SELECT cm.lang, cm.lang_pred, cm.n, " +
+      "CAST((1000 * cm.n) // t.lang_total AS BIGINT) AS permille_of_lang " +
+      "FROM cm JOIN t USING (lang)"
+
   val textQuality: Q = (s, dir) => TextAnalysis.quality(docs(s, dir))
 
   val textQualitySql: String = {
@@ -1391,6 +1406,20 @@ object OpsQueries {
       "FROM sm LEFT JOIN cur ON cur.doc_id = sm.doc_id LEFT JOIN dup ON dup.doc_id = sm.doc_id) " +
       "SELECT doc_id, source, verdict, CAST(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS keep FROM v"
 
+  /** Curation funnel (Curation.funnel): verdict-level doc counts,
+    * corpus permille and distinct sources touched — the composed
+    * keep-list oracle rolled up.
+    */
+  val corpusFunnel: Q = (s, dir) => Curation.funnel(docs(s, dir), expr(mixRateExpr))
+
+  val corpusFunnelSql: String =
+    s"WITH base AS ($corpusKeepSql), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM base) " +
+      "SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST((1000 * count(*)) // t.total AS BIGINT) AS permille, " +
+      "CAST(count(DISTINCT source) AS BIGINT) AS n_sources " +
+      "FROM base CROSS JOIN t GROUP BY verdict, t.total"
+
   val lengthHistogram: Q = (s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))
 
   val lengthHistogramSql: String =
@@ -1584,6 +1613,7 @@ object OpsQueries {
     "ann_ivf" -> annIvf,
     "ann_pq" -> annPq,
     "text_langid" -> textLangId,
+    "text_lang_confusion" -> textLangConfusion,
     "text_quality" -> textQuality,
     "text_token_counts" -> textTokenCounts,
     "text_readability" -> textReadability,
@@ -1632,6 +1662,7 @@ object OpsQueries {
     "quality_sample" -> qualitySample,
     "quality_deciles" -> qualityDeciles,
     "corpus_keep" -> corpusKeep,
+    "corpus_funnel" -> corpusFunnel,
     "text_redact" -> textRedact,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_sizes" -> multimodalSizes,
@@ -1672,6 +1703,7 @@ object OpsQueries {
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
     "text_langid" -> textLangIdSql,
+    "text_lang_confusion" -> textLangConfusionSql,
     "text_quality" -> textQualitySql,
     "text_token_counts" -> textTokenCountsSql,
     "text_readability" -> textReadabilitySql,
@@ -1720,6 +1752,7 @@ object OpsQueries {
     "quality_sample" -> qualitySampleSql,
     "quality_deciles" -> qualityDecilesSql,
     "corpus_keep" -> corpusKeepSql,
+    "corpus_funnel" -> corpusFunnelSql,
     "text_redact" -> textRedactSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_sizes" -> multimodalSizesSql,

@@ -1214,6 +1214,39 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("langConfusion: diagonal recall and off-diagonal misroutes") {
+    val d = Seq(
+      (1L, "the and is", "en"), // en markers, truth en → diagonal
+      (2L, "the of to", "en"),
+      (3L, "the and of", "de"), // en markers, truth de → (de, en)
+      (4L, "der und ist", "de") // de markers, truth de → diagonal
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("en", "en", 2L, 1000L),
+      ("de", "en", 1L, 500L),
+      ("de", "de", 1L, 500L)
+    ))
+  }
+
+  test("funnel: verdict counts, corpus permille, sources touched") {
+    // 4 docs: one long-enough keeper per source, one duplicate of it,
+    // and the curate rules decide the rest; rate 100 keeps everything
+    // the earlier stages pass
+    val base = ((1 to 30).map(i => s"w$i") ++ Seq("the", "and")).mkString(" ")
+    val d = Seq(
+      (1L, base, "s"), (2L, base, "s"), // doc 2 = exact duplicate
+      (3L, base + " extra tail words here", "t")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.funnel(d, lit(100)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("keep", 2L, 666L, 2L),
+      ("duplicate", 1L, 333L, 1L)
+    ))
+  }
+
   test("gramNovelty: first-occurrence grams in crawl order") {
     val nine = (1 to 9).map(i => s"t$i").mkString(" ")
     val d = Seq(
