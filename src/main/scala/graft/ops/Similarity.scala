@@ -177,6 +177,33 @@ object Similarity {
       )
   }
 
+  /** Per-query label margin — the metric-learning separability eval:
+    * for each query vector, its best same-label score and best
+    * different-label score under the shared integer cosine, and their
+    * difference. margin ≤ 0 means the nearest neighbor is
+    * wrong-labeled — the per-example failure row a retrieval-embedding
+    * audit drills into; a query whose label has no other member
+    * reports NULL best_same (both engines agree on the NULL rule).
+    * Output: (q, best_same_milli, best_diff_milli, margin_milli).
+    *
+    * Shape at scale: the broadcast-query brute scorer with label
+    * columns attached, folded by ONE query-keyed aggregate — no
+    * top-k window, no second corpus pass.
+    */
+  def labelMargin(embeddings: DataFrame, nQueries: Int = 20): DataFrame = {
+    val q = quantized(embeddings)
+    val queries = q.where(col("vec_id") < nQueries)
+    queryScored(q, queries)
+      .join(q.select(col("vec_id").as("n"), col("label").as("nl")), "n")
+      .join(broadcast(queries.select(col("vec_id").as("q"), col("label").as("ql"))), "q")
+      .groupBy("q")
+      .agg(
+        max(when(col("nl") === col("ql"), col("score_milli"))).as("best_same_milli"),
+        max(when(col("nl") =!= col("ql"), col("score_milli"))).as("best_diff_milli")
+      )
+      .withColumn("margin_milli", col("best_same_milli") - col("best_diff_milli"))
+  }
+
   /** Per-label norm profile — the embedding-collapse monitor's other
     * gauge: vector count and the exact min/max/floor-mean of the
     * squared quantized norm per label (a label whose norm spread

@@ -52,6 +52,38 @@ object TextAnalysis {
       )
       .withColumn("lang_pred", expr(LangVote))
 
+  /** Code-vs-prose detection — the standard webtext routing signal
+    * (code goes to a code-corpus pipeline with its own dedup and
+    * quality rules, not through prose filters that would shred it):
+    * per document, the non-alphanumeric symbol share in permille plus
+    * exact brace/bracket/paren and semicolon/equals counts, and the
+    * declared verdict is_code = (symbol share ≥ 50‰ AND
+    * structural hits ≥ 3). All counts are RE2-compatible regex counts
+    * — one zero-shuffle codegen'd scan, same engine-exact shape as
+    * text_redact. Output:
+    * (doc_id, n_chars, symbol_permille, brace_hits, op_hits, is_code).
+    */
+  def codeDetect(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("symbols"),
+        regexp_count(col("text"), lit("[{}()\\[\\]]")).cast("long").as("brace_hits"),
+        regexp_count(col("text"), lit("[;=]")).cast("long").as("op_hits")
+      )
+      .where(col("n_chars") > 0)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        expr("(1000 * symbols) div n_chars").as("symbol_permille"),
+        col("brace_hits"),
+        col("op_hits"),
+        expr(
+          "CAST(CASE WHEN (1000 * symbols) div n_chars >= 50 AND brace_hits + op_hits >= 3 THEN 1 ELSE 0 END AS BIGINT)"
+        ).as("is_code")
+      )
+
   /** Language-ID confusion matrix — the heuristic classifier evaluated
     * against the corpus's ground-truth `lang` column: for every
     * (truth, prediction) pair, the document count and its permille

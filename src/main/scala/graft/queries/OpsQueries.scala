@@ -677,6 +677,37 @@ object OpsQueries {
       "CAST((1000 * coalesce(hs.h, 0)) // t.n_true AS BIGINT) AS recall_hamming_permille " +
       "FROM t LEFT JOIN hs ON hs.q = t.q"
 
+  /** Code-vs-prose routing signal (TextAnalysis.codeDetect): symbol
+    * share + structural-character counts and the declared verdict.
+    */
+  val textCodeDetect: Q = (s, dir) => TextAnalysis.codeDetect(docs(s, dir))
+
+  val textCodeDetectSql: String =
+    "WITH f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS symbols, " +
+      "CAST(len(regexp_extract_all(text, '[{}()\\[\\]]')) AS BIGINT) AS brace_hits, " +
+      "CAST(len(regexp_extract_all(text, '[;=]')) AS BIGINT) AS op_hits " +
+      "FROM documents WHERE length(text) > 0) " +
+      "SELECT doc_id, n_chars, (1000 * symbols) // n_chars AS symbol_permille, brace_hits, op_hits, " +
+      "CAST(CASE WHEN (1000 * symbols) // n_chars >= 50 AND brace_hits + op_hits >= 3 THEN 1 ELSE 0 END AS BIGINT) AS is_code " +
+      "FROM f"
+
+  /** Per-query label margin (Similarity.labelMargin): best same-label
+    * minus best different-label integer cosine — the separability
+    * eval; NULL best_same when the query's label has no other member.
+    */
+  val embMargin: Q = (s, dir) => Similarity.labelMargin(emb(s, dir), nQueries = AnnNQueries)
+
+  val embMarginSql: String =
+    s"WITH $quantCte, " +
+      "sc AS (SELECT qs.vec_id AS q, CAST(qs.label AS BIGINT) AS ql, CAST(c.label AS BIGINT) AS nl, " +
+      s"(1000 * ${listDot("qs.v", "c.v")} * abs(${listDot("qs.v", "c.v")})) // (${listNorm("qs.v")} * ${listNorm("c.v")}) AS s " +
+      s"FROM q qs JOIN q c ON qs.vec_id < $AnnNQueries AND c.vec_id <> qs.vec_id) " +
+      "SELECT q, CAST(max(CASE WHEN nl = ql THEN s END) AS BIGINT) AS best_same_milli, " +
+      "CAST(max(CASE WHEN nl <> ql THEN s END) AS BIGINT) AS best_diff_milli, " +
+      "CAST(max(CASE WHEN nl = ql THEN s END) - max(CASE WHEN nl <> ql THEN s END) AS BIGINT) AS margin_milli " +
+      "FROM sc GROUP BY q"
+
   /** Per-label norm profile (Similarity.normProfile): exact integer
     * min/max/floor-mean squared norms, the collapse monitor's gauge.
     */
@@ -1614,6 +1645,7 @@ object OpsQueries {
     "ann_pq" -> annPq,
     "text_langid" -> textLangId,
     "text_lang_confusion" -> textLangConfusion,
+    "text_code_detect" -> textCodeDetect,
     "text_quality" -> textQuality,
     "text_token_counts" -> textTokenCounts,
     "text_readability" -> textReadability,
@@ -1678,6 +1710,7 @@ object OpsQueries {
     "emb_quantize" -> embQuantize,
     "emb_outliers" -> embOutliers,
     "emb_norms" -> embNorms,
+    "emb_margin" -> embMargin,
     "dedup_sizes" -> dedupSizes
   )
 
@@ -1704,6 +1737,7 @@ object OpsQueries {
     "ann_pq" -> annPqSql,
     "text_langid" -> textLangIdSql,
     "text_lang_confusion" -> textLangConfusionSql,
+    "text_code_detect" -> textCodeDetectSql,
     "text_quality" -> textQualitySql,
     "text_token_counts" -> textTokenCountsSql,
     "text_readability" -> textReadabilitySql,
@@ -1768,6 +1802,7 @@ object OpsQueries {
     "emb_quantize" -> embQuantizeSql,
     "emb_outliers" -> embOutliersSql,
     "emb_norms" -> embNormsSql,
+    "emb_margin" -> embMarginSql,
     "dedup_sizes" -> dedupSizesSql
   )
 }

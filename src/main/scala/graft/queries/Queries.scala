@@ -645,6 +645,57 @@ object Queries {
       "UNION SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node) " +
       "SELECT node AS entity, min(label) AS component FROM walk GROUP BY node"
 
+  /** Per-component structural rollup (size, distinct undirected edges,
+    * internal density in permille) over the exact CC partition — the
+    * fragment-size table a KG curator reads before deciding which
+    * components are real knowledge islands and which are extraction
+    * noise. Density = 1000·e div (n·(n−1)/2) for n ≥ 2 (singletons 0),
+    * DECIMAL/HUGEINT-widened. Shape: the shared CC pass, the distinct
+    * least/greatest edge set joined to the assignment (AQE handles hub
+    * skew), and a component-keyed partial-aggregated exchange.
+    */
+  val kgComponentStats: Q = (s, dir) => {
+    val tr = triples(s, dir)
+    val edges = tr.select(col("subject").as("src"), col("obj").as("dst"))
+    val nodes = tr.select(col("subject").as("node"))
+      .union(tr.select(col("obj").as("node"))).distinct()
+    val assign = graft.util.Materialize.stage(
+      graft.cluster.ConnectedComponents.run(edges, nodes)
+    )
+    val edu = tr
+      .select(least(col("subject"), col("obj")).as("a"), greatest(col("subject"), col("obj")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .join(assign.select(col("node").as("a"), col("component")), "a")
+    val sizes = assign.groupBy("component").agg(count(lit(1)).as("n_entities"))
+    val ecnt = edu.groupBy("component").agg(count(lit(1)).as("n_edges"))
+    sizes
+      .join(ecnt, Seq("component"), "left")
+      .select(
+        col("component"),
+        col("n_entities"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        expr(
+          "CAST(CASE WHEN n_entities < 2 THEN 0 ELSE " +
+            "(CAST(2000 AS DECIMAL(38,0)) * coalesce(n_edges, 0)) DIV " +
+            "(CAST(n_entities AS DECIMAL(38,0)) * (n_entities - 1)) END AS BIGINT)"
+        ).as("density_permille")
+      )
+  }
+
+  val kgComponentStatsSql: String = {
+    val cut = kgComponentsSql.indexOf("SELECT node AS entity")
+    kgComponentsSql.substring(0, cut) +
+      ", asg AS (SELECT node, min(label) AS component FROM walk GROUP BY node), " +
+      "edu AS (SELECT DISTINCT least(subject, obj) AS a, greatest(subject, obj) AS b FROM tr WHERE subject <> obj), " +
+      "ej AS (SELECT asg.component, count(*) AS e FROM edu JOIN asg ON asg.node = edu.a GROUP BY 1), " +
+      "sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_entities FROM asg GROUP BY 1) " +
+      "SELECT sz.component, sz.n_entities, CAST(coalesce(ej.e, 0) AS BIGINT) AS n_edges, " +
+      "CAST(CASE WHEN sz.n_entities < 2 THEN 0 ELSE " +
+      "(CAST(2000 AS HUGEINT) * coalesce(ej.e, 0)) // (CAST(sz.n_entities AS HUGEINT) * (sz.n_entities - 1)) END AS BIGINT) AS density_permille " +
+      "FROM sz LEFT JOIN ej ON ej.component = sz.component"
+  }
+
   /** Incremental component maintenance (the recrawl path): canonicalize
     * the base crawl (docs with doc_id % 4 != 3), then fold the delta
     * crawl's edges in via [[graft.cluster.ConnectedComponents.incremental]]
@@ -2041,6 +2092,7 @@ object Queries {
     "kg_cluster_map" -> kgClusterMap,
     "kg_cluster_rewrite" -> kgClusterRewrite,
     "kg_components" -> kgComponents,
+    "kg_component_stats" -> kgComponentStats,
     "kg_cc_incremental" -> kgCcIncremental,
     "kg_pagerank" -> kgPageRank,
     "kg_hits" -> kgHits,
@@ -2135,6 +2187,7 @@ object Queries {
     "kg_cluster_map" -> kgClusterMapSql,
     "kg_cluster_rewrite" -> kgClusterRewriteSql,
     "kg_components" -> kgComponentsSql,
+    "kg_component_stats" -> kgComponentStatsSql,
     "kg_cc_incremental" -> kgCcIncrementalSql,
     "kg_pagerank" -> kgPageRankSql,
     "kg_hits" -> kgHitsSql,

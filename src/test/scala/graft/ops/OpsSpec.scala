@@ -1214,6 +1214,39 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("labelMargin: same/diff best scores, NULL when label has no peer") {
+    val e = Seq(
+      (0L, Seq(1.0f), 0), // query 0: peer at [2.0] (1000), best foe [-1.0] is the ONLY diff label
+      (1L, Seq(1.0f), 1), // query 1: label 1 has no other member → NULL best_same
+      (2L, Seq(2.0f), 0),
+      (3L, Seq(-1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelMargin(e.where(col("vec_id") =!= 1L), nQueries = 1).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(got(0L) == ((Some(1000L), Some(-1000L), Some(2000L))))
+    val got2 = Similarity.labelMargin(e, nQueries = 2).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    // with vector 1 present, q0's best foe is the aligned [1.0] (score 1000)
+    assert(got2(0L) == ((Some(1000L), Some(1000L), Some(0L))))
+    assert(got2(1L) == ((None, Some(1000L), None)))
+  }
+
+  test("codeDetect: symbol share and structural hits route code") {
+    val d = Seq(
+      (1L, "x = f(a); y = g(b);"),
+      (2L, "plain words here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.codeDetect(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(
+      (1L, 19L, 421L, 4L, 4L, 1L),
+      (2L, 16L, 0L, 0L, 0L, 0L)
+    ))
+  }
+
   test("langConfusion: diagonal recall and off-diagonal misroutes") {
     val d = Seq(
       (1L, "the and is", "en"), // en markers, truth en → diagonal
