@@ -248,15 +248,19 @@ object Similarity {
     */
   def centroidOutliers(embeddings: DataFrame): DataFrame = {
     val cent = centroids(embeddings)
-    val d2 = quantized(embeddings)
-      .select(
-        col("vec_id"),
-        col("label").cast("long").as("label"),
-        posexplode(col("v")).as(Seq("dim", "x"))
-      )
-      .join(cent, Seq("label", "dim"))
-      .groupBy("vec_id", "label")
-      .agg(sum(expr("(x - cval) * (x - cval)")).as("d2"))
+    // staged: the corpus-sized explode+join+aggregate feeds BOTH the
+    // label rollup and the final join — unstaged it would run twice
+    val d2 = graft.util.Materialize.stage(
+      quantized(embeddings)
+        .select(
+          col("vec_id"),
+          col("label").cast("long").as("label"),
+          posexplode(col("v")).as(Seq("dim", "x"))
+        )
+        .join(cent, Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(sum(expr("(x - cval) * (x - cval)")).as("d2"))
+    )
     val lbl = d2.groupBy("label").agg(sum(col("d2")).as("sum_d2"), count(lit(1)).as("n"))
     d2.join(lbl, "label")
       .select(
@@ -314,11 +318,7 @@ object Similarity {
     * joined a plane table and ran two shuffled groupBys for the same
     * arithmetic.)
     */
-  def bucketExpr(v: String): String =
-    s"aggregate(transform(sequence(0, ${Planes - 1}), j -> " +
-      s"CASE WHEN aggregate(zip_with($v, sequence(0, size($v) - 1), " +
-      s"(x, d) -> x * (${planeWeightExpr("j", "d")})), 0L, (a2, x2) -> a2 + x2) > 0 " +
-      "THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, b) -> acc + b)"
+  def bucketExpr(v: String): String = sketchExpr(v, Planes)
 
   def buckets(embeddings: DataFrame): DataFrame =
     quantized(embeddings)
@@ -331,7 +331,10 @@ object Similarity {
     */
   val SketchBits = 48
 
-  /** [[bucketExpr]] generalized to an n-bit packed sign sketch. */
+  /** The single n-bit packed sign-sketch definition — [[bucketExpr]]
+    * is exactly this at `Planes` bits, so the bucket ≡ sketch-low-byte
+    * invariant (unit-tested) holds by construction.
+    */
   def sketchExpr(v: String, bits: Int): String =
     s"aggregate(transform(sequence(0, ${bits - 1}), j -> " +
       s"CASE WHEN aggregate(zip_with($v, sequence(0, size($v) - 1), " +
@@ -376,12 +379,27 @@ object Similarity {
     * the sketch needs more bits before it can gate an exact rerank).
     * Output: (q, n_true, n_hits_hamming, recall_hamming_permille).
     */
-  def annRecallHamming(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
+  def annRecallHamming(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame =
+    recallVsBrute(embeddings, hammingTopK(embeddings, nQueries, k), "hamming", nQueries, k)
+
+  /** The ONE recall-vs-brute harness behind [[annRecallSq]] and
+    * [[annRecallHamming]]: stage the exact top-k, left-semi intersect
+    * the approximate ranking per query, coalesce missing queries to 0
+    * hits. One definition so the recall rule cannot drift between
+    * quantizer gates.
+    */
+  private def recallVsBrute(
+      embeddings: DataFrame,
+      approx: DataFrame,
+      suffix: String,
+      nQueries: Int,
+      k: Int
+  ): DataFrame = {
     val brute = graft.util.Materialize.stage(
       bruteTopK(embeddings, nQueries, k).select(col("q"), col("n"))
     )
     val hits = brute
-      .join(hammingTopK(embeddings, nQueries, k).select("q", "n"), Seq("q", "n"), "left_semi")
+      .join(approx.select("q", "n"), Seq("q", "n"), "left_semi")
       .groupBy("q")
       .agg(count(lit(1)).as("h"))
     brute
@@ -391,8 +409,8 @@ object Similarity {
       .select(
         col("q"),
         col("n_true"),
-        coalesce(col("h"), lit(0L)).as("n_hits_hamming"),
-        expr("(1000 * coalesce(h, 0L)) div n_true").as("recall_hamming_permille")
+        coalesce(col("h"), lit(0L)).as(s"n_hits_$suffix"),
+        expr("(1000 * coalesce(h, 0L)) div n_true").as(s"recall_${suffix}_permille")
       )
   }
 
@@ -684,25 +702,8 @@ object Similarity {
     * broadcast-queries × one corpus scan) and a per-query semi-join;
     * the recall table is nQueries rows.
     */
-  def annRecallSq(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
-    val brute = graft.util.Materialize.stage(
-      bruteTopK(embeddings, nQueries, k).select(col("q"), col("n"))
-    )
-    val hits = brute
-      .join(sqTopK(embeddings, nQueries, k).select("q", "n"), Seq("q", "n"), "left_semi")
-      .groupBy("q")
-      .agg(count(lit(1)).as("h"))
-    brute
-      .groupBy("q")
-      .agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("q"), "left")
-      .select(
-        col("q"),
-        col("n_true"),
-        coalesce(col("h"), lit(0L)).as("n_hits_sq"),
-        expr("(1000 * coalesce(h, 0L)) div n_true").as("recall_sq_permille")
-      )
-  }
+  def annRecallSq(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame =
+    recallVsBrute(embeddings, sqTopK(embeddings, nQueries, k), "sq", nQueries, k)
 
   /** IVF ANN with TRAINED centroids — the scale path beyond fixed
     * hyperplanes: a deterministic hash-seeded sample of `nCells` vectors

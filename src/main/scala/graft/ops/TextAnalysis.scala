@@ -98,11 +98,15 @@ object TextAnalysis {
     * langs², and an AQE-broadcast per-truth total join.
     */
   def langConfusion(docs: DataFrame): DataFrame = {
-    val cm = langId(docs)
-      .select(col("doc_id"), col("lang_pred"))
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .groupBy("lang", "lang_pred")
-      .agg(count(lit(1)).as("n"))
+    // staged: the langs²-row matrix feeds both the per-truth totals
+    // and the final join — unstaged, the langId corpus scan runs twice
+    val cm = graft.util.Materialize.stage(
+      langId(docs)
+        .select(col("doc_id"), col("lang_pred"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+    )
     val tot = cm.groupBy("lang").agg(sum("n").as("lang_total"))
     cm.join(tot, "lang")
       .select(
@@ -166,18 +170,7 @@ object TextAnalysis {
     */
   def gramNovelty(docs: DataFrame, gramLen: Int = TokenGramLen): DataFrame = {
     val k = gramLen
-    val grams = graft.util.Materialize.stage(
-      docs
-        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= k)
-        .select(
-          col("doc_id"),
-          explode(
-            expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))")
-          ).as("gram")
-        )
-        .distinct()
-    )
+    val grams = docGrams(docs, k)
     val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
     grams
       .join(first, "gram")
@@ -1107,6 +1100,24 @@ object TextAnalysis {
       )
   }
 
+  /** Staged distinct (doc_id, gram) table — the ONE k-token-gram rule
+    * shared by [[dupGramFraction]] and [[gramNovelty]], so the two
+    * operators can never disagree about what a gram is.
+    */
+  private def docGrams(docs: DataFrame, k: Int): DataFrame =
+    graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= k)
+        .select(
+          col("doc_id"),
+          explode(
+            expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))")
+          ).as("gram")
+        )
+        .distinct()
+    )
+
   /** Cross-document duplication signal (the "how much of this document
     * exists elsewhere in the corpus" cut rule from exact-substring
     * training-data dedup): per document, the fraction — in ppm — of its
@@ -1128,18 +1139,7 @@ object TextAnalysis {
     val k = TokenGramLen
     // referenced by both the per-gram doc count and the join back —
     // stage the distinct (doc, gram) set so the gram explode runs once
-    val grams = graft.util.Materialize.stage(
-      docs
-        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= k)
-        .select(
-          col("doc_id"),
-          explode(
-            expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))")
-          ).as("gram")
-        )
-        .distinct()
-    )
+    val grams = docGrams(docs, k)
     val docsPerGram = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
     grams
       .join(docsPerGram, "gram")

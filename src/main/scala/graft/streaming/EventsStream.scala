@@ -319,9 +319,7 @@ object EventsStream {
     * are bounded by a user's active days, never event volume.
     */
   def streaks(events: DataFrame): DataFrame = {
-    events
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
+    activeDays(events)
       .withColumn("anchor", expr("date_sub(day, CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT))"))
       .groupBy("user_id", "anchor")
       .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
@@ -354,7 +352,9 @@ object EventsStream {
     * event stream.
     */
   def dauWau(events: DataFrame): DataFrame = {
-    val act = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // staged: the distinct activity table feeds the cover explode AND
+    // the same-day aggregate — unstaged it would scan events twice
+    val act = graft.util.Materialize.stage(activeDays(events))
     val covered = act.select(
       col("user_id"),
       col("day"),
@@ -480,7 +480,14 @@ object EventsStream {
   }
 
   final case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
-  final case class SessionState(startSec: Long, endSec: Long, n: Long)
+
+  /** Raw-millisecond bounds: the batch sessionize emits the ORIGINAL
+    * min/max timestamps (sub-second parts intact) while gap and
+    * duration use floored seconds — the state carries ms so both
+    * facts reproduce exactly (floor is monotone, so the min/max of
+    * floored seconds is the floor of the min/max ms).
+    */
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
   final case class SessionOut(
       user_id: Long,
       n_events: Long,
@@ -518,7 +525,14 @@ object EventsStream {
         GroupStateTimeout.EventTimeTimeout()
       ) { (uid, rows, state: GroupState[SessionState]) =>
         def emit(s: SessionState): SessionOut =
-          SessionOut(uid, s.n, new Timestamp(s.startSec * 1000L), new Timestamp(s.endSec * 1000L), s.endSec - s.startSec)
+          SessionOut(
+            uid,
+            s.n,
+            new Timestamp(s.startMs),
+            new Timestamp(s.endMs),
+            // duration on floored seconds, matching the batch rule
+            math.floorDiv(s.endMs, 1000L) - math.floorDiv(s.startMs, 1000L)
+          )
         if (state.hasTimedOut) {
           val closed = emit(state.get)
           state.remove()
@@ -528,19 +542,19 @@ object EventsStream {
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var open = state.getOption
           sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000L
+            val ms = e.ts.getTime
             open = open match {
-              case None => Some(SessionState(sec, sec, 1L))
-              case Some(o) if sec - o.endSec > gapSec =>
+              case None => Some(SessionState(ms, ms, 1L))
+              case Some(o) if math.floorDiv(ms, 1000L) - math.floorDiv(o.endMs, 1000L) > gapSec =>
                 out += emit(o)
-                Some(SessionState(sec, sec, 1L))
+                Some(SessionState(ms, ms, 1L))
               case Some(o) =>
-                Some(SessionState(math.min(o.startSec, sec), math.max(o.endSec, sec), o.n + 1L))
+                Some(SessionState(math.min(o.startMs, ms), math.max(o.endMs, ms), o.n + 1L))
             }
           }
           open.foreach { o =>
             state.update(o)
-            state.setTimeoutTimestamp(o.endSec * 1000L, s"$gapMinutes minutes")
+            state.setTimeoutTimestamp(o.endMs, s"$gapMinutes minutes")
           }
           out.iterator
         }
@@ -616,6 +630,13 @@ object EventsStream {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** The distinct (user_id, day) activity table — the ONE definition
+    * behind [[lifecycle]], [[streaks]] and [[dauWau]] (each was
+    * rebuilding it; one rule means one notion of "active day").
+    */
+  private def activeDays(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+
   /** Growth-accounting lifecycle table: for every calendar day, how
     * many users were `new` (first-ever active day), `retained` (active
     * within `gapDays` of their previous active day), `resurrected`
@@ -635,7 +656,7 @@ object EventsStream {
     * as kg_stats).
     */
   def lifecycle(events: DataFrame, gapDays: Int = 7): DataFrame = {
-    val act = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val act = activeDays(events)
     val w = Window.partitionBy("user_id").orderBy("day")
     val maxDay = events.agg(max(to_date(col("ts"))).as("max_day"))
     val status = when(col("prev").isNull, lit("new"))

@@ -740,7 +740,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       SessionEvent(1L, 1L, at("2024-01-01 10:00:00")),
       SessionEvent(1L, 2L, at("2024-01-01 10:10:00")), // same session (10 min gap)
       SessionEvent(1L, 3L, at("2024-01-01 11:00:00")), // 50 min gap → new session
-      SessionEvent(2L, 4L, at("2024-01-01 10:05:00"))
+      SessionEvent(2L, 4L, at("2024-01-01 10:05:00")),
+      // sub-second timestamp: output must carry the RAW millisecond
+      // bounds (batch emits min/max of the original ts), duration the
+      // floored-second difference
+      SessionEvent(3L, 5L, at("2024-01-01 10:00:00.5"))
     )
     val ms = MemoryStream[SessionEvent]
     val q = EventsStream.sessionizeStreaming(ms.toDS(), gapMinutes = 30)
@@ -764,7 +768,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4), r.getLong(5)))
         .toSet
       assert(streamed == batch)
-      assert(batch.size == 3) // user 1 × 2 sessions + user 2 × 1
+      assert(batch.size == 4) // user 1 × 2 sessions + users 2, 3 × 1
+      assert(batch.exists(_._3 == at("2024-01-01 10:00:00.5"))) // raw ms kept
     } finally q.stop()
   }
 
