@@ -177,6 +177,32 @@ object Similarity {
       )
   }
 
+  /** Per-dimension statistics — dead-dimension detection: for every
+    * embedding dimension, the exact integer min/max/sum and sample
+    * variance (n·Σx² − (Σx)²) div (n·(n−1)) over centi units. A
+    * dimension whose variance pins at 0 carries no signal (a dead
+    * unit upstream); one whose range dwarfs the others dominates
+    * unnormalized distances — both are pre-index audits. Products
+    * widen to DECIMAL(38,0)/HUGEINT (n·Σx² passes a Long at ~10^9
+    * vectors). Output: (d, n, min_x, max_x, sum_x, var_centi2).
+    *
+    * Shape at scale: one posexplode scan and ONE dims-bounded
+    * partial-aggregated exchange.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    exploded(quantized(embeddings))
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"),
+        sum(col("x")).as("sum_x"),
+        expr(
+          "CAST(IF(count(1) > 1, (CAST(count(1) AS DECIMAL(38,0)) * sum(CAST(x AS DECIMAL(38,0)) * x) " +
+            "- CAST(sum(x) AS DECIMAL(38,0)) * sum(x)) DIV (CAST(count(1) AS DECIMAL(38,0)) * (count(1) - 1)), 0) AS BIGINT)"
+        ).as("var_centi2")
+      )
+
   /** Per-query label margin — the metric-learning separability eval:
     * for each query vector, its best same-label score and best
     * different-label score under the shared integer cosine, and their

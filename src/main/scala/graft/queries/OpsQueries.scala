@@ -708,6 +708,21 @@ object OpsQueries {
       "CAST(max(CASE WHEN nl = ql THEN s END) - max(CASE WHEN nl <> ql THEN s END) AS BIGINT) AS margin_milli " +
       "FROM sc GROUP BY q"
 
+  /** Per-dimension stats (Similarity.dimStats): exact integer
+    * min/max/sum and sample variance per embedding dimension — the
+    * dead-dimension audit, DECIMAL/HUGEINT-widened.
+    */
+  val embDimStats: Q = (s, dir) => Similarity.dimStats(emb(s, dir))
+
+  val embDimStatsSql: String =
+    s"WITH $quantCte, " +
+      "ex AS (SELECT CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS d, unnest(v) AS x FROM q) " +
+      "SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(min(x) AS BIGINT) AS min_x, " +
+      "CAST(max(x) AS BIGINT) AS max_x, CAST(sum(x) AS BIGINT) AS sum_x, " +
+      "CAST(CASE WHEN count(*) > 1 THEN (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x) " +
+      "- CAST(sum(x) AS HUGEINT) * sum(x)) // (CAST(count(*) AS HUGEINT) * (count(*) - 1)) ELSE 0 END AS BIGINT) AS var_centi2 " +
+      "FROM ex GROUP BY d"
+
   /** Per-label norm profile (Similarity.normProfile): exact integer
     * min/max/floor-mean squared norms, the collapse monitor's gauge.
     */
@@ -1711,6 +1726,7 @@ object OpsQueries {
     "emb_outliers" -> embOutliers,
     "emb_norms" -> embNorms,
     "emb_margin" -> embMargin,
+    "emb_dim_stats" -> embDimStats,
     "dedup_sizes" -> dedupSizes
   )
 
@@ -1803,6 +1819,7 @@ object OpsQueries {
     "emb_outliers" -> embOutliersSql,
     "emb_norms" -> embNormsSql,
     "emb_margin" -> embMarginSql,
+    "emb_dim_stats" -> embDimStatsSql,
     "dedup_sizes" -> dedupSizesSql
   )
 }

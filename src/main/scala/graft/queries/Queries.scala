@@ -1507,6 +1507,21 @@ object Queries {
       "CAST((CAST(d.n_events AS HUGEINT) * 1000) // t.total AS BIGINT) AS permille " +
       "FROM d JOIN t USING (event_type)"
 
+  /** Hour-of-day traffic profile (EventsStream.hourlyProfile) — the
+    * diurnal curve per type; hour() is the UTC hour in both engines
+    * (session timezone UTC).
+    */
+  val eventsHourly: Q = (s, dir) =>
+    graft.streaming.EventsStream.hourlyProfile(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsHourlySql: String =
+    "WITH d AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, " +
+      "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total FROM d GROUP BY 1) " +
+      "SELECT d.event_type, d.hour, d.n_events, " +
+      "CAST((CAST(d.n_events AS HUGEINT) * 1000) // t.total AS BIGINT) AS permille " +
+      "FROM d JOIN t USING (event_type)"
+
   /** Inter-arrival profile (EventsStream.interArrival) — per-type gap
     * stats from the (type, gap) histogram; exact lower median without
     * an event-sized sort.
@@ -2152,6 +2167,7 @@ object Queries {
     "events_rolling" -> eventsRolling,
     "events_anomaly" -> eventsAnomaly,
     "events_seasonality" -> eventsSeasonality,
+    "events_hourly" -> eventsHourly,
     "events_interarrival" -> eventsInterarrival,
     "events_debounce" -> eventsDebounce,
     "q1_agg" -> q1Agg,
@@ -2247,6 +2263,7 @@ object Queries {
     "events_rolling" -> eventsRollingSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_seasonality" -> eventsSeasonalitySql,
+    "events_hourly" -> eventsHourlySql,
     "events_interarrival" -> eventsInterarrivalSql,
     "events_debounce" -> eventsDebounceSql,
     "q1_agg" -> q1AggSql,

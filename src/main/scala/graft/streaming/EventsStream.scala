@@ -188,6 +188,31 @@ object EventsStream {
       )
   }
 
+  /** Hour-of-day traffic profile per event type — [[seasonality]]'s
+    * finer-grained sibling over 24 UTC hours (the diurnal curve
+    * capacity planning and rate-limit baselines read; dow answers
+    * "which day", hour answers "when to schedule the batch window").
+    * Output: (event_type, hour, n_events, permille of the type's
+    * total), permille DECIMAL-widened.
+    *
+    * Shape at scale: one partial-aggregated data-sized exchange;
+    * everything after runs over (types × 24).
+    */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = d.groupBy("event_type").agg(sum(col("n_events")).as("total"))
+    d.join(totals, "event_type")
+      .select(
+        col("event_type"),
+        col("hour"),
+        col("n_events"),
+        expr("CAST((CAST(n_events AS DECIMAL(38,0)) * 1000) DIV total AS BIGINT)")
+          .as("permille")
+      )
+  }
+
   /** Per-type inter-arrival profile — for each event type, the gap (in
     * whole seconds) between consecutive events of the same
     * (user, type) stream, rolled up to (n_gaps, med_gap_s,

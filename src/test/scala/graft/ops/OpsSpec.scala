@@ -1214,6 +1214,20 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("dimStats: exact per-dimension variance, dead dim reads 0") {
+    val e = Seq(
+      (1L, Seq(0.0f, 1.0f), 0), (2L, Seq(1.0f, 1.0f), 0), (3L, Seq(2.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimStats(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // d0: {0,100,200} → var (3·50000−90000·... ) = 10000; d1 constant → 0
+    assert(got == Set(
+      (0L, 3L, 0L, 200L, 300L, 10000L),
+      (1L, 3L, 100L, 100L, 300L, 0L)
+    ))
+  }
+
   test("labelMargin: same/diff best scores, NULL when label has no peer") {
     val e = Seq(
       (0L, Seq(1.0f), 0), // query 0: peer at [2.0] (1000), best foe [-1.0] is the ONLY diff label

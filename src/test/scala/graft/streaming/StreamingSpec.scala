@@ -773,6 +773,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("hourlyProfile: diurnal permille per type") {
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-02-01 09:10:00"), "a"),
+      (2L, Timestamp.valueOf("2024-02-02 09:50:00"), "a"),
+      (3L, Timestamp.valueOf("2024-02-01 15:00:00"), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventsStream.hourlyProfile(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 9L, 2L, 666L), ("a", 15L, 1L, 333L)))
+  }
+
   test("streaks: islands isolate runs, ties take the earliest start") {
     def t(s: String) = Timestamp.valueOf(s + " 09:00:00")
     val ev = (
