@@ -1089,6 +1089,42 @@ object Analytics {
       .agg(count(lit(1)).as("n_edges"))
   }
 
+  /** Gini concentration of edge mass across predicates — how unequal
+    * the relation distribution is, in exact integer permille: with
+    * per-predicate triple counts x_i sorted ascending (ties by
+    * predicate) and ranked i = 1..n, G = (2·Σi·x_i − (n+1)·Σx) /
+    * (n·Σx). 0 = perfectly balanced vocabulary, →1000 = one predicate
+    * carries everything (usually extraction collapse into a junk
+    * relation — the alarm this scalar exists to ring). Products widen
+    * to DECIMAL(38,0)/HUGEINT. Output: one row
+    * (n_predicates, n_triples, gini_permille).
+    *
+    * Shape at scale: one triple-keyed partial-aggregated exchange to
+    * the predicate histogram, then a rank window and scalar fold over
+    * the relation VOCABULARY (bounded), never over edges.
+    */
+  def predicateGini(triples: DataFrame): DataFrame = {
+    val cnt = triples.groupBy("predicate").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("predicate"))
+    cnt
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_predicates"),
+        sum(col("x")).as("n_triples"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * x")).as("ixs")
+      )
+      .select(
+        col("n_predicates"),
+        col("n_triples"),
+        expr(
+          "CAST(CASE WHEN coalesce(n_triples, 0) = 0 THEN 0 ELSE " +
+            "greatest(CAST(0 AS DECIMAL(38,0)), " +
+            "(2 * ixs - (n_predicates + 1) * CAST(n_triples AS DECIMAL(38,0))) * 1000) DIV " +
+            "(CAST(n_predicates AS DECIMAL(38,0)) * n_triples) END AS BIGINT)"
+        ).as("gini_permille")
+      )
+  }
+
   /** Newman modularity of the LPA partition over the distinct
     * undirected edge set — the single scalar that says whether the
     * community structure is real (Q ≫ 0) or noise (Q ≈ 0), the

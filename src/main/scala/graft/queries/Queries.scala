@@ -2029,6 +2029,45 @@ object Queries {
       "GROUP BY 1, 2"
   }
 
+  /** Predicate-concentration Gini (Analytics.predicateGini): exact
+    * integer permille over the ascending (count, predicate) rank; the
+    * numerator clamps at 0 so truncate == floor across engines.
+    */
+  val kgPredicateGini: Q = (s, dir) =>
+    Analytics.predicateGini(triples(s, dir))
+
+  val kgPredicateGiniSql: String =
+    TokenRules.Sql.withTriples +
+      ", c AS (SELECT predicate, CAST(count(*) AS BIGINT) AS x FROM tr GROUP BY 1), " +
+      "r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, predicate) AS BIGINT) AS i FROM c), " +
+      "sc AS (SELECT CAST(count(*) AS BIGINT) AS n_predicates, CAST(sum(x) AS BIGINT) AS n_triples, " +
+      "sum(CAST(i AS HUGEINT) * x) AS ixs FROM r) " +
+      "SELECT n_predicates, n_triples, " +
+      "CAST(CASE WHEN coalesce(n_triples, 0) = 0 THEN 0 ELSE " +
+      "greatest(CAST(0 AS HUGEINT), (2 * ixs - (n_predicates + 1) * CAST(n_triples AS HUGEINT)) * 1000) " +
+      "// (CAST(n_predicates AS HUGEINT) * n_triples) END AS BIGINT) AS gini_permille FROM sc"
+
+  /** Aggregate day-N retention curve (EventsStream.retentionCurve):
+    * per-offset actives over the horizon-eligible denominator; the
+    * oracle replays the histogram suffix-sum spine.
+    */
+  val eventsRetentionCurve: Q = (s, dir) =>
+    graft.streaming.EventsStream.retentionCurve(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsRetentionCurveSql: String =
+    "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1), " +
+      "mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events), " +
+      "offs AS (SELECT DISTINCT e.user_id, CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS BIGINT) AS d " +
+      "FROM events e JOIN f USING (user_id)), " +
+      "act AS (SELECT d AS day_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active FROM offs GROUP BY 1), " +
+      "hh AS (SELECT CAST(date_diff('day', f.cohort_date, mx.max_day) AS BIGINT) AS h, count(*) AS c FROM f, mx GROUP BY 1), " +
+      "spine AS (SELECT DISTINCT k FROM (SELECT day_offset AS k FROM act UNION SELECT h FROM hh)), " +
+      "cum AS (SELECT k, CAST(sum(coalesce(c, 0)) OVER (ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_eligible " +
+      "FROM spine LEFT JOIN hh ON hh.h = spine.k) " +
+      "SELECT act.day_offset, act.n_active, cum.n_eligible, " +
+      "CAST((1000 * act.n_active) // cum.n_eligible AS BIGINT) AS retention_permille " +
+      "FROM act JOIN cum ON cum.k = act.day_offset"
+
   /** Newman modularity of the LPA partition (Analytics.modularity):
     * exact integer permille via Q·4m² = 4m·Σe_c − Σd_c², numerator
     * clamped at 0 before the division so DECIMAL DIV (truncate) and
@@ -2142,9 +2181,11 @@ object Queries {
     "kg_comm_stats" -> kgCommStats,
     "kg_condense" -> kgCondense,
     "kg_modularity" -> kgModularity,
+    "kg_predicate_gini" -> kgPredicateGini,
     "events_sessions" -> eventsSessions,
     "events_funnel" -> eventsFunnel,
     "events_cohorts" -> eventsCohorts,
+    "events_retention_curve" -> eventsRetentionCurve,
     "events_lifecycle" -> eventsLifecycle,
     "events_rfm" -> eventsRfm,
     "events_streaks" -> eventsStreaks,
@@ -2238,9 +2279,11 @@ object Queries {
     "kg_comm_stats" -> kgCommStatsSql,
     "kg_condense" -> kgCondenseSql,
     "kg_modularity" -> kgModularitySql,
+    "kg_predicate_gini" -> kgPredicateGiniSql,
     "events_sessions" -> eventsSessionsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_cohorts" -> eventsCohortsSql,
+    "events_retention_curve" -> eventsRetentionCurveSql,
     "events_lifecycle" -> eventsLifecycleSql,
     "events_rfm" -> eventsRfmSql,
     "events_streaks" -> eventsStreaksSql,

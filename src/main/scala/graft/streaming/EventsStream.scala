@@ -655,6 +655,54 @@ object EventsStream {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Aggregate day-N retention curve — [[cohortRetention]]'s triangle
+    * folded to the single curve a dashboard headline shows: for every
+    * day offset d, the distinct users active d days after their first
+    * day, divided by the users ELIGIBLE to be observed at d (cohort
+    * start at least d days before the corpus's last day — without the
+    * eligibility denominator the curve's tail is survivorship noise).
+    * Output: (day_offset, n_active, n_eligible, retention_permille).
+    *
+    * Shape at scale: the per-user first-day aggregate and ONE distinct
+    * (user, offset) exchange; the eligibility denominator comes from a
+    * horizon HISTOGRAM (bounded by calendar days) suffix-summed over a
+    * ≤ 2×days spine — never a per-offset scan of users.
+    */
+  def retentionCurve(events: DataFrame): DataFrame = {
+    val firsts = graft.util.Materialize.stage(
+      events.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_date"))
+    )
+    val maxDay = events.agg(max(to_date(col("ts"))).as("max_day"))
+    val act = activeDays(events)
+      .join(firsts, "user_id")
+      .select(col("user_id"), datediff(col("day"), col("cohort_date")).cast("long").as("d"))
+      .distinct()
+      .groupBy(col("d").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val hh = firsts
+      .crossJoin(maxDay)
+      .select(datediff(col("max_day"), col("cohort_date")).cast("long").as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"))
+    val spine = act.select(col("day_offset").as("k"))
+      .union(hh.select(col("h").as("k")))
+      .distinct()
+    val wSuffix = Window.orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = spine
+      .join(hh, col("k") === col("h"), "left")
+      .select(col("k"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("n_eligible", sum(col("c")).over(wSuffix))
+    act
+      .join(cum, col("day_offset") === col("k"))
+      .select(
+        col("day_offset"),
+        col("n_active"),
+        col("n_eligible"),
+        expr("(1000 * n_active) div n_eligible").as("retention_permille")
+      )
+  }
+
   /** The distinct (user_id, day) activity table — the ONE definition
     * behind [[lifecycle]], [[streaks]] and [[dauWau]] (each was
     * rebuilding it; one rule means one notion of "active day").

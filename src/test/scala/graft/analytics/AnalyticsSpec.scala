@@ -715,6 +715,18 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase with GenSampling {
     assert(got.toSeq == Seq((0L, 3L, 0L)))
   }
 
+  test("predicateGini: skewed counts score 250, uniform scores 0") {
+    val skew = triplesDf(("a", "q", "b"), ("a", "r", "b"), ("a", "r", "c"), ("b", "r", "c"))
+    // counts q=1, r=3: G = (2·(1+6) − 3·4)·1000 / (2·4) = 250
+    val g1 = Analytics.predicateGini(skew).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g1.toSeq == Seq((2L, 4L, 250L)))
+    val even = triplesDf(("a", "q", "b"), ("c", "q", "d"), ("a", "r", "b"), ("c", "r", "d"))
+    val g2 = Analytics.predicateGini(even).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g2.toSeq == Seq((2L, 4L, 0L)))
+  }
+
   test("reachCurve: per-seed shell sizes and cumulative reach on a path") {
     val tr = triplesDf(("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"))
     val got = Analytics.reachCurve(tr).collect()

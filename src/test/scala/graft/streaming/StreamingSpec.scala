@@ -773,6 +773,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("retentionCurve: horizon-eligible denominators per offset") {
+    def t(s: String) = Timestamp.valueOf(s + " 09:00:00")
+    val ev = Seq(
+      (1L, t("2024-02-01")), (1L, t("2024-02-03")), // cohort 02-01, offsets {0,2}, horizon 9
+      (2L, t("2024-02-09")), (2L, t("2024-02-10")), // cohort 02-09, offsets {0,1}, horizon 1
+      (3L, t("2024-02-10")) // cohort = last day, horizon 0
+    ).toDF("user_id", "ts")
+    val got = EventsStream.retentionCurve(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // eligible: horizon ≥0 → 3 users, ≥1 → 2, ≥2 → 1
+    assert(got == Set(
+      (0L, 3L, 3L, 1000L),
+      (1L, 1L, 2L, 500L),
+      (2L, 1L, 1L, 1000L)
+    ))
+  }
+
   test("hourlyProfile: diurnal permille per type") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-02-01 09:10:00"), "a"),
