@@ -1182,13 +1182,18 @@ object Analytics {
         sum(expr("CAST(deg AS DECIMAL(38,0)) * deg")).as("dsq")
       )
       .select(
-        col("m").as("n_edges"),
+        // edge-free graph (empty or all-self-loop triples): the aggregate
+        // runs over zero rows, so m/n_internal/dsq are NULL — coalesce to
+        // zeros and use transitivity's zero-denominator rule (q = 0)
+        // instead of a division-by-NULL whose result differs by engine
+        expr("coalesce(m, CAST(0 AS BIGINT))").as("n_edges"),
         col("n_communities"),
-        col("n_internal"),
+        expr("coalesce(n_internal, CAST(0 AS BIGINT))").as("n_internal"),
         expr(
-          "CAST(greatest(CAST(0 AS DECIMAL(38,0)), " +
+          "CASE WHEN coalesce(m, 0) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+            "CAST(greatest(CAST(0 AS DECIMAL(38,0)), " +
             "4000 * CAST(m AS DECIMAL(38,0)) * n_internal - 1000 * dsq) DIV " +
-            "(4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"
+            "(4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT) END"
         ).as("q_permille")
       )
   }

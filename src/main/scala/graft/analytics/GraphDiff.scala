@@ -19,16 +19,21 @@ import org.apache.spark.sql.functions._
   * the inputs are bucketed snapshot tables on the same key layout, so
   * the exchange disappears entirely on co-bucketed reads.
   *
-  * Precondition: both inputs carry set semantics (distinct triples) —
+  * Inputs are expected to carry set semantics (distinct triples) —
   * exactly what `TokenRules.triples` and the pipeline's committed
-  * canonical tables guarantee; nets are then exactly −1/0/+1.
+  * canonical tables guarantee — but the classification reads per-side
+  * presence counts, so a duplicated triple on one side still lands on
+  * the correct side of the diff.
   */
 object GraphDiff {
 
-  /** The shared tag-and-sum classification: ±1-tagged union grouped on
-    * the triple key. net −1 = old-only, +1 = new-only, 0 (cnt 2) = in
-    * both. ONE definition so [[triples]] and [[predicateChurn]] can
-    * never disagree about what changed.
+  /** The shared tag-and-sum classification: side-tagged union grouped on
+    * the triple key, aggregating PER-SIDE presence counts (c_old, c_new)
+    * in the same single exchange. Membership is read off c_old > 0 /
+    * c_new > 0, so the classification is correct even when a caller
+    * violates the distinct-snapshot precondition (a triple duplicated
+    * on one side never flips sides). ONE definition so [[triples]] and
+    * [[predicateChurn]] can never disagree about what changed.
     */
   private def taggedNet(oldTriples: DataFrame, newTriples: DataFrame): DataFrame = {
     val o = oldTriples.select(
@@ -37,7 +42,10 @@ object GraphDiff {
       col("subject"), col("predicate"), col("obj"), lit(1L).as("w"))
     o.union(n)
       .groupBy("subject", "predicate", "obj")
-      .agg(sum("w").as("net"), count(lit(1)).as("cnt"))
+      .agg(
+        count(when(col("w") === -1L, lit(1))).as("c_old"),
+        count(when(col("w") === 1L, lit(1))).as("c_new")
+      )
   }
 
   /** (subject, predicate, obj, change∈{added,removed}) between two
@@ -45,12 +53,12 @@ object GraphDiff {
     */
   def triples(oldTriples: DataFrame, newTriples: DataFrame): DataFrame =
     taggedNet(oldTriples, newTriples)
-      .where(col("net") =!= 0L)
+      .where(col("c_old") === 0L || col("c_new") === 0L)
       .select(
         col("subject"),
         col("predicate"),
         col("obj"),
-        when(col("net") > 0, lit("added")).otherwise(lit("removed")).as("change")
+        when(col("c_new") > 0, lit("added")).otherwise(lit("removed")).as("change")
       )
 
   /** Per-predicate recrawl churn rollup — the relation-level "what
@@ -64,8 +72,8 @@ object GraphDiff {
     * (predicate, n_old, n_new, n_added, n_removed, churn_permille).
     *
     * Shape at scale: the [[triples]] tag-and-sum classification (ONE
-    * triple-keyed exchange — net −1/+1/0 per key, membership per side
-    * read off (net, cnt)) followed by a predicate-keyed
+    * triple-keyed exchange — per-side presence counts per key, so
+    * duplicate-side inputs cannot be misclassified) followed by a predicate-keyed
     * partial-aggregated exchange bounded by the relation vocabulary.
     * No anti-joins, no second corpus pass.
     */
@@ -73,10 +81,10 @@ object GraphDiff {
     taggedNet(oldTriples, newTriples)
       .groupBy("predicate")
       .agg(
-        count(when(col("net") === -1L || col("cnt") === 2L, lit(1))).as("n_old"),
-        count(when(col("net") === 1L || col("cnt") === 2L, lit(1))).as("n_new"),
-        count(when(col("net") === 1L, lit(1))).as("n_added"),
-        count(when(col("net") === -1L, lit(1))).as("n_removed")
+        count(when(col("c_old") > 0L, lit(1))).as("n_old"),
+        count(when(col("c_new") > 0L, lit(1))).as("n_new"),
+        count(when(col("c_old") === 0L, lit(1))).as("n_added"),
+        count(when(col("c_new") === 0L, lit(1))).as("n_removed")
       )
       .select(
         col("predicate"),

@@ -217,9 +217,12 @@ object TextAnalysis {
     * 0.39·w/s + 11.8·y/w − 15.59, scaled ×1000, becomes the single
     * rational (390·w² + 11800·y·s − 15590·s·w) / (s·w) — reported as
     * grade_milli with the numerator clamped at 0 BEFORE the integer
-    * division so truncation (Spark div) and floor (DuckDB //) agree.
-    * Numerator terms stay far inside Long for any document under
-    * ~10^8 tokens. Output:
+    * division so truncation (Spark DIV) and floor (DuckDB //) agree.
+    * The numerator is widened to DECIMAL(38,0) (HUGEINT on the oracle
+    * side): 11800·y·s crosses Long around 3×10^7 words when sentence
+    * count is comparable (e.g. "a. a. a." spam docs), and Long would
+    * wrap silently where DuckDB's BIGINT raises. The quotient is
+    * bounded by ~390·w (s ≥ 1), well inside BIGINT. Output:
     * (doc_id, n_words, n_sentences, n_syllables, grade_milli).
     *
     * Shape at scale: one zero-shuffle codegen'd scan — three
@@ -239,8 +242,11 @@ object TextAnalysis {
       .withColumn(
         "grade_milli",
         expr(
-          "greatest(0L, 390 * n_words * n_words + 11800 * n_syllables * n_sentences " +
-            "- 15590 * n_sentences * n_words) div (n_sentences * n_words)"
+          "CAST(greatest(CAST(0 AS DECIMAL(38,0)), " +
+            "390 * CAST(n_words AS DECIMAL(38,0)) * n_words " +
+            "+ 11800 * CAST(n_syllables AS DECIMAL(38,0)) * n_sentences " +
+            "- 15590 * CAST(n_sentences AS DECIMAL(38,0)) * n_words) DIV " +
+            "(CAST(n_sentences AS DECIMAL(38,0)) * n_words) AS BIGINT)"
         )
       )
       .select("doc_id", "n_words", "n_sentences", "n_syllables", "grade_milli")

@@ -545,8 +545,10 @@ object OpsQueries {
       "FROM tk JOIN documents USING (doc_id) WHERE len(toks) > 0), " +
       "g AS (SELECT doc_id, n_words, n_sentences, greatest(n_words, raw_syll) AS n_syllables FROM f) " +
       "SELECT doc_id, n_words, n_sentences, n_syllables, " +
-      "CAST(greatest(0, 390 * n_words * n_words + 11800 * n_syllables * n_sentences " +
-      "- 15590 * n_sentences * n_words) // (n_sentences * n_words) AS BIGINT) AS grade_milli FROM g"
+      "CAST(greatest(CAST(0 AS HUGEINT), 390 * CAST(n_words AS HUGEINT) * n_words " +
+      "+ 11800 * CAST(n_syllables AS HUGEINT) * n_sentences " +
+      "- 15590 * CAST(n_sentences AS HUGEINT) * n_words) " +
+      "// (CAST(n_sentences AS HUGEINT) * n_words) AS BIGINT) AS grade_milli FROM g"
 
   /** TF-IDF keyword extraction — top-3 distinctive tokens per document
     * with the integer surrogate score (1000 * tf * N) div df; ties on

@@ -2090,9 +2090,11 @@ object Queries {
       "UNION ALL SELECT cb, 1, 0 FROM lb) GROUP BY 1), " +
       "sc AS (SELECT CAST(count(*) AS BIGINT) AS n_communities, CAST(sum(internal) AS BIGINT) AS n_internal, " +
       "CAST(sum(deg) // 2 AS BIGINT) AS m, sum(CAST(deg AS HUGEINT) * deg) AS dsq FROM per) " +
-      "SELECT m AS n_edges, n_communities, n_internal, " +
+      "SELECT coalesce(m, CAST(0 AS BIGINT)) AS n_edges, n_communities, " +
+      "coalesce(n_internal, CAST(0 AS BIGINT)) AS n_internal, " +
+      "CASE WHEN coalesce(m, 0) = 0 THEN CAST(0 AS BIGINT) ELSE " +
       "CAST(greatest(CAST(0 AS HUGEINT), 4000 * CAST(m AS HUGEINT) * n_internal - 1000 * dsq) " +
-      "// (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS q_permille FROM sc"
+      "// (4 * CAST(m AS HUGEINT) * m) AS BIGINT) END AS q_permille FROM sc"
   }
 
   /** Deterministic negative samples for KG-embedding training

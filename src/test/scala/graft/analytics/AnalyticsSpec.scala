@@ -699,6 +699,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase with GenSampling {
     assert(!finalPlan.contains("Join"), finalPlan)
   }
 
+  test("graphDiff: duplicate rows on one side never flip the classification") {
+    // (a,r,b) appears TWICE in old and not at all in new: under the old
+    // (net, cnt) read it had net=-2, cnt=2 and was misread as present on
+    // both sides; per-side presence counts classify it as removed
+    val oldT = triplesDf(("a", "r", "b"), ("a", "r", "b"), ("a", "r", "c"))
+    val newT = triplesDf(("a", "r", "c"), ("a", "r", "d"))
+    val got = GraphDiff.triples(oldT, newT).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(("a", "r", "b", "removed"), ("a", "r", "d", "added")))
+    val churn = GraphDiff.predicateChurn(oldT, newT).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // r: 2 distinct old, 2 distinct new, 1 added, 1 removed
+    assert(churn == Set(("r", 2L, 2L, 1L, 1L)))
+  }
+
+  test("modularity: edge-free graph yields a zero row, not NULLs") {
+    // all-self-loop triples → zero edges after the a =!= b filter; the
+    // community aggregate runs over zero rows and must coalesce to zeros
+    val tr = triplesDf(("a", "r", "a"), ("b", "q", "b"))
+    val row = Analytics.modularity(tr, iterations = 2).collect().head
+    assert(row.getLong(0) == 0L, "n_edges")
+    assert(row.getLong(1) == 0L, "n_communities")
+    assert(row.getLong(2) == 0L, "n_internal")
+    assert(row.getLong(3) == 0L, "q_permille")
+  }
+
   test("transitivity: triangle+pendant closes 3 of 5 wedges") {
     // triangle a-b-c plus pendant c-d: 1 triangle, wedges = Σd(d−1)/2
     // = (2+2+6+0)/2 = 5 → 3000·1 div 5 = 600 permille
