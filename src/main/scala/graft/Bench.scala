@@ -14,7 +14,11 @@ import graft.pipeline.KgGenJob
   * printed the moment phase 1 finishes (with `"kggen":null`), and the
   * complete line (same shape, kggen filled) is printed again when the
   * scaling phase lands. A kill at ANY point leaves the latest fully-
-  * parseable line on stdout.
+  * parseable line on stdout — AND on disk (round-4 fix: the driver
+  * parses nothing when the process exits non-zero, so every emission is
+  * also written to `target/bench_latest.json` / `bench_phases.jsonl`;
+  * a kill -9 during phase 2 still leaves phase 1's finished
+  * measurements in a parseable file).
   *
   * WALL BUDGET: `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500) bounds the
   * whole run. The scaling phase sizes itself from the remaining budget —
@@ -23,9 +27,14 @@ import graft.pipeline.KgGenJob
   * an in-process measurement only if nothing was measured).
   *
   * Emits JSON lines of one shape:
-  *   - `queries`: per-query best-of-2 wall seconds for every SparkEntry
-  *     query over SPARK_GRAFT_SF_DIR at local[32] (-1 sentinel + `failed`
-  *     list for queries that error — failures never masquerade as times);
+  *   - `queries`: per-query wall seconds for every SparkEntry query over
+  *     SPARK_GRAFT_SF_DIR at local[32] — one timed run each, best-of-2
+  *     for the slowest 30 (absolute noise scales with query cost, and
+  *     universal best-of-2 at 185 queries doubled a phase that shares
+  *     its budget with compile time the JVM can't see). -1 sentinel +
+  *     `failed` list for queries that error after one retry — failures
+  *     never masquerade as times. `shuffle_bytes` carries each query's
+  *     measured shuffle-write volume from the first timed run;
   *   - `kggen`: end-to-end clean→chunk→extract→cluster→materialize
   *     throughput (triples/sec) at two parallelism levels — local[N] and
   *     local[4N] — plus the scaling efficiency `(tp4N/tpN)/4` (the
@@ -163,10 +172,52 @@ object Bench {
       mode: String
   )
 
+  /** /proc/meminfo field in GiB (MemAvailable already nets out
+    * reclaimable page cache and every resident process, including this
+    * parent JVM's current RSS).
+    */
+  private def meminfoGb(field: String): Option[Int] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith(field + ":") =>
+          (l.trim.split("\\s+")(1).toLong / (1024L * 1024L)).toInt }
+      finally src.close()
+    } catch { case _: Exception => None }
+
+  /** GiB a child JVM may claim without oversubscribing the host:
+    * MemAvailable minus the parent's UNrealized heap growth headroom
+    * (maxMemory − committed: MemAvailable can't see memory the parent
+    * is licensed to claim later) minus a fixed OS/off-heap margin.
+    *
+    * Round-4 post-mortem (BENCH_r04 rc=1, exit 137): the old formula
+    * capped child heap at 3/4 of MemTOTAL — 93 GiB with -Xms93g for a
+    * 32-core child on this 125 GiB host — which, next to the resident
+    * parent and the query phase's page cache, tripped the host OOM
+    * killer ~27 min in and erased the round's bench artifact. Sizing
+    * from MemAVAILABLE at spawn time (not host capacity) makes the
+    * child's request something the host can actually grant.
+    */
+  private def childBudgetGb: Int = {
+    val avail = meminfoGb("MemAvailable").getOrElse(48)
+    val rt = Runtime.getRuntime
+    val parentGrowthGb = ((rt.maxMemory() - rt.totalMemory()) / (1L << 30)).toInt.max(0)
+    avail - parentGrowthGb - 6
+  }
+
+  /** Whether a level's FULL 4 GiB/core heap fits right now — the gate
+    * for optional probes (a child below its nominal heap is not
+    * comparable across levels, so an optional level that doesn't fit is
+    * skipped, not shrunk).
+    */
+  private def levelHeapFits(cores: Int): Boolean =
+    math.max(8, cores * 4) <= childBudgetGb
+
   /** Run one parallelism level in a fresh child JVM whose resources scale
     * with the level (see methodology in the object Scaladoc). Returns
-    * None if spawning is not possible or the child produced nothing
-    * before its deadline (caller falls back to in-process).
+    * None if spawning is not possible, the heap floor doesn't fit in
+    * available memory, or the child produced nothing before its
+    * deadline (caller falls back to in-process).
     */
   private def spawnLevel(cores: Int, nDocs: Long, measuredRuns: Int, quietWaitSec: Int, deadlineSec: Int): Option[LevelResult] = {
     val cp = sys.props.getOrElse("java.class.path", "")
@@ -176,18 +227,15 @@ object Bench {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     // 4 GiB/core (production-executor-like), floor 8 GiB: heap per core
     // is constant across levels so neither level is artificially GC-bound.
-    // Capped at 3/4 of host RAM — local[32] would otherwise ask for a
-    // 128 GiB -Xms on a 125 GiB host and die at the first heap mmap.
-    val hostGb: Int =
-      try {
-        val src = scala.io.Source.fromFile("/proc/meminfo")
-        try src.getLines()
-          .collectFirst { case l if l.startsWith("MemTotal:") =>
-            (l.trim.split("\\s+")(1).toLong / (1024L * 1024L)).toInt }
-          .getOrElse(64)
-        finally src.close()
-      } catch { case _: Exception => 64 }
-    val heapGb = math.max(8, math.min(cores * 4, hostGb * 3 / 4))
+    // Capped by what the host can grant NOW (childBudgetGb) — never by
+    // host capacity alone (the round-4 OOM-kill).
+    val budget = childBudgetGb
+    val heapGb = math.max(8, math.min(cores * 4, budget))
+    if (heapGb > budget) {
+      System.err.println(
+        s"[bench] child local[$cores]: heap floor ${heapGb}g exceeds available ${budget}g — not spawning")
+      return None
+    }
     // HARD-cap the child to exactly `cores` CPUs, the way a real N-core
     // executor host does. ActiveProcessorCount alone only sizes thread
     // pools — GC/IO/driver threads still ran on extra physical cores,
@@ -219,10 +267,13 @@ object Bench {
         Files.writeString(dir.resolve("cpu.cfs_quota_us"), (100000L * cores).toString)
         Some(dir)
       } catch { case _: Exception => None }
+    // -Xms pre-commits the whole heap at JVM start — fine for the small
+    // levels (steadier measurement, no growth pauses), but a ≥32 GiB
+    // up-front commit is exactly the mmap the host OOM killer answered
+    // in round 4; big children grow on demand instead
+    val xms: Seq[String] = if (heapGb < 32) Seq(s"-Xms${heapGb}g") else Nil
     val cmd: Seq[String] =
-      pin ++ Seq(
-        javaBin,
-        s"-Xms${heapGb}g",
+      pin ++ Seq(javaBin) ++ xms ++ Seq(
         s"-Xmx${heapGb}g",
         s"-XX:ActiveProcessorCount=$cores"
       ) ++ jdk17AddOpens ++ Seq(
@@ -288,6 +339,46 @@ object Bench {
     } finally s.stop()
   }
 
+  /** Write the latest fully-assembled JSON line to disk as each phase
+    * lands: a later phase's death (deadline kill, host OOM) can never
+    * erase finished measurements (round-4 failure mode — phase-1
+    * results were printed to stdout but the driver parses nothing when
+    * the process exits non-zero). `bench_latest.json` always holds the
+    * most complete line; `bench_phases.jsonl` keeps every emission.
+    * Best-effort: persistence must never fail the bench itself.
+    */
+  private def persistPhase(line: String): Unit =
+    try {
+      val dir = Paths.get("target")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("bench_latest.json"), line + "\n")
+      Files.writeString(
+        dir.resolve("bench_phases.jsonl"), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] phase persist failed: ${e.getMessage}")
+    }
+
+  /** Cumulative shuffle-write bytes across all tasks on the session,
+    * snapshotted around each query's first timed run — turns EXPLAIN.md's
+    * plan-shape arguments into a measured per-query shuffle-volume
+    * column. Shuffle WRITE is the canonical side (each shuffle is
+    * written once, read once). Listener delivery is async; snapshots
+    * happen outside the timed window after a short drain pause, so the
+    * wall times are untouched and sequential-query attribution is
+    * accurate to the drain.
+    */
+  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+    def snapshot(): Long = bytes.get()
+  }
+
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
@@ -300,13 +391,26 @@ object Bench {
     // 2M default blew (that pipeline was 3-4x slower per doc)
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toInt
+    // The driver's wall clock starts at `sbt` launch, this JVM's at
+    // fork — the gap (sbt boot + compile, ~60-90 s warm) is invisible
+    // here but still counts against the driver. Reserve a fixed margin
+    // so this main's self-imposed budget ends before the driver's does.
+    val budgetSec =
+      math.max(300, sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toInt - 90)
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1") // dev iteration knob
 
-    // --- phase 1: registry queries at local[32], best-of-2 each ---
+    // --- phase 1: registry queries at local[32] — one timed run each,
+    // then a second best-of-2 run for the SLOWEST 30 only. Universal
+    // best-of-2 at 185 queries was ~half the phase budget for noise
+    // reduction that only matters on the queries whose absolute times
+    // get read (the driver budget also covers sbt compile + JVM start,
+    // which this main can't see — so the phase has to be lean).
     val spark32 = session(32)
+    val tally = new ShuffleTally
+    spark32.sparkContext.addSparkListener(tally)
     var failed = List.empty[String]
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val queryList =
       if (skipQueries) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
       else SparkEntry.queries.toSeq.sortBy(_._1)
@@ -316,20 +420,24 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); None }
     }
     val firstPass = queryList.map { case (name, fn) =>
-      // best-of-2 while the budget is comfortable; single-run once the
-      // query phase has eaten a third of the total budget. A first run
-      // past 30 s is a steal-storm reading on this corpus (no query is
-      // near that in a clean window) — repeating it inside the same
-      // storm just doubles the damage to the scaling phase's budget.
-      val first = timeOnce(name, fn)
-      val second = elapsedSec < budgetSec / 3.0 && first.forall(_ < 30.0)
-      val t = (first, if (second) timeOnce(name, fn) else None) match {
-        case (Some(a), Some(b)) => math.min(a, b)
-        case (Some(a), None)    => a
-        case (None, Some(b))    => b
-        case _                  => failed ::= name; -1.0 // sentinel: failed, not a time
-      }
+      val s0 = tally.snapshot()
+      // one immediate retry on error (transient failures don't get to
+      // mark a query failed); -1 sentinel when both attempts error
+      val t = timeOnce(name, fn).orElse(timeOnce(name, fn)).getOrElse { failed ::= name; -1.0 }
+      Thread.sleep(30) // listener-bus drain — outside the timed window
+      shuffleBytes(name) = tally.snapshot() - s0
       name -> t
+    }
+    // best-of-2 where it matters: absolute noise scales with query cost,
+    // so re-run only the slowest 30 (budget permitting; a first run past
+    // 30 s is a steal-storm reading — repeating inside the same storm
+    // just doubles the damage)
+    val slowest = firstPass.filter(_._2 >= 0).sortBy(-_._2).take(30).map(_._1).toSet
+    val byNameAll = queryList.toMap
+    val secondPass = firstPass.map { case (name, t) =>
+      if (t >= 0 && t < 30.0 && slowest(name) && elapsedSec < budgetSec / 3.0)
+        name -> timeOnce(name, byNameAll(name)).fold(t)(math.min(t, _))
+      else name -> t
     }
     // Deferred retry for the storm suspects: by the END of the phase the
     // storm has usually moved on, so outlier readings get one more run
@@ -337,29 +445,34 @@ object Bench {
     // (8x the phase median, floored at 10 s): a fixed 30 s bar once let
     // a 25 s storm reading stand on a 3 s query whose best-of-2 both
     // landed inside the same storm window.
-    val sortedTimes = firstPass.map(_._2).filter(_ >= 0).sorted
+    val sortedTimes = secondPass.map(_._2).filter(_ >= 0).sorted
     val median = if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.length / 2)
     val suspectBar = math.max(10.0, 8.0 * median)
-    val suspects = firstPass.collect { case (n, t) if t >= suspectBar => n }
-    val results = if (suspects.isEmpty) firstPass
+    val suspects = secondPass.collect { case (n, t) if t >= suspectBar => n }
+    val results = if (suspects.isEmpty) secondPass
     else {
-      val byName = queryList.toMap
       val retried = suspects.flatMap { name =>
         if (elapsedSec >= budgetSec / 3.0) None
-        else timeOnce(name, byName(name)).map(name -> _)
+        else timeOnce(name, byNameAll(name)).map(name -> _)
       }.toMap
-      firstPass.map { case (n, t) => n -> retried.get(n).fold(t)(math.min(t, _)) }
+      secondPass.map { case (n, t) => n -> retried.get(n).fold(t)(math.min(t, _)) }
     }
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
 
     val qs = results
       .map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
+    val shufJson = shuffleBytes
+      .map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val failedJson = failed.reverse.map(n => s""""$n"""").mkString("[", ",", "]")
     var snapJson = "null"
-    def emit(kggenJson: String): Unit = println(
-      s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"queries_snapshot_backed":$snapJson,"sf":"$sfDir","kggen":$kggenJson}"""
-    )
+    def emit(kggenJson: String): Unit = {
+      val line =
+        s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$shufJson,"failed":$failedJson,"queries_snapshot_backed":$snapJson,"sf":"$sfDir","kggen":$kggenJson}"""
+      println(line)
+      persistPhase(line)
+    }
     // flush phase-1 results NOW: a timeout during the scaling phase must
     // not lose the finished query phase (round-2 failure mode)
     if (!skipQueries) emit("null")
@@ -376,8 +489,12 @@ object Bench {
         val tMat = System.nanoTime()
         graft.queries.Queries.ensureDerived(spark32, sfDir)
         val matSec = (System.nanoTime() - tMat) / 1e9
+        // kg_* read the committed canonical triples/entities; dedup_*
+        // read the committed token-set + band-index state (round-5
+        // wiring) — both families are the 100 TB path where analytics
+        // stop re-paying extraction/tokenization per query
         val snapTimes = queryList
-          .filter(_._1.startsWith("kg_"))
+          .filter(q => q._1.startsWith("kg_") || q._1.startsWith("dedup_"))
           .flatMap { case (n, fn) => timeOnce(n, fn).map(n -> _) }
         val snapQs = snapTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
         snapJson =
@@ -482,13 +599,19 @@ object Bench {
         else bandProgress = false
       }
       // third scaling point (a curve, not one ratio): 4N -> 16N when the
-      // box has the cores and the budget has room. The 16N level is the
-      // cheapest to measure (runs ~4x faster than 4N), so it rides the
-      // tail of the budget; its efficiency is reported alongside the
-      // primary N->4N gate rather than replacing it.
+      // box has the cores, the budget has room, AND the level's full
+      // 4 GiB/core heap fits in currently-available memory. The fit
+      // gate is what makes the probe optional in practice: a 32-core
+      // child wants 128 GiB, which a 125 GiB host can never grant —
+      // round 4's probe asked anyway (capped only by host CAPACITY,
+      // -Xms93g) and the host OOM killer took down the whole bench.
+      // A shrunken-heap child would not be comparable across levels
+      // (heap/core is the controlled variable), so no-fit means skip,
+      // not shrink; the primary N->4N gate is unaffected.
       val c16n = scaleN * 16
       val r16n: Option[LevelResult] =
-        if (c16n <= Runtime.getRuntime.availableProcessors() && budgetSec - elapsedSec > 180)
+        if (c16n <= Runtime.getRuntime.availableProcessors() &&
+          budgetSec - elapsedSec > 180 && levelHeapFits(c16n))
           Some(measure(c16n)).map { r =>
             // same one-sided logic as the band retry above: the level's
             // clean reading is ~0.52 against 4N (disclosed box ceiling);
@@ -534,7 +657,7 @@ object Bench {
           s""""triples_per_sec_localN":${fmt(tpn, 1)},"triples_per_sec_local4N":${fmt(tp4n, 1)},""" +
           s""""scaling_efficiency":${fmt(eff)},""" +
           effAdjJson +
-          s""""methodology":"per-level child JVM when mode=child-jvm (taskset pin to cores, ActiveProcessorCount=cores, heap=4GiB/core capped at 3/4 host RAM, warmup run, steal-gated measured runs, out-of-band ratios re-measured on the inflated side and min-merged, all runs reported); identical partitioning ($ScalePartitions) at both levels; budget=${budgetSec}s"}"""
+          s""""methodology":"per-level child JVM when mode=child-jvm (taskset pin to cores, ActiveProcessorCount=cores, heap=4GiB/core capped by MemAvailable at spawn (no -Xms above 32GiB; optional levels skipped rather than shrunk when the full heap does not fit), warmup run, steal-gated measured runs, out-of-band ratios re-measured on the inflated side and min-merged, all runs reported); identical partitioning ($ScalePartitions) at both levels; budget=${budgetSec}s"}"""
       emit(kggenJson)
     } else spark32.stop()
   }

@@ -253,12 +253,19 @@ object Dedup {
     * and three 1-row aggregates crossJoined (the established 1-row
     * pattern). Both pair sets are staged — each is read twice.
     */
-  def lshRecall(docs: DataFrame, thetaPct: Int = 90): DataFrame = {
+  def lshRecall(docs: DataFrame, thetaPct: Int = 90): DataFrame =
+    lshRecallFromState(state(docs), docs, thetaPct)
+
+  /** [[lshRecall]] with the LSH side read from committed dedup state;
+    * the exact (PPJoin) denominator still needs token SEQUENCES for its
+    * grams, so `docs` is scanned once for that side.
+    */
+  def lshRecallFromState(st: DedupState, docs: DataFrame, thetaPct: Int = 90): DataFrame = {
     val exact =
       graft.util.Materialize.stage(ngramJaccardPairs(docs, thetaPct).select("a", "b"))
     val src = docs.select(col("doc_id"), col("source"))
     val lsh = graft.util.Materialize.stage(
-      minhashLshPairs(docs, thetaPct)
+      minhashLshPairsFromState(st, thetaPct)
         .select("a", "b")
         .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
         .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
@@ -322,6 +329,31 @@ object Dedup {
     */
   def bandIndex(docs: DataFrame, seeds: Int = 16, bands: Int = 8): DataFrame =
     bandedKeys(tokenSetTable(docs), seeds, bands)
+
+  /** [[bandIndex]] from an already-materialized token-set frame —
+    * used when `derived_token_sets` is committed first and the band
+    * index is derived from the committed table instead of re-tokenizing
+    * the corpus.
+    */
+  def bandIndexFromToks(toks: DataFrame, seeds: Int = 16, bands: Int = 8): DataFrame =
+    bandedKeys(toks, seeds, bands)
+
+  /** The committed dedup state of a corpus: `toks` = [[tokenSetTable]]
+    * (doc_id, toks sorted-distinct — one row per document), `banded` =
+    * [[bandIndex]] (doc_id, bandKey). At 100 TB these two snapshot
+    * tables ARE what the MinHash family reads — every `...FromState`
+    * entry point below runs without touching a byte of document text.
+    */
+  final case class DedupState(toks: DataFrame, banded: DataFrame)
+
+  /** Derive both state frames from the corpus in ONE tokenization scan
+    * (Catalyst does not deduplicate common subtrees across joins, so
+    * the band index must be derived from the same token-set frame).
+    */
+  def state(docs: DataFrame, seeds: Int = 16, bands: Int = 8): DedupState = {
+    val t = tokenSetTable(docs)
+    DedupState(t, bandedKeys(t, seeds, bands))
+  }
 
   /** Incremental near-dup verdicts for a delta crawl against an
     * already-ingested base corpus: for every delta document,
@@ -430,14 +462,25 @@ object Dedup {
       seeds: Int = 16,
       bands: Int = 8,
       cap: Int = DefaultLeadCap
+  ): DataFrame =
+    minhashLshPairsFromState(state(docs, seeds, bands), thetaPct, cap)
+
+  /** [[minhashLshPairs]] over committed dedup state — candidate
+    * generation reads the (doc_id, bandKey) index and verification the
+    * (doc_id, toks) table; document text is never touched.
+    */
+  def minhashLshPairsFromState(
+      st: DedupState,
+      thetaPct: Int = 90,
+      cap: Int = DefaultLeadCap
   ): DataFrame = {
-    val t = tokenSets(docs)
+    val t = st.toks
     // one scan emits all band keys (explode), and ONE window pass emits
     // all `cap` neighbors as an array (every lead shares the same frame,
     // so Catalyst plans a single Exchange+Sort+Window) — the round-1
     // shape union'd `cap` separate window passes, re-sorting the banded
     // table cap times
-    val banded = bandedKeys(t, seeds, bands)
+    val banded = st.banded
     val w = Window.partitionBy("bandKey").orderBy("doc_id")
     val windowCands = banded
       .select(
@@ -499,8 +542,17 @@ object Dedup {
       cap: Int = DefaultLeadCap,
       driverPairThreshold: Int = 2000000
   ): DataFrame =
+    minhashGroupsFromState(state(docs, seeds, bands), thetaPct, cap, driverPairThreshold)
+
+  /** [[minhashGroups]] over committed dedup state. */
+  def minhashGroupsFromState(
+      st: DedupState,
+      thetaPct: Int = 90,
+      cap: Int = DefaultLeadCap,
+      driverPairThreshold: Int = 2000000
+  ): DataFrame =
     groupsFromPairs(
-      minhashLshPairs(docs, thetaPct, seeds, bands, cap).select(col("a"), col("b")),
+      minhashLshPairsFromState(st, thetaPct, cap).select(col("a"), col("b")),
       "doc_id",
       driverPairThreshold
     )
@@ -595,9 +647,20 @@ object Dedup {
       bands: Int = 8,
       cap: Int = DefaultLeadCap
   ): DataFrame =
-    docs
+    nearDupKeepFromState(state(docs, seeds, bands), thetaPct, cap)
+
+  /** [[nearDupKeep]] over committed dedup state — the doc universe is
+    * the token-set table itself (one row per document by construction),
+    * so the keep list needs no corpus read at all.
+    */
+  def nearDupKeepFromState(
+      st: DedupState,
+      thetaPct: Int = 90,
+      cap: Int = DefaultLeadCap
+  ): DataFrame =
+    st.toks
       .select(col("doc_id"))
-      .join(minhashGroups(docs, thetaPct, seeds, bands, cap), Seq("doc_id"), "left")
+      .join(minhashGroupsFromState(st, thetaPct, cap), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("dup_group"),
@@ -627,10 +690,18 @@ object Dedup {
       seeds: Int = 16,
       bands: Int = 8,
       cap: Int = DefaultLeadCap
+  ): DataFrame =
+    softWeightsFromState(state(docs, seeds, bands), thetaPct, cap)
+
+  /** [[softWeights]] over committed dedup state. */
+  def softWeightsFromState(
+      st: DedupState,
+      thetaPct: Int = 90,
+      cap: Int = DefaultLeadCap
   ): DataFrame = {
-    val grp = graft.util.Materialize.stage(minhashGroups(docs, thetaPct, seeds, bands, cap))
+    val grp = graft.util.Materialize.stage(minhashGroupsFromState(st, thetaPct, cap))
     val sz = grp.groupBy("dup_group").agg(count(lit(1)).as("group_size"))
-    docs
+    st.toks
       .select(col("doc_id"))
       .join(grp, Seq("doc_id"), "left")
       .join(sz, Seq("dup_group"), "left")
@@ -661,7 +732,15 @@ object Dedup {
       bands: Int = 8,
       cap: Int = DefaultLeadCap
   ): DataFrame =
-    softWeights(docs, thetaPct, seeds, bands, cap)
+    clusterSizeProfileFromState(state(docs, seeds, bands), thetaPct, cap)
+
+  /** [[clusterSizeProfile]] over committed dedup state. */
+  def clusterSizeProfileFromState(
+      st: DedupState,
+      thetaPct: Int = 90,
+      cap: Int = DefaultLeadCap
+  ): DataFrame =
+    softWeightsFromState(st, thetaPct, cap)
       .groupBy("group_size")
       .agg(count(lit(1)).as("n_docs"))
       .select(
@@ -754,7 +833,19 @@ object Dedup {
       bands: Int = 8,
       cap: Int = DefaultLeadCap
   ): DataFrame =
-    nearDupKeep(docs, thetaPct, seeds, bands, cap)
+    sourceDupProfileFromState(state(docs, seeds, bands), docs, thetaPct, cap)
+
+  /** [[sourceDupProfile]] over committed dedup state; `docs` is read
+    * only for its (doc_id, source) columns — a column-pruned metadata
+    * scan, never the bodies.
+    */
+  def sourceDupProfileFromState(
+      st: DedupState,
+      docs: DataFrame,
+      thetaPct: Int = 90,
+      cap: Int = DefaultLeadCap
+  ): DataFrame =
+    nearDupKeepFromState(st, thetaPct, cap)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source")
       .agg(

@@ -18,6 +18,23 @@ object OpsQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Dedup state for the MinHash family: the committed
+    * `derived_token_sets` / `derived_band_index` snapshot tables when a
+    * derived root is configured and both are committed (the 100 TB read
+    * path — candidate generation and verification never touch document
+    * text), the single-scan in-query derivation otherwise. Both paths
+    * are row-identical (the snapshot IS the committed output of the same
+    * derivation), so every query hash-matches the same oracle either
+    * way.
+    */
+  private def dedupState(s: SparkSession, dir: String): Dedup.DedupState = {
+    val snap = for {
+      t <- Queries.readStage(s, dir, "derived_token_sets")
+      b <- Queries.readStage(s, dir, "derived_band_index")
+    } yield Dedup.DedupState(t, b)
+    snap.getOrElse(Dedup.state(docs(s, dir)))
+  }
+
   // ----- shared SQL fragments -----
 
   private val tsetCte: String =
@@ -78,7 +95,7 @@ object OpsQueries {
       "WHERE 100 * len(list_intersect(a.grams, b.grams)) >= 90 * least(len(a.grams), len(b.grams))"
   }
 
-  val dedupRecall: Q = (s, dir) => Dedup.lshRecall(docs(s, dir), thetaPct = 90)
+  val dedupRecall: Q = (s, dir) => Dedup.lshRecallFromState(dedupState(s, dir), docs(s, dir), thetaPct = 90)
 
   /** The exact side is the all-pairs same-source Jaccard rule; the LSH
     * side re-uses the verified minhash pair CTEs restricted to the same
@@ -99,7 +116,7 @@ object OpsQueries {
       "SELECT n_exact, n_lsh, n_both, " +
       "CAST((CAST(n_both AS HUGEINT) * 1000) // greatest(n_exact, 1) AS BIGINT) AS recall_permille FROM c"
 
-  val dedupMinhash: Q = (s, dir) => Dedup.minhashLshPairs(docs(s, dir), thetaPct = 90)
+  val dedupMinhash: Q = (s, dir) => Dedup.minhashLshPairsFromState(dedupState(s, dir), thetaPct = 90)
 
   /** CTE chain ending in `mhp(a, b, inter, uni)` — the verified
     * MinHash-LSH pair set; shared by the pair and group oracles.
@@ -187,7 +204,7 @@ object OpsQueries {
       "FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) d " +
       "LEFT JOIN ver v ON v.delta_id = d.doc_id"
 
-  val dedupGroups: Q = (s, dir) => Dedup.minhashGroups(docs(s, dir), thetaPct = 90)
+  val dedupGroups: Q = (s, dir) => Dedup.minhashGroupsFromState(dedupState(s, dir), thetaPct = 90)
 
   /** Recursive min-label walk over the verified pair graph — identical
     * fixpoint to the Spark connected-components loop.
@@ -204,7 +221,7 @@ object OpsQueries {
     * composes the shared MinHash pair CTEs + the CC walk + a left join
     * back to every document.
     */
-  val dedupKeep: Q = (s, dir) => Dedup.nearDupKeep(docs(s, dir), thetaPct = 90)
+  val dedupKeep: Q = (s, dir) => Dedup.nearDupKeepFromState(dedupState(s, dir), thetaPct = 90)
 
   val dedupKeepSql: String =
     s"WITH RECURSIVE $minhashPairCtes, " +
@@ -254,7 +271,7 @@ object OpsQueries {
     * domain-level drop-rate table; the oracle nests the full
     * recursive keep-list query as a derived table.
     */
-  val dedupSourceProfile: Q = (s, dir) => Dedup.sourceDupProfile(docs(s, dir), thetaPct = 90)
+  val dedupSourceProfile: Q = (s, dir) => Dedup.sourceDupProfileFromState(dedupState(s, dir), docs(s, dir), thetaPct = 90)
 
   val dedupSourceProfileSql: String =
     s"SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs, " +
@@ -1579,7 +1596,7 @@ object OpsQueries {
     * composes the shared MinHash pair CTEs + the CC walk with a size
     * aggregate and the corpus left join.
     */
-  val dedupWeights: Q = (s, dir) => Dedup.softWeights(docs(s, dir), thetaPct = 90)
+  val dedupWeights: Q = (s, dir) => Dedup.softWeightsFromState(dedupState(s, dir), thetaPct = 90)
 
   val dedupWeightsSql: String =
     s"WITH RECURSIVE $minhashPairCtes, " +
@@ -1599,7 +1616,7 @@ object OpsQueries {
     * included — the oracle wraps the weights statement as a derived
     * table and folds it.
     */
-  val dedupSizes: Q = (s, dir) => Dedup.clusterSizeProfile(docs(s, dir), thetaPct = 90)
+  val dedupSizes: Q = (s, dir) => Dedup.clusterSizeProfileFromState(dedupState(s, dir), thetaPct = 90)
 
   val dedupSizesSql: String =
     s"SELECT group_size, CAST(count(*) AS BIGINT) AS n_docs, " +

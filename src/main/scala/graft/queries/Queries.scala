@@ -79,12 +79,21 @@ object Queries {
   private def snapshotOr(s: SparkSession, dir: String, stage: String)(
       derive: => DataFrame
   ): DataFrame =
+    readStage(s, dir, stage).getOrElse(derive)
+
+  /** The committed snapshot of `stage` for this scale dir, or None when
+    * no derived root is configured / the listing failed / the stage is
+    * not committed. Exposed package-wide so OpsQueries' dedup family can
+    * collapse to committed-state reads the same way the kg_* analytics
+    * do.
+    */
+  private[graft] def readStage(s: SparkSession, dir: String, stage: String): Option[DataFrame] =
     derivedRoot.flatMap { root =>
-      derivedFp(s, dir).map { fp =>
+      derivedFp(s, dir).flatMap { fp =>
         val t = new graft.store.SnapshotTable(s, root)
-        if (t.exists(stage, fp)) t.read(stage, fp) else derive
+        if (t.exists(stage, fp)) Some(t.read(stage, fp)) else None
       }
-    }.getOrElse(derive)
+    }
 
   private def deriveTriples(s: SparkSession, dir: String): DataFrame =
     TokenRules.triples(docs(s, dir))
@@ -95,9 +104,13 @@ object Queries {
   private[graft] def entities(s: SparkSession, dir: String): DataFrame =
     snapshotOr(s, dir, "derived_entities")(deriveEntities(s, dir))
 
-  /** Materialize the derived triple/entity tables for `dir` under the
-    * configured root (no-op without one) — resume-safe: an existing
-    * committed snapshot is never recomputed.
+  /** Materialize the derived tables for `dir` under the configured root
+    * (no-op without one) — resume-safe: an existing committed snapshot
+    * is never recomputed. Covers the kg_* canonical frames
+    * (triples/entities) AND the dedup state (token sets + MinHash-LSH
+    * band index); the band index is derived FROM the just-committed
+    * token-set table, so the corpus is tokenized exactly once across
+    * both stages.
     */
   def ensureDerived(s: SparkSession, dir: String): Unit =
     derivedRoot.foreach { root =>
@@ -105,6 +118,10 @@ object Queries {
         val t = new graft.store.SnapshotTable(s, root)
         t.resumeOrCompute("derived_triples", fp)(deriveTriples(s, dir))
         t.resumeOrCompute("derived_entities", fp)(deriveEntities(s, dir))
+        t.resumeOrCompute("derived_token_sets", fp)(
+          graft.ops.Dedup.tokenSetTable(docs(s, dir)))
+        t.resumeOrCompute("derived_band_index", fp)(
+          graft.ops.Dedup.bandIndexFromToks(t.read("derived_token_sets", fp)))
       }
     }
 

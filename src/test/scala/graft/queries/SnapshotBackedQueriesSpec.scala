@@ -46,6 +46,33 @@ class SnapshotBackedQueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("snapshot-backed dedup_* queries are row-identical to derive-from-text") {
+    val names = Seq(
+      "dedup_minhash", "dedup_groups", "dedup_keep",
+      "dedup_weights", "dedup_sizes", "dedup_source_profile"
+    )
+    val fromText = names.map(n => n -> rowsOf(n)).toMap
+
+    val root = Files.createTempDirectory("graft-derived-dedup-spec")
+    try {
+      Queries.derivedRootOverride = Some(root.toString)
+      Queries.ensureDerived(spark, sfDir)
+      // the dedup state must actually be committed and used, not
+      // silently falling back to the derive path
+      val t = new graft.store.SnapshotTable(spark, root.toString)
+      val fp = Queries.derivedFp(spark, sfDir).get
+      assert(t.exists("derived_token_sets", fp))
+      assert(t.exists("derived_band_index", fp))
+      val fromSnap = names.map(n => n -> rowsOf(n)).toMap
+      names.foreach { n =>
+        assert(fromSnap(n) == fromText(n), s"query $n diverged under snapshot-backed mode")
+      }
+    } finally {
+      Queries.derivedRootOverride = None
+      deleteRecursively(root.toFile)
+    }
+  }
+
   test("ensureDerived is resume-safe: a second call never recomputes") {
     val root = Files.createTempDirectory("graft-derived-resume")
     try {
