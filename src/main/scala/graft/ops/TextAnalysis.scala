@@ -780,11 +780,16 @@ object TextAnalysis {
   def cmSketch(docs: DataFrame): DataFrame = {
     val rows = (0 until CmsDepth).map { r =>
       val h = md5(concat(lit(s"$r:"), col("tok")))
+      // first md5 BYTE as one conv(hex2, 16, 10) — the md5 subexpression
+      // appears ONCE per seed. The hexVal(h1)*16 + hexVal(h2) spelling
+      // inlined md5 four times per seed inside the Generate (Generate
+      // args get no codegen subexpression elimination), i.e. 16 md5
+      // evaluations per token instead of 4 — measured 4.2 s vs 1.5 s at
+      // sf0.1 for identical output (conv(·,16,10) is exactly
+      // hexVal(h1)·16 + hexVal(h2)).
       struct(
         lit(r.toLong).as("row"),
-        pmod(hexVal(substring(h, 1, 1)) * lit(16) + hexVal(substring(h, 2, 1)), lit(CmsWidth))
-          .cast("long")
-          .as("col")
+        pmod(conv(substring(h, 1, 2), 16, 10).cast("long"), lit(CmsWidth)).as("col")
       )
     }
     docs
