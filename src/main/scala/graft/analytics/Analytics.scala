@@ -1695,6 +1695,92 @@ object Analytics {
     sigs.join(pops, "type_sig").select("entity", "type_sig", "sig_size", "n_type_entities")
   }
 
+  /** Per-triple provenance — exact distinct-document support plus the
+    * first 5 asserting doc_ids (ascending, comma-joined): the lineage
+    * column a production canonical-triples table carries so every fact
+    * is auditable back to crawl pages without a corpus join. Output:
+    * (subject, predicate, obj, support, provenance).
+    *
+    * Shape at scale: the doc-distinct triple table (one exchange), then
+    * a TWO-LEVEL min-K — stage 1 groups by (triple, doc_id mod 16) and
+    * keeps ≤ 5 ids per shard, stage 2 merges ≤ 80 ids per triple — so
+    * no aggregation buffer ever holds more than a constant number of
+    * ids even for a boilerplate triple asserted by half the corpus (a
+    * single collect_set would buffer millions of ids for exactly the
+    * keys that matter; a row_number window would sort them). Support is
+    * the exact distinct-doc count, summed from the shard counts.
+    */
+  def provenance(docs: DataFrame, k: Int = 5, shards: Int = 16): DataFrame = {
+    import graft.extract.TokenRules
+    val perDoc = TokenRules
+      .rawTriples(docs)
+      .where(TokenRules.isEntity(col("subject")) && TokenRules.isEntity(col("obj")))
+      .select("doc_id", "subject", "predicate", "obj")
+      .distinct()
+    val sharded = perDoc
+      .groupBy(
+        col("subject"),
+        col("predicate"),
+        col("obj"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard")
+      )
+      .agg(
+        count(lit(1)).as("c"),
+        expr(s"slice(sort_array(collect_set(doc_id)), 1, $k)").as("ids")
+      )
+    sharded
+      .groupBy("subject", "predicate", "obj")
+      .agg(
+        sum("c").as("support"),
+        expr(s"slice(array_sort(flatten(collect_list(ids))), 1, $k)").as("ids_k")
+      )
+      .select(
+        col("subject"),
+        col("predicate"),
+        col("obj"),
+        col("support"),
+        expr("array_join(transform(ids_k, x -> CAST(x AS STRING)), ',')").as("provenance")
+      )
+  }
+
+  /** Versioned triple history over the synthetic crawl axis
+    * (version = doc_id mod 4 — the same deterministic recrawl split
+    * dedup_incremental uses): for every valid triple, the first and
+    * last crawl version asserting it, how many versions did, and
+    * whether the LATEST crawl still does — the temporal-KG maintenance
+    * table a recrawl pipeline keeps so facts age out instead of
+    * accumulating forever. Output:
+    * (subject, predicate, obj, first_version, last_version, n_versions,
+    * in_latest).
+    *
+    * Shape at scale: distinct (triple, version) — one exchange, the key
+    * is 4x the triple vocabulary at most — then a partial-aggregated
+    * rollup on the triple key. On a real pipeline the version column is
+    * the snapshot id of the committed extraction, so this collapses to
+    * a scan over bucketed snapshot tables.
+    */
+  def tripleHistory(docs: DataFrame, versions: Int = 4): DataFrame = {
+    import graft.extract.TokenRules
+    val perV = TokenRules
+      .rawTriples(docs)
+      .where(TokenRules.isEntity(col("subject")) && TokenRules.isEntity(col("obj")))
+      .select(
+        col("subject"),
+        col("predicate"),
+        col("obj"),
+        pmod(col("doc_id"), lit(versions.toLong)).as("ver")
+      )
+      .distinct()
+    perV
+      .groupBy("subject", "predicate", "obj")
+      .agg(
+        min("ver").as("first_version"),
+        max("ver").as("last_version"),
+        count(lit(1)).as("n_versions"),
+        max(when(col("ver") === (versions - 1).toLong, 1L).otherwise(0L)).as("in_latest")
+      )
+  }
+
   /** Triple corroboration — for every valid extracted triple, how many
     * distinct documents and distinct sources assert it: the trust
     * signal webtext extraction is ranked by (a triple seen once in one

@@ -1623,6 +1623,28 @@ object OpsQueries {
       s"CAST(count(*) // group_size AS BIGINT) AS n_clusters " +
       s"FROM ($dedupWeightsSql) GROUP BY group_size"
 
+  /** Committed-dedup-state health profile: the band-index bucket-size
+    * spectrum (bucket_docs, n_buckets). The operational monitor a
+    * pipeline reads before trusting its LSH state — a hot bucket hit by
+    * a large share of the corpus is a degenerate shingle (the signal
+    * behind incrementalKeep's maxBucket guard), and the spectrum is
+    * where that shows up. Reads the committed `derived_band_index`
+    * when a derived root is configured; otherwise derives in-query.
+    * Shape at scale: two partial-aggregated exchanges — bandKey (the
+    * index's own key), then the tiny bucket-size key.
+    */
+  val dedupStateStats: Q = (s, dir) =>
+    dedupState(s, dir).banded
+      .groupBy("bandKey")
+      .agg(count(lit(1)).as("bucket_docs"))
+      .groupBy("bucket_docs")
+      .agg(count(lit(1)).as("n_buckets"))
+
+  val dedupStateStatsSql: String =
+    s"WITH $tsetCte, ${mhBandCtes("tset", "g")}, " +
+      "b AS (SELECT bandKey, CAST(count(*) AS BIGINT) AS bucket_docs FROM gband GROUP BY 1) " +
+      "SELECT bucket_docs, CAST(count(*) AS BIGINT) AS n_buckets FROM b GROUP BY 1"
+
   /** Zipf frequency spectrum (TextAnalysis.zipfSpectrum): log2-bucketed
     * frequency-of-frequencies over the corpus vocabulary.
     */
@@ -1746,7 +1768,8 @@ object OpsQueries {
     "emb_norms" -> embNorms,
     "emb_margin" -> embMargin,
     "emb_dim_stats" -> embDimStats,
-    "dedup_sizes" -> dedupSizes
+    "dedup_sizes" -> dedupSizes,
+    "dedup_state_stats" -> dedupStateStats
   )
 
   val oracles: Map[String, String] = Map(
@@ -1839,6 +1862,7 @@ object OpsQueries {
     "emb_norms" -> embNormsSql,
     "emb_margin" -> embMarginSql,
     "emb_dim_stats" -> embDimStatsSql,
-    "dedup_sizes" -> dedupSizesSql
+    "dedup_sizes" -> dedupSizesSql,
+    "dedup_state_stats" -> dedupStateStatsSql
   )
 }

@@ -996,6 +996,38 @@ object Queries {
       "SELECT subject, predicate, obj, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
       "CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM j GROUP BY 1, 2, 3"
 
+  /** Per-triple provenance (Analytics.provenance) — exact distinct-doc
+    * support + the first 5 asserting doc_ids comma-joined; the lineage
+    * column of a production canonical-triples table. The oracle takes
+    * the naive sorted-list slice; the engine's two-level sharded min-K
+    * reaches the identical ids with bounded aggregation buffers.
+    */
+  val kgProvenance: Q = (s, dir) => Analytics.provenance(docs(s, dir))
+
+  val kgProvenanceSql: String =
+    s"WITH toks_cte AS (${TokenRules.Sql.toksCte}), raw_cte AS (${TokenRules.Sql.rawTriplesCte}), " +
+      s"v AS (SELECT DISTINCT doc_id, subject, predicate, obj FROM raw_cte " +
+      s"WHERE length(subject) >= ${TokenRules.MinEntityLen} AND length(obj) >= ${TokenRules.MinEntityLen}) " +
+      "SELECT subject, predicate, obj, CAST(count(*) AS BIGINT) AS support, " +
+      "array_to_string(list_transform(list_sort(list(doc_id))[1:5], x -> CAST(x AS VARCHAR)), ',') AS provenance " +
+      "FROM v GROUP BY 1, 2, 3"
+
+  /** Versioned triple history (Analytics.tripleHistory) — first/last
+    * crawl version per triple over the deterministic doc_id mod 4
+    * recrawl axis (the dedup_incremental split), plus survival into the
+    * latest crawl; the temporal-KG maintenance table.
+    */
+  val kgTripleHistory: Q = (s, dir) => Analytics.tripleHistory(docs(s, dir))
+
+  val kgTripleHistorySql: String =
+    s"WITH toks_cte AS (${TokenRules.Sql.toksCte}), raw_cte AS (${TokenRules.Sql.rawTriplesCte}), " +
+      s"v AS (SELECT DISTINCT subject, predicate, obj, doc_id % 4 AS ver FROM raw_cte " +
+      s"WHERE length(subject) >= ${TokenRules.MinEntityLen} AND length(obj) >= ${TokenRules.MinEntityLen}) " +
+      "SELECT subject, predicate, obj, CAST(min(ver) AS BIGINT) AS first_version, " +
+      "CAST(max(ver) AS BIGINT) AS last_version, CAST(count(*) AS BIGINT) AS n_versions, " +
+      "CAST(max(CASE WHEN ver = 3 THEN 1 ELSE 0 END) AS BIGINT) AS in_latest " +
+      "FROM v GROUP BY 1, 2, 3"
+
   /** Predicate synonym candidates (Analytics.predicateSynonyms) —
     * predicate pairs sharing ≥ 2 identical endpoint pairs; the
     * relation-canonicalization cue string similarity cannot see.
@@ -2176,6 +2208,8 @@ object Queries {
     "kg_same_as" -> kgSameAs,
     "kg_entity_types" -> kgEntityTypes,
     "kg_corroboration" -> kgCorroboration,
+    "kg_provenance" -> kgProvenance,
+    "kg_triple_history" -> kgTripleHistory,
     "kg_pred_synonyms" -> kgPredSynonyms,
     "kg_degree_dist" -> kgDegreeDist,
     "kg_reciprocity" -> kgReciprocity,
@@ -2274,6 +2308,8 @@ object Queries {
     "kg_same_as" -> kgSameAsSql,
     "kg_entity_types" -> kgEntityTypesSql,
     "kg_corroboration" -> kgCorroborationSql,
+    "kg_provenance" -> kgProvenanceSql,
+    "kg_triple_history" -> kgTripleHistorySql,
     "kg_pred_synonyms" -> kgPredSynonymsSql,
     "kg_degree_dist" -> kgDegreeDistSql,
     "kg_reciprocity" -> kgReciprocitySql,

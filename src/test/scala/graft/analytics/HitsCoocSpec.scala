@@ -192,4 +192,42 @@ class HitsCoocSpec extends AnyFunSuite with SparkTestBase {
       ("xxxx", "yy", "zzzz", 1L, 1L)
     ))
   }
+
+  test("provenance: exact support + first-5 sorted asserting doc ids") {
+    // (aaaa, bb, cccc) asserted by 7 docs — the provenance string keeps
+    // only the 5 smallest ids; support stays the exact count. Shard-
+    // local min-K (ids spread over doc_id % 16 shards 1..7) must merge
+    // to the same global min-5 the oracle's naive sorted slice yields.
+    val d = (1L to 7L).map(i => (i, "aaaa bb cccc", "s1")) :+ ((8L, "xxxx yy zzzz", "s2"))
+    val df = d.toDF("doc_id", "text", "source")
+    val got = Analytics.provenance(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got == Set(
+      ("aaaa", "bb", "cccc", 7L, "1,2,3,4,5"),
+      ("xxxx", "yy", "zzzz", 1L, "8")
+    ))
+  }
+
+  test("tripleHistory: first/last version, version count, latest survival") {
+    // versions = doc_id % 4: (aaaa,bb,cccc) in docs 1,2,5 → versions
+    // {1, 2} (5 % 4 = 1 collapses with doc 1), never in version 3;
+    // (xxxx,yy,zzzz) in docs 3,7 → version 3 only — in the latest crawl
+    val df = Seq(
+      (1L, "aaaa bb cccc", "s1"),
+      (2L, "aaaa bb cccc", "s1"),
+      (5L, "aaaa bb cccc", "s1"),
+      (3L, "xxxx yy zzzz", "s2"),
+      (7L, "xxxx yy zzzz", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Analytics.tripleHistory(df).collect()
+      .map(r =>
+        (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(got == Set(
+      ("aaaa", "bb", "cccc", 1L, 2L, 2L, 0L),
+      ("xxxx", "yy", "zzzz", 3L, 3L, 1L, 1L)
+    ))
+  }
 }

@@ -1106,6 +1106,27 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(direct.nonEmpty)
   }
 
+  test("band-index bucket spectrum: identical docs share all 8 buckets") {
+    // two byte-identical docs have the same token set, hence the same
+    // 8 band keys; the third doc's keys are md5-distinct — spectrum is
+    // exactly 8 two-doc buckets and 8 singleton buckets
+    val d = Seq(
+      (1L, "aaaa bbbb cccc"),
+      (2L, "aaaa bbbb cccc"),
+      (3L, "dddd eeee ffff")
+    ).toDF("doc_id", "text")
+    val spectrum = Dedup
+      .bandIndex(d)
+      .groupBy("bandKey")
+      .agg(count(lit(1)).as("bucket_docs"))
+      .groupBy("bucket_docs")
+      .agg(count(lit(1)).as("n_buckets"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(spectrum == Set((2L, 8L), (1L, 8L)))
+  }
+
   test("incremental dedup semantics: band-collision AND jaccard>=theta, min base partner") {
     // base: two near-identical docs (1,2) and one unrelated (5);
     // delta: a copy of the pair's text (dup of min(1,2)=1), and a novel doc
