@@ -11,9 +11,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   * (reference: src/kg_gen/utils/visualize_kg.py:261-304, which splices a
   * JSON view model into an HTML template). The template here is original:
   * a deterministic SVG layout (nodes on a circle, sorted by component
-  * then label) plus stats / top-entity / top-relation panels — no
-  * physics, no external assets, byte-identical output for identical
-  * input (golden-tested).
+  * then label) plus stats / top-entity / top-relation panels, with the
+  * reference dashboard's client-side behaviors — live sidebar entity
+  * search (highlight matches, dim the rest), wheel zoom about the
+  * cursor, drag pan, double-click reset — in dependency-free inline
+  * JS. No physics, no external assets, byte-identical output for
+  * identical input (golden-tested).
   *
   * Driver-side by design, exactly like the reference: a human-viewable
   * graph is thousands of nodes, not billions, so the inputs are the
@@ -150,11 +153,15 @@ object HtmlViz {
   line { stroke-opacity: 0.45; }
   circle { stroke: #fff; stroke-width: 1; }
   text.lbl { font-size: 9px; fill: #334; pointer-events: none; }
+  #q { width: 100%; box-sizing: border-box; padding: 4px 6px; }
+  #canvas { cursor: grab; }
+  #canvas.panning { cursor: grabbing; }
 </style>
 </head>
 <body>
 <svg id="canvas" xmlns="http://www.w3.org/2000/svg"></svg>
 <div id="side">
+  <h2>Search</h2><input id="q" type="search" placeholder="entity substring…" autocomplete="off">
   <h2>Stats</h2><table id="stats"></table>
   <h2>Top entities</h2><table id="topEnts"></table>
   <h2>Top relations</h2><table id="topRels"></table>
@@ -179,11 +186,13 @@ function el(tag, attrs, parent, text) {
   (parent || svg).appendChild(e);
   return e;
 }
+const edgeEls = [], nodeEls = {};
 DATA.edges.forEach(edge => {
   const s = pos[edge.source], t = pos[edge.target];
   if (!s || !t) return;
   const l = el('line', { x1: s[0], y1: s[1], x2: t[0], y2: t[1], stroke: edge.color });
   el('title', {}, l, `${edge.source} —${edge.predicate}→ ${edge.target}`);
+  edgeEls.push({ el: l, source: edge.source, target: edge.target });
 });
 DATA.nodes.forEach(node => {
   const [x, y] = pos[node.id];
@@ -191,8 +200,50 @@ DATA.nodes.forEach(node => {
   const c = el('circle', { cx: x, cy: y, r: r, fill: node.color });
   el('title', {}, c,
      `${node.id}\ndegree ${node.degree} (in ${node.indegree} / out ${node.outdegree})\ncomponent ${node.component}`);
-  if (node.isTop) el('text', { x: x + r + 2, y: y + 3, 'class': 'lbl' }, svg, node.id);
+  const lbl = node.isTop
+    ? el('text', { x: x + r + 2, y: y + 3, 'class': 'lbl' }, svg, node.id) : null;
+  nodeEls[node.id] = { circle: c, label: lbl };
 });
+// live search: substring match on the entity id highlights matching
+// nodes, dims the rest, and keeps only edges touching a match readable
+document.getElementById('q').addEventListener('input', ev => {
+  const q = ev.target.value.toLowerCase();
+  const hit = id => q !== '' && id.toLowerCase().includes(q);
+  DATA.nodes.forEach(node => {
+    const e = nodeEls[node.id], on = q === '' || hit(node.id);
+    e.circle.setAttribute('opacity', on ? 1 : 0.15);
+    e.circle.setAttribute('stroke', q !== '' && hit(node.id) ? '#000' : '#fff');
+    if (e.label) e.label.setAttribute('opacity', on ? 1 : 0.15);
+  });
+  edgeEls.forEach(e => {
+    const on = q === '' || hit(e.source) || hit(e.target);
+    e.el.setAttribute('opacity', on ? 1 : 0.08);
+  });
+});
+// pan (drag) + zoom (wheel, centered on the cursor) via the viewBox
+let vb = [0, 0, W, H];
+const applyVb = () => svg.setAttribute('viewBox', vb.join(' '));
+svg.addEventListener('wheel', ev => {
+  ev.preventDefault();
+  const f = ev.deltaY < 0 ? 1 / 1.15 : 1.15;
+  const mx = vb[0] + vb[2] * ev.offsetX / svg.clientWidth;
+  const my = vb[1] + vb[3] * ev.offsetY / svg.clientHeight;
+  vb = [mx - (mx - vb[0]) * f, my - (my - vb[1]) * f, vb[2] * f, vb[3] * f];
+  applyVb();
+}, { passive: false });
+let drag = null;
+svg.addEventListener('mousedown', ev => {
+  drag = [ev.clientX, ev.clientY, vb[0], vb[1]];
+  svg.classList.add('panning');
+});
+window.addEventListener('mousemove', ev => {
+  if (!drag) return;
+  vb[0] = drag[2] - (ev.clientX - drag[0]) * vb[2] / svg.clientWidth;
+  vb[1] = drag[3] - (ev.clientY - drag[1]) * vb[3] / svg.clientHeight;
+  applyVb();
+});
+window.addEventListener('mouseup', () => { drag = null; svg.classList.remove('panning'); });
+svg.addEventListener('dblclick', () => { vb = [0, 0, W, H]; applyVb(); });
 function row(tbl, cells) {
   const tr = document.createElement('tr');
   cells.forEach(c => { const td = document.createElement('td');

@@ -107,5 +107,5 @@ class HtmlVizSpec extends AnyFunSuite with SparkTestBase {
   * change touches exactly one constant.
   */
 object GoldenHtmlDigest {
-  val value = "191ad8a02e584d0bd44d2b776022c004ec0d361e80e6ff2952cb1e2164b70b48"
+  val value = "7816e1b6411e0f083bf4b2eb1d1cb9032e44c6bf897de34b5c6274e3f8aa4b47"
 }
