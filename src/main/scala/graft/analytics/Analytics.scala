@@ -1781,6 +1781,32 @@ object Analytics {
       )
   }
 
+  /** Entity-level crawl survival over the same version axis as
+    * [[tripleHistory]]: per entity, the first and last crawl version
+    * mentioning it, how many versions did, and whether the latest crawl
+    * still does — the entity-churn companion to the triple table (an
+    * entity alive across every crawl is canon; one seen in a single
+    * old crawl is crawl noise or a dead page). Output:
+    * (entity, first_version, last_version, n_versions, in_latest).
+    *
+    * Shape at scale: distinct (entity, version) — one exchange bounded
+    * by 4x the entity vocabulary — then a partial-aggregated rollup.
+    */
+  def entityHistory(docs: DataFrame, versions: Int = 4): DataFrame = {
+    import graft.extract.TokenRules
+    TokenRules
+      .mentions(docs)
+      .select(col("entity"), pmod(col("doc_id"), lit(versions.toLong)).as("ver"))
+      .distinct()
+      .groupBy("entity")
+      .agg(
+        min("ver").as("first_version"),
+        max("ver").as("last_version"),
+        count(lit(1)).as("n_versions"),
+        max(when(col("ver") === (versions - 1).toLong, 1L).otherwise(0L)).as("in_latest")
+      )
+  }
+
   /** Triple corroboration — for every valid extracted triple, how many
     * distinct documents and distinct sources assert it: the trust
     * signal webtext extraction is ranked by (a triple seen once in one

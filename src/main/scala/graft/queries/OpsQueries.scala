@@ -1645,6 +1645,46 @@ object OpsQueries {
       "b AS (SELECT bandKey, CAST(count(*) AS BIGINT) AS bucket_docs FROM gband GROUP BY 1) " +
       "SELECT bucket_docs, CAST(count(*) AS BIGINT) AS n_buckets FROM b GROUP BY 1"
 
+  /** Per-source byte savings of the near-dup keep list: documents,
+    * total bytes, bytes the keep=0 verdicts drop, and the savings rate
+    * in permille — the "what does dedup buy us in storage/compute"
+    * rollup a corpus owner reads before shipping a keep list. Rides
+    * the committed dedup state like dedup_keep.
+    * Shape at scale: the keep-list machinery plus one doc_id equi-join
+    * to a column-pruned (doc_id, source, n_chars) scan and a
+    * source-keyed partial-aggregated exchange bounded by the domain
+    * vocabulary. 1000·bytes stays inside Long below ~9 PB per source.
+    */
+  val dedupSavings: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(
+        Dedup.nearDupKeepFromState(dedupState(s, dir), thetaPct = 90).select("doc_id", "keep"),
+        "doc_id"
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes_total"),
+        sum(when(col("keep") === 0L, col("n_chars")).otherwise(0L)).as("bytes_dropped")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("bytes_total"),
+        col("bytes_dropped"),
+        expr("(1000 * bytes_dropped) div greatest(bytes_total, 1L)").as("savings_permille")
+      )
+
+  val dedupSavingsSql: String =
+    s"WITH k AS ($dedupKeepSql) " +
+      "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(d.n_chars) AS BIGINT) AS bytes_total, " +
+      "CAST(sum(CASE WHEN k.keep = 0 THEN d.n_chars ELSE 0 END) AS BIGINT) AS bytes_dropped, " +
+      "CAST((1000 * sum(CASE WHEN k.keep = 0 THEN d.n_chars ELSE 0 END)) " +
+      "// greatest(sum(d.n_chars), 1) AS BIGINT) AS savings_permille " +
+      "FROM documents d JOIN k USING (doc_id) GROUP BY 1"
+
   /** Zipf frequency spectrum (TextAnalysis.zipfSpectrum): log2-bucketed
     * frequency-of-frequencies over the corpus vocabulary.
     */
@@ -1769,7 +1809,8 @@ object OpsQueries {
     "emb_margin" -> embMargin,
     "emb_dim_stats" -> embDimStats,
     "dedup_sizes" -> dedupSizes,
-    "dedup_state_stats" -> dedupStateStats
+    "dedup_state_stats" -> dedupStateStats,
+    "dedup_savings" -> dedupSavings
   )
 
   val oracles: Map[String, String] = Map(
@@ -1863,6 +1904,7 @@ object OpsQueries {
     "emb_margin" -> embMarginSql,
     "emb_dim_stats" -> embDimStatsSql,
     "dedup_sizes" -> dedupSizesSql,
-    "dedup_state_stats" -> dedupStateStatsSql
+    "dedup_state_stats" -> dedupStateStatsSql,
+    "dedup_savings" -> dedupSavingsSql
   )
 }

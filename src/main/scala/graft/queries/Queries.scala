@@ -1028,6 +1028,22 @@ object Queries {
       "CAST(max(CASE WHEN ver = 3 THEN 1 ELSE 0 END) AS BIGINT) AS in_latest " +
       "FROM v GROUP BY 1, 2, 3"
 
+  /** Entity-level crawl survival (Analytics.entityHistory) — the
+    * entity-churn companion of kg_triple_history over the same
+    * deterministic doc_id mod 4 recrawl axis.
+    */
+  val kgEntityHistory: Q = (s, dir) => Analytics.entityHistory(docs(s, dir))
+
+  val kgEntityHistorySql: String =
+    s"WITH t AS (${TokenRules.Sql.toksCte}), " +
+      "m AS (SELECT doc_id, unnest(toks) AS entity FROM t), " +
+      s"v AS (SELECT DISTINCT entity, doc_id % 4 AS ver FROM m " +
+      s"WHERE length(entity) >= ${TokenRules.MinEntityLen}) " +
+      "SELECT entity, CAST(min(ver) AS BIGINT) AS first_version, " +
+      "CAST(max(ver) AS BIGINT) AS last_version, CAST(count(*) AS BIGINT) AS n_versions, " +
+      "CAST(max(CASE WHEN ver = 3 THEN 1 ELSE 0 END) AS BIGINT) AS in_latest " +
+      "FROM v GROUP BY 1"
+
   /** Predicate synonym candidates (Analytics.predicateSynonyms) —
     * predicate pairs sharing ≥ 2 identical endpoint pairs; the
     * relation-canonicalization cue string similarity cannot see.
@@ -2210,6 +2226,7 @@ object Queries {
     "kg_corroboration" -> kgCorroboration,
     "kg_provenance" -> kgProvenance,
     "kg_triple_history" -> kgTripleHistory,
+    "kg_entity_history" -> kgEntityHistory,
     "kg_pred_synonyms" -> kgPredSynonyms,
     "kg_degree_dist" -> kgDegreeDist,
     "kg_reciprocity" -> kgReciprocity,
@@ -2310,6 +2327,7 @@ object Queries {
     "kg_corroboration" -> kgCorroborationSql,
     "kg_provenance" -> kgProvenanceSql,
     "kg_triple_history" -> kgTripleHistorySql,
+    "kg_entity_history" -> kgEntityHistorySql,
     "kg_pred_synonyms" -> kgPredSynonymsSql,
     "kg_degree_dist" -> kgDegreeDistSql,
     "kg_reciprocity" -> kgReciprocitySql,

@@ -230,4 +230,23 @@ class HitsCoocSpec extends AnyFunSuite with SparkTestBase {
       ("xxxx", "yy", "zzzz", 3L, 3L, 1L, 1L)
     ))
   }
+
+  test("entityHistory: per-entity version span; short tokens excluded") {
+    // aaaa in docs 1 and 5 — both version 1 (5 % 4 = 1), so one version;
+    // xxxx only in doc 3 — version 3, the latest crawl; bb is below
+    // MinEntityLen and never becomes an entity
+    val df = Seq(
+      (1L, "aaaa bb cccc", "s1"),
+      (5L, "aaaa", "s1"),
+      (3L, "xxxx", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Analytics.entityHistory(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("aaaa", 1L, 1L, 1L, 0L),
+      ("cccc", 1L, 1L, 1L, 0L),
+      ("xxxx", 3L, 3L, 1L, 1L)
+    ))
+  }
 }

@@ -1127,6 +1127,37 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(spectrum == Set((2L, 8L), (1L, 8L)))
   }
 
+  test("dedup savings rollup: dropped bytes and permille per source") {
+    // docs 1 and 2 are byte-identical → doc 2 is dropped (rep = min id);
+    // s1 saves 80 of 180 bytes = 444‰ exactly; s2 is untouched
+    val body = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"
+    val other = "qqqq wwww rrrr tttt yyyy uuuu oooo pppp ssss kkkk"
+    val d = Seq(
+      (1L, body, "s1", 100L),
+      (2L, body, "s1", 80L),
+      (3L, other, "s2", 50L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val keep = Dedup.nearDupKeep(d, thetaPct = 90).select("doc_id", "keep")
+    val got = d
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(keep, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bytes_total"),
+        sum(when(col("keep") === 0L, col("n_chars")).otherwise(0L)).as("bytes_dropped")
+      )
+      .select(col("source"), col("n_docs"), col("bytes_total"), col("bytes_dropped"),
+        expr("(1000 * bytes_dropped) div greatest(bytes_total, 1L)").as("savings_permille"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("s1", 2L, 180L, 80L, 444L),
+      ("s2", 1L, 50L, 0L, 0L)
+    ))
+  }
+
   test("incremental dedup semantics: band-collision AND jaccard>=theta, min base partner") {
     // base: two near-identical docs (1,2) and one unrelated (5);
     // delta: a copy of the pair's text (dup of min(1,2)=1), and a novel doc
