@@ -267,4 +267,92 @@ object CandidatePairs {
 
     exact.union(verified).union(synEdges).distinct()
   }
+
+  /** LSH-channel recall eval — the cluster-stage analog of
+    * `Dedup.lshRecall`: how many of the shingle-Jaccard-acceptable
+    * entity pairs (4·|∩| ≥ 3·|∪| over 3-shingles of the NORM, i.e. the
+    * exact jaccardThreshold = 0.75 acceptance rule in integer form,
+    * restricted to pairs norm-equality does not already catch) does the
+    * banded-MinHash blocking channel (16 seeds / 8 bands — the
+    * ClusterConfig defaults) actually surface. One row:
+    * (n_gold, n_lsh, n_caught, recall_permille).
+    *
+    * Shape at scale: everything is bounded by the ENTITY VOCABULARY,
+    * not the corpus. The gold denominator blocks on shared shingles
+    * (a pair with jaccard ≥ 3/4 shares a shingle by definition), so
+    * there is no cartesian anywhere; like dedup_recall this is a
+    * declared-cost EVAL op — its exact-verify work is the point. The
+    * normalized/shingled/banded base frame is staged once and read by
+    * all three sides.
+    */
+  def lshChannelRecall(entities: DataFrame): DataFrame = {
+    val seeds = 16
+    val bands = 8
+    val rows = seeds / bands
+    val mh = (0 until seeds)
+      .map(i => s"array_min(transform(sh, t -> md5(concat('$i:', t))))")
+      .mkString("array(", ", ", ")")
+    val bk = (0 until bands)
+      .map { b =>
+        val parts = (0 until rows).map(r => s"element_at(mh, ${b * rows + r + 1})").mkString(", ")
+        s"md5(concat_ws('|', $parts))"
+      }
+      .mkString("array(", ", ", ")")
+    val base = graft.util.Materialize.stage(
+      entities
+        .select(
+          col("entity"),
+          expr(Normalize.Sql.normCase("lower(entity)")).as("norm")
+        )
+        .withColumn(
+          "sh",
+          expr(
+            "array_sort(array_distinct(CASE WHEN length(norm) <= 3 THEN array(norm) " +
+              "ELSE transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3)) END))"
+          )
+        )
+        .withColumn("mh", expr(mh))
+        .withColumn("bk", expr(bk))
+        .select("entity", "norm", "sh", "bk")
+    )
+    // gold: shingle-posting equi-join (no cartesian), exact verify
+    val post = base.select(explode(col("sh")).as("g"), col("entity"))
+    val cands = post
+      .select(col("g"), col("entity").as("a"))
+      .join(post.select(col("g"), col("entity").as("b")), "g")
+      .where(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val gold = graft.util.Materialize.stage(
+      cands
+        .join(base.select(col("entity").as("a"), col("sh").as("sha"), col("norm").as("na")), "a")
+        .join(base.select(col("entity").as("b"), col("sh").as("shb"), col("norm").as("nb")), "b")
+        .where(col("na") =!= col("nb"))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+        .where(lit(4) * col("inter") >= lit(3) * col("uni"))
+        .select("a", "b")
+    )
+    // LSH channel: pairs sharing >= 1 band bucket (norm-distinct, like gold)
+    val bpost = base.select(explode(col("bk")).as("bkk"), col("entity"), col("norm"))
+    val lsh = graft.util.Materialize.stage(
+      bpost
+        .select(col("bkk"), col("entity").as("a"), col("norm").as("na"))
+        .join(bpost.select(col("bkk"), col("entity").as("b"), col("norm").as("nb")), "bkk")
+        .where(col("a") < col("b") && col("na") =!= col("nb"))
+        .select("a", "b")
+        .distinct()
+    )
+    val caught = gold.join(lsh, Seq("a", "b"), "left_semi")
+    gold
+      .agg(count(lit(1)).as("n_gold"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select(
+        col("n_gold"),
+        col("n_lsh"),
+        col("n_caught"),
+        expr("CAST((1000 * n_caught) div greatest(n_gold, 1L) AS BIGINT)").as("recall_permille")
+      )
+  }
 }

@@ -1028,6 +1028,43 @@ object Queries {
       "CAST(max(CASE WHEN ver = 3 THEN 1 ELSE 0 END) AS BIGINT) AS in_latest " +
       "FROM v GROUP BY 1, 2, 3"
 
+  /** Cluster-stage LSH blocking recall (CandidatePairs.lshChannelRecall)
+    * — of the entity pairs the shingle-Jaccard acceptance rule would
+    * merge (4·|∩| ≥ 3·|∪| over 3-shingles of the norm, excluding pairs
+    * norm-equality already catches), how many the banded-MinHash
+    * channel surfaces. The C-stage analog of dedup_recall; vocabulary-
+    * bounded, declared-cost eval.
+    */
+  val kgBlockingRecall: Q = (s, dir) =>
+    graft.cluster.CandidatePairs.lshChannelRecall(
+      entities(s, dir).select(col("entity")))
+
+  val kgBlockingRecallSql: String = {
+    val mh = (0 until 16)
+      .map(i => s"list_min(list_transform(sh, t -> md5('$i:' || t)))")
+      .mkString("[", ", ", "]")
+    val bk = (0 until 8)
+      .map(b => s"md5(mh[${2 * b + 1}] || '|' || mh[${2 * b + 2}])")
+      .mkString("[", ", ", "]")
+    s"WITH t AS (${TokenRules.Sql.toksCte}), m AS (SELECT unnest(toks) AS entity FROM t), " +
+      s"ents AS (SELECT DISTINCT entity FROM m WHERE length(entity) >= ${TokenRules.MinEntityLen}), " +
+      s"nrm AS (SELECT entity, ${normExpr("entity")} AS norm FROM ents), " +
+      "shs AS (SELECT entity, norm, list_sort(list_distinct(CASE WHEN length(norm) <= 3 THEN [norm] " +
+      "ELSE list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3)) END)) AS sh FROM nrm), " +
+      s"sig AS (SELECT entity, norm, sh, $mh AS mh FROM shs), " +
+      s"bnd AS (SELECT entity, norm, unnest($bk) AS bkk FROM sig), " +
+      "gold AS (SELECT x.entity AS a, y.entity AS b FROM shs x JOIN shs y " +
+      "ON x.entity < y.entity AND x.norm <> y.norm " +
+      "AND 4 * len(list_intersect(x.sh, y.sh)) >= 3 * (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))), " +
+      "lshp AS (SELECT DISTINCT x.entity AS a, y.entity AS b FROM bnd x JOIN bnd y " +
+      "ON x.bkk = y.bkk AND x.entity < y.entity AND x.norm <> y.norm), " +
+      "caught AS (SELECT a, b FROM gold INTERSECT SELECT a, b FROM lshp) " +
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM gold) AS n_gold, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM lshp) AS n_lsh, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM caught) AS n_caught, " +
+      "CAST((1000 * (SELECT count(*) FROM caught)) // greatest((SELECT count(*) FROM gold), 1) AS BIGINT) AS recall_permille"
+  }
+
   /** Entity-level crawl survival (Analytics.entityHistory) — the
     * entity-churn companion of kg_triple_history over the same
     * deterministic doc_id mod 4 recrawl axis.
@@ -2227,6 +2264,7 @@ object Queries {
     "kg_provenance" -> kgProvenance,
     "kg_triple_history" -> kgTripleHistory,
     "kg_entity_history" -> kgEntityHistory,
+    "kg_blocking_recall" -> kgBlockingRecall,
     "kg_pred_synonyms" -> kgPredSynonyms,
     "kg_degree_dist" -> kgDegreeDist,
     "kg_reciprocity" -> kgReciprocity,
@@ -2328,6 +2366,7 @@ object Queries {
     "kg_provenance" -> kgProvenanceSql,
     "kg_triple_history" -> kgTripleHistorySql,
     "kg_entity_history" -> kgEntityHistorySql,
+    "kg_blocking_recall" -> kgBlockingRecallSql,
     "kg_pred_synonyms" -> kgPredSynonymsSql,
     "kg_degree_dist" -> kgDegreeDistSql,
     "kg_reciprocity" -> kgReciprocitySql,

@@ -332,4 +332,38 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     val empty = spark.emptyDataset[(String, String)].toDF("src", "dst")
     assert(asSet(ConnectedComponents.incremental(baseAssign, empty)) == asSet(baseAssign))
   }
+
+  test("lshChannelRecall: engine expressions agree with the driver-side pure functions") {
+    import spark.implicits._
+    // abcdefghij/abcdefghix: 8 shingles each, 7 shared -> jaccard 7/9 >= 3/4, distinct
+    // norms -> gold. walked/walk normalize to the same key -> excluded from gold by
+    // the norm-inequality rule. mnopqrstuv is unrelated to everything.
+    val surfaces = Seq("abcdefghij", "abcdefghix", "walked", "walk", "mnopqrstuv")
+    val row = CandidatePairs.lshChannelRecall(surfaces.toDF("entity")).collect().head
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+
+    // independent brute force via the driver-side pure functions the
+    // cluster stage itself uses (md5/minhash/banding in plain Scala)
+    val cfg = CandidatePairs.ClusterConfig()
+    val norm = surfaces.map(sf => sf -> Normalize(sf)).toMap
+    val pairs = for {
+      i <- surfaces.indices
+      j <- (i + 1) until surfaces.length
+    } yield (Seq(surfaces(i), surfaces(j)).min, Seq(surfaces(i), surfaces(j)).max)
+    val distinctNorm = pairs.filter { case (a, b) => norm(a) != norm(b) }
+    val gold = distinctNorm.filter { case (a, b) =>
+      Normalize.jaccard(norm(a), norm(b), cfg.shingleK) >= cfg.jaccardThreshold
+    }.toSet
+    val lsh = distinctNorm.filter { case (a, b) =>
+      CandidatePairs.bandKeys(norm(a), cfg).toSet
+        .intersect(CandidatePairs.bandKeys(norm(b), cfg).toSet)
+        .nonEmpty
+    }.toSet
+    val caught = gold.intersect(lsh)
+    val expectRecall = if (gold.isEmpty) 0L else 1000L * caught.size / gold.size
+    assert(got == ((gold.size.toLong, lsh.size.toLong, caught.size.toLong, expectRecall)))
+    // the fixture is built so the gold set is non-trivial
+    assert(gold.nonEmpty, "fixture produced no gold pairs")
+    assert(gold == Set(("abcdefghij", "abcdefghix")))
+  }
 }
