@@ -979,6 +979,88 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** PPMI association scores over the walk co-occurrence table — the
+    * matrix whose (implicit) factorization DeepWalk/node2vec approximate
+    * (Levy & Goldberg, NeurIPS 2014): for each (node, context) pair,
+    * pmi_ratio_permille = 1000 · p(n,c) / (p(n)·p(c)) in exact integer
+    * arithmetic (a monotone transform of PMI — no log, so no float
+    * crosses the oracle), kept only where the ratio exceeds 1000 (the
+    * POSITIVE-PMI cells, exactly the nonzeros an embedding trainer
+    * keeps). Output: (node, context, cnt, pmi_ratio_permille).
+    *
+    * Shape at scale: the co-occurrence table is staged once (three
+    * consumers); the marginals are vocab-bounded aggregates; the grand
+    * total is a 1-row broadcast scalar; the two marginal joins key on
+    * the vocab, not the corpus. DECIMAL(38,0) carries cnt·total·1000
+    * (row-count-squared scale — past Long at ~10^9 pair occurrences).
+    */
+  def walkPpmi(triples: DataFrame, steps: Int = 4, window: Int = 2): DataFrame = {
+    val cooc = graft.util.Materialize.stage(walkCooccurrence(triples, steps, window))
+    val total = cooc.agg(sum("cnt").cast("decimal(38,0)").as("total"))
+    val nodeSum = cooc.groupBy("node").agg(sum("cnt").cast("decimal(38,0)").as("node_cnt"))
+    val ctxSum = cooc.groupBy("context").agg(sum("cnt").cast("decimal(38,0)").as("ctx_cnt"))
+    cooc
+      .join(nodeSum, "node")
+      .join(ctxSum, "context")
+      .crossJoin(broadcast(total))
+      .select(
+        col("node"),
+        col("context"),
+        col("cnt"),
+        expr("CAST((CAST(cnt AS DECIMAL(38,0)) * total * 1000) div (node_cnt * ctx_cnt) AS BIGINT)")
+          .as("pmi_ratio_permille")
+      )
+      .where(col("pmi_ratio_permille") > 1000)
+  }
+
+  /** Generic basic-graph-pattern (SPARQL BGP) evaluator: each atom is a
+    * (subject, predicate, object) term triple where a term starting with
+    * '?' is a variable and anything else a constant; the result is one
+    * row per distinct binding of all variables. Matching follows SPARQL
+    * set semantics (DISTINCT bindings).
+    *
+    * Spark-first shape: every atom compiles to a constant-filtered scan
+    * of the triples table projected onto its variables, and atoms
+    * compose by natural equi-join on shared variables — Catalyst pushes
+    * the constant filters into the scans, prunes to the variable
+    * columns, and AQE picks broadcast sides for selective atoms at
+    * runtime. Cost is governed by pattern selectivity exactly as in a
+    * SPARQL engine's BGP planner; no cartesian products arise unless the
+    * pattern itself is disconnected (rejected here for safety — an
+    * unshared-variable atom pair would be a cross product at corpus
+    * scale).
+    */
+  def bgpMatch(triples: DataFrame, pattern: Seq[(String, String, String)]): DataFrame = {
+    require(pattern.nonEmpty, "empty BGP")
+    def isVar(t: String) = t.startsWith("?")
+    def atomDf(atom: (String, String, String)): DataFrame = {
+      val terms = Seq("subject" -> atom._1, "predicate" -> atom._2, "obj" -> atom._3)
+      val filtered = terms.foldLeft(triples.select("subject", "predicate", "obj")) {
+        case (df, (c, t)) => if (isVar(t)) df else df.where(col(c) === lit(t))
+      }
+      // same variable twice in one atom (e.g. ?x p ?x) = equality filter,
+      // projected once under the shared name
+      val varCols = terms.filter(t => isVar(t._2))
+      val byVar = varCols.groupBy(_._2)
+      val eq = byVar.values.filter(_.size > 1).flatMap { g =>
+        g.map(_._1).sliding(2).collect { case Seq(a, b) => col(a) === col(b) }
+      }
+      val eqd = eq.foldLeft(filtered)((df, c) => df.where(c))
+      val firstCol = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      varCols.foreach { case (c, v) => if (!firstCol.contains(v)) firstCol(v) = c }
+      val proj = firstCol.toSeq.map { case (v, c) => col(c).as(v.stripPrefix("?")) }
+      eqd.select(proj: _*)
+    }
+    val dfs = pattern.map(a => (atomDf(a), Seq(a._1, a._2, a._3).filter(isVar).map(_.stripPrefix("?")).toSet))
+    // join connected atoms only; a disconnected pattern is a bug, not a query
+    val joined = dfs.tail.foldLeft(dfs.head) { case ((acc, accVars), (df, vars)) =>
+      val shared = accVars.intersect(vars)
+      require(shared.nonEmpty, s"disconnected BGP atom (vars $vars share nothing with $accVars)")
+      (acc.join(df, shared.toSeq), accVars ++ vars)
+    }._1
+    joined.distinct()
+  }
+
   /** Synchronous label-propagation community detection over the
     * undirected triple graph — the standard near-linear community pass
     * (Raghavan et al.) run before per-community summarization or as the

@@ -142,6 +142,54 @@ object TextAnalysis {
       .select("doc_id", "n_chars", "n_tokens", "avg_tok_len_milli", "stop_pct", "quality_milli")
   }
 
+  /** Does document length predict the quality score? Exact-integer
+    * Pearson diagnostics over [[quality]]'s (n_tokens, quality_milli)
+    * pairs: one summary row (n_docs, slope_milli, r2_ppm) with
+    * slope = cov/var(x) in milli-units and r² in ppm, both in exact
+    * DECIMAL(38,0)/HUGEINT arithmetic. Negative-slope sign is applied
+    * OUTSIDE the integer division (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — they disagree on negatives, so the division
+    * only ever sees magnitudes). Zero-variance sides emit 0, the same
+    * guard rule as transitivity/modularity. Bounds: |cov| < 10^19
+    * stays exact through the r² square under ~10^9 docs at
+    * y ≤ 10^3, x ≤ 10^4 — past that, scale y down before correlating.
+    *
+    * Shape at scale: the quality projection is codegen'd per row and
+    * the five moments partial-aggregate into ONE 1-row reduce — the
+    * whole diagnostic is a single scan with a scalar exchange.
+    */
+  def qualityCorr(docs: DataFrame): DataFrame =
+    quality(docs)
+      .select(
+        col("n_tokens").cast("decimal(38,0)").as("x"),
+        col("quality_milli").cast("decimal(38,0)").as("y")
+      )
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy")
+      )
+      .select(
+        col("n").cast("long").as("n_docs"),
+        expr("n * sxy - sx * sy").as("cov"),
+        expr("n * sxx - sx * sx").as("varx"),
+        expr("n * syy - sy * sy").as("vary")
+      )
+      .select(
+        col("n_docs"),
+        expr(
+          "CAST(CASE WHEN varx = 0 THEN 0 ELSE " +
+            "(CASE WHEN cov < 0 THEN -1 ELSE 1 END) * ((1000 * abs(cov)) div varx) END AS BIGINT)"
+        ).as("slope_milli"),
+        expr(
+          "CAST(CASE WHEN varx = 0 OR vary = 0 THEN 0 ELSE " +
+            "(1000000 * cov * cov) div (varx * vary) END AS BIGINT)"
+        ).as("r2_ppm")
+      )
+
   /** Whitespace token count plus a BPE-ish regex token count
     * (letter runs, digit runs, single non-alphanumeric marks).
     */
@@ -387,6 +435,88 @@ object TextAnalysis {
       .distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_collisions"))
+  }
+
+  /** Bloom-filter geometry for [[bloomDecontam]]: 2^16 bits (2048
+    * words, 32 bits used per word — shift stays below the BIGINT sign
+    * bit, which DuckDB raises on and Spark silently wraps) and 3 hash
+    * functions. Bit position for seed s is the first 16 bits of
+    * md5("s:" || gram) — exactly 4 hex chars, so no modulo is involved
+    * and the rule states identically in both engines.
+    */
+  val BloomBits = 65536
+  val BloomHashes = 3
+
+  /** Benchmark decontamination through a broadcast Bloom filter — the
+    * shape the exact [[decontam]] join takes at 100 TB: the benchmark
+    * side compresses to a fixed 16 KiB register table (2048 words,
+    * bit_or-merged — mergeable across shards like the CMS/HLL sketches),
+    * and the corpus probes it with a BROADCAST join instead of shuffling
+    * its gram stream to meet the benchmark grams. Emits one summary row
+    * (n_train_docs, n_flagged_bloom, n_flagged_exact, n_false_positive
+    * docs): Bloom flags can only over-approximate (no false negatives —
+    * asserted in the spec and by n_false_positive ≥ 0 construction), so
+    * the row is the measured precision of the 16 KiB filter against the
+    * exact join on the same corpus.
+    *
+    * Shape at scale: one gram scan feeds both sides; the filter build
+    * aggregates to ≤2048 rows (map-side combined); the probe is a
+    * per-gram constant ×[[BloomHashes]] fan-out joined BROADCAST against
+    * the word table, then per-doc aggregation — the benchmark never
+    * shuffles, and the only corpus-sized exchange is the per-doc rollup
+    * the exact variant pays too.
+    */
+  def bloomDecontam(docs: DataFrame): DataFrame = {
+    val k = TokenGramLen
+    val grams = graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= k)
+        .select(
+          col("doc_id"),
+          explode(
+            expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))")
+          ).as("gram")
+        )
+    )
+    def bitPos(seed: Int): Column =
+      conv(substring(md5(concat(lit(s"$seed:"), col("gram"))), 1, 4), 16, 10).cast("long")
+    val seeds = (0 until BloomHashes).map(bitPos)
+    val bloomWords = grams
+      .where(col("doc_id") % EvalMod === 0)
+      .select(col("gram")).distinct()
+      .select(explode(array(seeds: _*)).as("bit"))
+      .select(
+        (col("bit") / 32).cast("long").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").as("mask")
+      )
+      .groupBy("word_idx")
+      .agg(expr("bit_or(mask)").as("bits"))
+    val probed = grams
+      .where(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), col("gram")).distinct()
+      .select(col("doc_id"), col("gram"), explode(array(seeds: _*)).as("bit"))
+      .select(
+        col("doc_id"), col("gram"),
+        (col("bit") / 32).cast("long").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").as("mask")
+      )
+      .join(broadcast(bloomWords), Seq("word_idx"), "left")
+      .groupBy("doc_id", "gram")
+      .agg(min((coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) === col("mask")).cast("int")).as("all_hit"))
+      .groupBy("doc_id")
+      .agg(max("all_hit").as("bloom_flag"))
+    val exact = decontam(docs).select(col("doc_id"), lit(1).as("exact_flag"))
+    probed
+      .join(exact, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(col("bloom_flag")).cast("long").as("n_flagged_bloom"),
+        sum(coalesce(col("exact_flag"), lit(0))).cast("long").as("n_flagged_exact"),
+        sum(when(col("bloom_flag") === 1 && col("exact_flag").isNull, 1).otherwise(0))
+          .cast("long")
+          .as("n_false_positive")
+      )
   }
 
   /** Per-domain (source) corpus composition: doc counts, char/token

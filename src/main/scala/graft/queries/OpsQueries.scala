@@ -541,6 +541,29 @@ object OpsQueries {
       "least(1000, (1000 * stop_hits) // n_tokens + n_tokens) AS quality_milli FROM f"
   }
 
+  /** Length-vs-quality Pearson diagnostics (TextAnalysis.qualityCorr) —
+    * exact integer slope/r², sign applied outside the division (Spark
+    * div truncates, DuckDB // floors; magnitudes only cross the oracle).
+    */
+  val textQualityCorr: Q = (s, dir) => TextAnalysis.qualityCorr(docs(s, dir))
+
+  val textQualityCorrSql: String = {
+    val stopSet = TextAnalysis.markers("en").map(m => s"'$m'").mkString(", ")
+    s"WITH $toksCte, f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      s"CAST(len(list_filter(toks, t -> t IN ($stopSet))) AS BIGINT) AS stop_hits " +
+      "FROM tk WHERE len(toks) > 0), " +
+      "q AS (SELECT CAST(n_tokens AS HUGEINT) AS x, " +
+      "CAST(least(1000, (1000 * stop_hits) // n_tokens + n_tokens) AS HUGEINT) AS y FROM f), " +
+      "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, " +
+      "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM q), " +
+      "c AS (SELECT CAST(n AS BIGINT) AS n_docs, n * sxy - sx * sy AS cov, " +
+      "n * sxx - sx * sx AS varx, n * syy - sy * sy AS vary FROM m) " +
+      "SELECT n_docs, CAST(CASE WHEN varx = 0 THEN 0 ELSE " +
+      "(CASE WHEN cov < 0 THEN -1 ELSE 1 END) * ((1000 * abs(cov)) // varx) END AS BIGINT) AS slope_milli, " +
+      "CAST(CASE WHEN varx = 0 OR vary = 0 THEN 0 ELSE " +
+      "(1000000 * cov * cov) // (varx * vary) END AS BIGINT) AS r2_ppm FROM c"
+  }
+
   val textTokenCounts: Q = (s, dir) => TextAnalysis.tokenCounts(docs(s, dir))
 
   val textTokenCountsSql: String =
@@ -1224,6 +1247,40 @@ object OpsQueries {
       "SELECT doc_id, count(*) AS n_collisions FROM h GROUP BY 1"
   }
 
+  /** Broadcast-Bloom decontamination summary
+    * (TextAnalysis.bloomDecontam) — identical md5 bit-position rule in
+    * the oracle; no-false-negative law asserted in the spec.
+    */
+  val textDecontamBloom: Q = (s, dir) => TextAnalysis.bloomDecontam(docs(s, dir))
+
+  val textDecontamBloomSql: String = {
+    val k = TextAnalysis.TokenGramLen
+    val m = TextAnalysis.EvalMod
+    def hv(h: String, i: Int) =
+      s"(ascii(substr($h, $i, 1)) - CASE WHEN ascii(substr($h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    def bit(seed: Int) = {
+      val h = s"md5('$seed:' || gram)"
+      s"CAST((((${hv(h, 1)} * 16 + ${hv(h, 2)}) * 16 + ${hv(h, 3)}) * 16 + ${hv(h, 4)}) AS BIGINT)"
+    }
+    val bitList = (0 until TextAnalysis.BloomHashes).map(bit).mkString("[", ", ", "]")
+    val maskOf = "(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER))"
+    s"WITH $toksCte, " +
+      s"g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${k - 2}), i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS gram FROM tk WHERE len(toks) >= $k), " +
+      s"ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % $m = 0), " +
+      s"eb AS (SELECT unnest($bitList) AS bit FROM ev), " +
+      s"bw AS (SELECT bit // 32 AS word_idx, bit_or($maskOf) AS bits FROM eb GROUP BY 1), " +
+      s"tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % $m <> 0), " +
+      s"pb AS (SELECT doc_id, gram, unnest($bitList) AS bit FROM tg), " +
+      s"ph AS (SELECT doc_id, gram, min(CASE WHEN (coalesce(bw.bits, 0) & $maskOf) = $maskOf THEN 1 ELSE 0 END) AS all_hit " +
+      "FROM pb LEFT JOIN bw ON bw.word_idx = pb.bit // 32 GROUP BY doc_id, gram), " +
+      "pd AS (SELECT doc_id, max(all_hit) AS bloom_flag FROM ph GROUP BY doc_id), " +
+      s"ex AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.doc_id % $m <> 0) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_train_docs, CAST(sum(bloom_flag) AS BIGINT) AS n_flagged_bloom, " +
+      "CAST(sum(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact, " +
+      "CAST(sum(CASE WHEN bloom_flag = 1 AND ex.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive " +
+      "FROM pd LEFT JOIN ex ON ex.doc_id = pd.doc_id"
+  }
+
   val domainStats: Q = (s, dir) => TextAnalysis.domainStats(docs(s, dir))
 
   val domainStatsSql: String =
@@ -1743,6 +1800,7 @@ object OpsQueries {
     "text_lang_confusion" -> textLangConfusion,
     "text_code_detect" -> textCodeDetect,
     "text_quality" -> textQuality,
+    "text_quality_corr" -> textQualityCorr,
     "text_token_counts" -> textTokenCounts,
     "text_readability" -> textReadability,
     "text_keywords" -> textKeywords,
@@ -1775,6 +1833,7 @@ object OpsQueries {
     "text_repetition" -> textRepetition,
     "text_diversity" -> textDiversity,
     "text_decontam" -> textDecontam,
+    "text_decontam_bloom" -> textDecontamBloom,
     "domain_stats" -> domainStats,
     "corpus_curate" -> corpusCurate,
     "url_canon" -> urlCanon,
@@ -1838,6 +1897,7 @@ object OpsQueries {
     "text_lang_confusion" -> textLangConfusionSql,
     "text_code_detect" -> textCodeDetectSql,
     "text_quality" -> textQualitySql,
+    "text_quality_corr" -> textQualityCorrSql,
     "text_token_counts" -> textTokenCountsSql,
     "text_readability" -> textReadabilitySql,
     "text_keywords" -> textKeywordsSql,
@@ -1870,6 +1930,7 @@ object OpsQueries {
     "text_repetition" -> textRepetitionSql,
     "text_diversity" -> textDiversitySql,
     "text_decontam" -> textDecontamSql,
+    "text_decontam_bloom" -> textDecontamBloomSql,
     "domain_stats" -> domainStatsSql,
     "corpus_curate" -> corpusCurateSql,
     "url_canon" -> urlCanonSql,

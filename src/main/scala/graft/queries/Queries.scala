@@ -1458,6 +1458,55 @@ object Queries {
       "FROM walks a JOIN walks b ON a.start = b.start AND b.step <> a.step " +
       s"AND abs(b.step - a.step) <= $rwWindow GROUP BY a.node, b.node"
 
+  /** PPMI cells of the walk co-occurrence matrix
+    * (Analytics.walkPpmi) — the matrix DeepWalk implicitly factorizes;
+    * exact integer ratio permille, positive-PMI cells only.
+    */
+  val kgPpmi: Q = (s, dir) =>
+    Analytics.walkPpmi(triples(s, dir), rwSteps, rwWindow)
+
+  val kgPpmiSql: String =
+    TokenRules.Sql.withTriples + walkCtes +
+      ", cooc AS (SELECT a.node AS node, b.node AS context, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM walks a JOIN walks b ON a.start = b.start AND b.step <> a.step " +
+      s"AND abs(b.step - a.step) <= $rwWindow GROUP BY a.node, b.node), " +
+      "tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS total FROM cooc), " +
+      "ns AS (SELECT node, CAST(sum(cnt) AS HUGEINT) AS node_cnt FROM cooc GROUP BY node), " +
+      "cs AS (SELECT context, CAST(sum(cnt) AS HUGEINT) AS ctx_cnt FROM cooc GROUP BY context) " +
+      "SELECT * FROM (SELECT c.node, c.context, c.cnt, " +
+      "CAST((CAST(c.cnt AS HUGEINT) * t.total * 1000) // (ns.node_cnt * cs.ctx_cnt) AS BIGINT) AS pmi_ratio_permille " +
+      "FROM cooc c JOIN ns ON ns.node = c.node JOIN cs ON cs.context = c.context CROSS JOIN tot t) " +
+      "WHERE pmi_ratio_permille > 1000"
+
+  /** SPARQL-style query surface over the KG via the generic BGP
+    * evaluator (Analytics.bgpMatch): distinct bindings of the
+    * constant-anchored triangle (?a scan ?b)(?b small ?c)(?a ?r ?c) —
+    * "which predicates r close a scan∘small composition", aggregated to
+    * (r, n_bindings). The constants are the selectivity anchor the
+    * evaluator pushes into the scans (an all-variable-predicate triangle
+    * on a dense multigraph is a deliberate non-query: its binding table
+    * is |P|³-fold the entity triangles — 86M rows on even the sf0.001
+    * fixture). The generic machinery (constants, repeated variables,
+    * disconnection guard, join-order left to Catalyst) is spec-tested
+    * separately on fixtures.
+    */
+  val kgBgp: Q = (s, dir) =>
+    Analytics
+      .bgpMatch(
+        triples(s, dir),
+        Seq(("?a", "scan", "?b"), ("?b", "small", "?c"), ("?a", "?r", "?c"))
+      )
+      .groupBy("r")
+      .agg(count(lit(1)).as("n_bindings"))
+
+  val kgBgpSql: String =
+    TokenRules.Sql.withTriples +
+      ", b AS (SELECT DISTINCT t1.subject AS a, t1.obj AS b, t2.obj AS c, t3.predicate AS r " +
+      "FROM tr t1 JOIN tr t2 ON t2.subject = t1.obj AND t2.predicate = 'small' " +
+      "JOIN tr t3 ON t3.subject = t1.subject AND t3.obj = t2.obj " +
+      "WHERE t1.predicate = 'scan') " +
+      "SELECT r, CAST(count(*) AS BIGINT) AS n_bindings FROM b GROUP BY r"
+
   // ---------------------------------------------------------------
   // Ingest operators (SURVEY §2.1/§2.2): conversation flatten
   // ---------------------------------------------------------------
@@ -2284,6 +2333,8 @@ object Queries {
     "kg_sssp" -> kgSssp,
     "kg_walks" -> kgWalks,
     "kg_walk_cooc" -> kgWalkCooc,
+    "kg_ppmi" -> kgPpmi,
+    "kg_bgp" -> kgBgp,
     "kg_negatives" -> kgNegatives,
     "kg_communities" -> kgCommunities,
     "kg_comm_stats" -> kgCommStats,
@@ -2386,6 +2437,8 @@ object Queries {
     "kg_sssp" -> kgSsspSql,
     "kg_walks" -> kgWalksSql,
     "kg_walk_cooc" -> kgWalkCoocSql,
+    "kg_ppmi" -> kgPpmiSql,
+    "kg_bgp" -> kgBgpSql,
     "kg_negatives" -> kgNegativesSql,
     "kg_communities" -> kgCommunitiesSql,
     "kg_comm_stats" -> kgCommStatsSql,

@@ -1455,4 +1455,52 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, 2L, 1L, 2L, 0L)
     ))
   }
+
+  test("qualityCorr: matches brute-force exact-integer Pearson over quality rows") {
+    val xy = TextAnalysis.quality(docs).select("n_tokens", "quality_milli")
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum; val syy = xy.map(p => p._2 * p._2).sum
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx; val vary = n * syy - sy * sy
+    val expSlope = if (varx == 0) BigInt(0) else cov.sign * ((1000 * cov.abs) / varx)
+    val expR2 = if (varx == 0 || vary == 0) BigInt(0) else (1000000 * cov * cov) / (varx * vary)
+    val r = TextAnalysis.qualityCorr(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == xy.length.toLong)
+    assert(r.getAs[Long]("slope_milli") == expSlope.toLong)
+    assert(r.getAs[Long]("r2_ppm") == expR2.toLong)
+  }
+
+  test("bloomDecontam: planted contamination flagged, no false negatives") {
+    // doc 0 (id % 10 == 0) is the eval side; doc 11 shares its first
+    // 8-gram (contaminated), doc 12 is clean, doc 13 has 7 tokens and
+    // is excluded from the probe population entirely
+    val d = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (11L, "alpha bravo charlie delta echo foxtrot golf hotel zulu"),
+      (12L, "one two three four five six seven eight nine ten"),
+      (13L, "too short for a single eight gram")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bloomDecontam(d).collect().head
+    val (nTrain, nBloom, nExact, nFp) =
+      (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_flagged_bloom"),
+        r.getAs[Long]("n_flagged_exact"), r.getAs[Long]("n_false_positive"))
+    assert(nTrain == 2L)
+    assert(nExact == 1L)
+    // the Bloom NO-FALSE-NEGATIVE law: every exactly-contaminated doc is
+    // bloom-flagged, so fp = bloom − exact holds exactly
+    assert(nBloom >= nExact)
+    assert(nFp == nBloom - nExact)
+  }
+
+  test("bloomDecontam: no-false-negative identity holds on the corpus fixture") {
+    val r = TextAnalysis.bloomDecontam(docs).collect().head
+    val (nBloom, nExact, nFp) =
+      (r.getAs[Long]("n_flagged_bloom"), r.getAs[Long]("n_flagged_exact"),
+        r.getAs[Long]("n_false_positive"))
+    assert(nBloom >= nExact)
+    assert(nFp == nBloom - nExact, "a false negative would break fp = bloom − exact")
+  }
 }
