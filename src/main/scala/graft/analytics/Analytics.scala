@@ -442,6 +442,97 @@ object Analytics {
     reached
   }
 
+  /** Directed reach set (nodes within maxRounds hops of the seed,
+    * following edges forward or backward) — classic frontier BFS with
+    * per-round staging and empty-frontier early stop, the single-seed
+    * directed sibling of [[bfsDistances]].
+    */
+  private def directedReach(
+      ed: DataFrame,
+      seed: DataFrame,
+      forward: Boolean,
+      maxRounds: Int
+  ): DataFrame = {
+    import graft.util.Materialize.{stageFresh => staged}
+    val (from, to) = if (forward) ("subject", "obj") else ("obj", "subject")
+    var reached = staged(seed.select(col("v").as("node")))
+    var frontier = reached
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = staged(
+        frontier.as("f")
+          .join(ed.as("g"), col("f.node") === col(s"g.$from"))
+          .select(col(s"g.$to").as("node"))
+          .distinct()
+          .join(reached, Seq("node"), "left_anti")
+      )
+      if (next.isEmpty) done = true
+      else {
+        reached = staged(reached.unionByName(next))
+        frontier = next
+      }
+      round += 1
+    }
+    reached
+  }
+
+  /** Bow-tie decomposition of the directed graph (Broder et al., the
+    * canonical web-graph structure analysis) relative to a
+    * deterministic seed — the node first in (md5, value) order, the
+    * shared seed rule of every sampled-seed operator here: CORE = nodes
+    * that both reach the seed and are reached from it (the seed's SCC
+    * plus its ≤maxRounds strongly-connected closure), IN = reach the
+    * seed but aren't reached back, OUT = reached from the seed but
+    * don't reach back, OTHER = tendrils/tubes/disconnected. Output:
+    * exactly four rows (region, n_nodes) over the non-self-loop edge
+    * endpoints, zero-filled.
+    *
+    * Reach is bounded at maxRounds hops — the same
+    * effective-diameter-bound policy as [[bfsDistances]], and the
+    * oracle unrolls the identical round count (Spark's early stop fires
+    * only on an empty frontier, where the bounded and unbounded sets
+    * coincide).
+    *
+    * Shape at scale: two frontier BFS passes over the staged distinct
+    * edge set (one equi-join + anti-join per round, constant plan
+    * depth), then ONE pass classifying the node table through two
+    * left joins against the reach sets and a 4-key aggregate. Web-scale
+    * caveat shared with all frontier ops: the frontier is node-bounded,
+    * never corpus-bounded.
+    */
+  def bowtie(triples: DataFrame, maxRounds: Int = 10): DataFrame = {
+    import graft.util.Materialize.stage
+    val ed = stage(
+      triples.select("subject", "obj").where(col("subject") =!= col("obj")).distinct()
+    )
+    val nodes = stage(
+      ed.select(col("subject").as("v")).union(ed.select(col("obj").as("v"))).distinct()
+    )
+    val seed = nodes.orderBy(md5(col("v")), col("v")).limit(1)
+    val fwd = directedReach(ed, seed, forward = true, maxRounds)
+      .withColumnRenamed("node", "v").withColumn("fwd", lit(1))
+    val bwd = directedReach(ed, seed, forward = false, maxRounds)
+      .withColumnRenamed("node", "v").withColumn("bwd", lit(1))
+    val counts = nodes
+      .join(fwd, Seq("v"), "left")
+      .join(bwd, Seq("v"), "left")
+      .select(
+        when(col("fwd") === 1 && col("bwd") === 1, "core")
+          .when(col("bwd") === 1, "in")
+          .when(col("fwd") === 1, "out")
+          .otherwise("other")
+          .as("region")
+      )
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_nodes"))
+    val spark = triples.sparkSession
+    import spark.implicits._
+    Seq("core", "in", "out", "other").toDF("region")
+      .join(counts, Seq("region"), "left")
+      .select(col("region"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"))
+  }
+
   /** Seed eccentricity profile over the undirected collapsed graph:
     * for each of the deterministic BFS seeds, the maximum finite
     * distance reached (its eccentricity — each one a diameter lower

@@ -1946,6 +1946,22 @@ object Queries {
       "SELECT d.day, d.dau, w.wau, (1000 * d.dau) // w.wau AS stickiness_permille " +
       "FROM dau d JOIN wau w USING (day)"
 
+  /** Mergeable per-day distinct-actives registers
+    * (EventsStream.uniquesSketch) — identical md5 routing/rank rule in
+    * the oracle; max-merge algebra shared with the text distinctSketch.
+    */
+  val eventsUniquesSketch: Q = (s, dir) =>
+    graft.streaming.EventsStream.uniquesSketch(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsUniquesSketchSql: String = {
+    def hv(i: Int) =
+      s"(ascii(substr(h, $i, 1)) - CASE WHEN ascii(substr(h, $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    "WITH hh AS (SELECT CAST(ts AS DATE) AS day, md5(CAST(user_id AS VARCHAR)) AS h FROM events), " +
+      s"r AS (SELECT day, CAST((${hv(1)} * 16 + ${hv(2)}) % 64 AS BIGINT) AS bucket, " +
+      "CAST(length(regexp_extract(substr(h, 3, 16), '^(0*)', 1)) + 1 AS BIGINT) AS rank FROM hh) " +
+      "SELECT day, bucket, max(rank) AS max_rank FROM r GROUP BY day, bucket"
+  }
+
   /** As-of join — each purchase gets the user's prevailing view event
     * (ops.Temporal.asofJoin); the oracle replays the identical
     * union-and-window merge with the same (ts, side, event_id) total
@@ -2180,6 +2196,39 @@ object Queries {
       "GROUP BY 1, 2"
   }
 
+  /** Bow-tie decomposition (Analytics.bowtie): core/in/out/other node
+    * counts relative to the deterministic (md5, value)-first seed; the
+    * oracle unrolls the identical bounded forward/backward reach.
+    */
+  private val bowtieRounds = 10
+
+  val kgBowtie: Q = (s, dir) =>
+    Analytics.bowtie(triples(s, dir), bowtieRounds)
+
+  val kgBowtieSql: String = {
+    def reach(name: String, from: String, to: String): String = {
+      val base = s"${name}0 AS (SELECT v AS node FROM sd)"
+      val rounds = (1 to bowtieRounds).map { k =>
+        s"$name$k AS MATERIALIZED (SELECT node FROM $name${k - 1} " +
+          s"UNION SELECT e.$to FROM ed e JOIN $name${k - 1} f ON e.$from = f.node)"
+      }
+      (base +: rounds).mkString(", ")
+    }
+    TokenRules.Sql.withTriples +
+      ", ed AS MATERIALIZED (SELECT DISTINCT subject, obj FROM tr WHERE subject <> obj), " +
+      "nd AS MATERIALIZED (SELECT subject AS v FROM ed UNION SELECT obj FROM ed), " +
+      "sd AS (SELECT v FROM nd ORDER BY md5(v), v LIMIT 1), " +
+      reach("fw", "subject", "obj") + ", " +
+      reach("bw", "obj", "subject") + ", " +
+      s"cl AS (SELECT nd.v, CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core' " +
+      "WHEN b.node IS NOT NULL THEN 'in' WHEN f.node IS NOT NULL THEN 'out' ELSE 'other' END AS region " +
+      s"FROM nd LEFT JOIN fw$bowtieRounds f ON f.node = nd.v LEFT JOIN bw$bowtieRounds b ON b.node = nd.v), " +
+      "ct AS (SELECT region, CAST(count(*) AS BIGINT) AS n_nodes FROM cl GROUP BY 1), " +
+      "sp AS (SELECT unnest(['core', 'in', 'out', 'other']) AS region) " +
+      "SELECT sp.region, CAST(coalesce(ct.n_nodes, 0) AS BIGINT) AS n_nodes " +
+      "FROM sp LEFT JOIN ct ON ct.region = sp.region"
+  }
+
   /** Predicate-concentration Gini (Analytics.predicateGini): exact
     * integer permille over the ascending (count, predicate) rank; the
     * numerator clamps at 0 so truncate == floor across engines.
@@ -2339,6 +2388,7 @@ object Queries {
     "kg_communities" -> kgCommunities,
     "kg_comm_stats" -> kgCommStats,
     "kg_condense" -> kgCondense,
+    "kg_bowtie" -> kgBowtie,
     "kg_modularity" -> kgModularity,
     "kg_predicate_gini" -> kgPredicateGini,
     "events_sessions" -> eventsSessions,
@@ -2349,6 +2399,7 @@ object Queries {
     "events_rfm" -> eventsRfm,
     "events_streaks" -> eventsStreaks,
     "events_dau_wau" -> eventsDauWau,
+    "events_uniques_sketch" -> eventsUniquesSketch,
     "events_attribution" -> eventsAttribution,
     "events_activity" -> eventsActivity,
     "events_asof" -> eventsAsof,
@@ -2443,6 +2494,7 @@ object Queries {
     "kg_communities" -> kgCommunitiesSql,
     "kg_comm_stats" -> kgCommStatsSql,
     "kg_condense" -> kgCondenseSql,
+    "kg_bowtie" -> kgBowtieSql,
     "kg_modularity" -> kgModularitySql,
     "kg_predicate_gini" -> kgPredicateGiniSql,
     "events_sessions" -> eventsSessionsSql,
@@ -2453,6 +2505,7 @@ object Queries {
     "events_rfm" -> eventsRfmSql,
     "events_streaks" -> eventsStreaksSql,
     "events_dau_wau" -> eventsDauWauSql,
+    "events_uniques_sketch" -> eventsUniquesSketchSql,
     "events_attribution" -> eventsAttributionSql,
     "events_activity" -> eventsActivitySql,
     "events_asof" -> eventsAsofSql,

@@ -402,6 +402,36 @@ object EventsStream {
       )
   }
 
+  /** Mergeable per-day distinct-actives sketch — the HLL-shape register
+    * table that replaces [[dauWau]]'s exact count-distinct at 100 TB:
+    * each (day, user) routes to one of 64 buckets by its md5 low byte
+    * and contributes its leading-zero rank; registers merge by MAX, so
+    * per-shard register tables union into the corpus table without
+    * re-touching events (the same register algebra as the text-side
+    * distinctSketch, keyed by day instead of source). Output:
+    * (day, bucket, max_rank), ≤ 64 rows per day.
+    *
+    * Shape at scale: one scan, a codegen'd projection, and ONE
+    * partial-aggregated exchange on the tiny (day, bucket) key — the
+    * max combines map-side, so a billion-event day still moves ≤ 64
+    * rows per partition.
+    */
+  def uniquesSketch(events: DataFrame): DataFrame =
+    events
+      .select(
+        to_date(col("ts")).as("day"),
+        md5(col("user_id").cast("string")).as("h")
+      )
+      .select(
+        col("day"),
+        pmod(conv(substring(col("h"), 1, 2), 16, 10).cast("long"), lit(64L)).as("bucket"),
+        (length(regexp_extract(substring(col("h"), 3, 16), "^(0*)", 1)) + lit(1))
+          .cast("long")
+          .as("rank")
+      )
+      .groupBy("day", "bucket")
+      .agg(max("rank").as("max_rank"))
+
   /** Third-order event-sequence mining: counts of every observed
     * 3-step (type → type → type) path in per-user time order, with the
     * conditional probability of the third step GIVEN the leading pair

@@ -78,6 +78,49 @@ class BgpPpmiSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("bowtie: matches brute-force seed-relative reach classification") {
+    // directed cycle a->b->c->a with an in-tail (t->a), an out-tail
+    // (c->o), and a disconnected pair (x->y); whoever the md5-min seed
+    // is, the brute-force classification below recomputes the same rule
+    val edges = Seq(
+      ("aaaa", "r", "bbbb"), ("bbbb", "r", "cccc"), ("cccc", "r", "aaaa"),
+      ("tttt", "r", "aaaa"), ("cccc", "r", "oooo"), ("xxxx", "r", "yyyy")
+    )
+    val tr = edges.toDF("subject", "predicate", "obj")
+    val dir = edges.map(e => (e._1, e._3)).toSet
+    val nodes = dir.flatMap(e => Seq(e._1, e._2))
+    val seed = nodes.toSeq.sortBy(v => (md5hex(v), v)).head
+    def reach(from: String => Set[String], start: String): Set[String] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(from) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val fwd = reach(v => dir.collect { case (a, b) if a == v => b }, seed)
+    val bwd = reach(v => dir.collect { case (a, b) if b == v => a }, seed)
+    val expected = Map(
+      "core" -> nodes.count(v => fwd(v) && bwd(v)).toLong,
+      "in" -> nodes.count(v => bwd(v) && !fwd(v)).toLong,
+      "out" -> nodes.count(v => fwd(v) && !bwd(v)).toLong,
+      "other" -> nodes.count(v => !fwd(v) && !bwd(v)).toLong
+    )
+    val got = Analytics.bowtie(tr).collect()
+      .map(r => r.getAs[String]("region") -> r.getAs[Long]("n_nodes")).toMap
+    assert(got == expected)
+    assert(got.values.sum == nodes.size.toLong)
+    // the fixture guarantees every region is exercised whichever node
+    // seeds: cycle members see a nonempty core; the disconnected pair is
+    // always other-classified from any seed in the main component (and
+    // vice versa)
+    assert(got("other") >= 2L)
+  }
+
   test("walkPpmi: matches brute-force exact-integer PPMI over the co-occurrence table") {
     // ring + chord graph — enough structure for non-uniform marginals
     val tr = triplesDf(

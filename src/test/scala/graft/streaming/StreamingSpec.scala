@@ -328,6 +328,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("uniquesSketch: registers merge by MAX and repeats never move them") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    def ev(rows: (Long, Int, Long)*) =
+      rows.map { case (id, d, u) => (id, t(d), u, "click", 0.0, "") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val a = ev((1L, 1, 10L), (2L, 1, 11L), (3L, 2, 10L))
+    val b = ev((4L, 1, 12L), (5L, 1, 10L), (6L, 2, 13L))
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      EventsStream.uniquesSketch(df).collect()
+        .map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2))).toMap
+    val merged = (sk(a).toSeq ++ sk(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(sk(a.unionByName(b)) == merged, "sketch(A ∪ B) must equal max-merge of shards")
+    // duplicate sightings of a user are idempotent (max of equal ranks)
+    assert(sk(a.unionByName(a)) == sk(a))
+  }
+
   test("debounce: drops events within the gap of their direct predecessor only") {
     def t(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
     val ev = Seq(
