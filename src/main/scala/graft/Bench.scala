@@ -286,6 +286,14 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       sys.env.get("SPARK_GRAFT_TMP").foreach(v => pb.environment().put("SPARK_GRAFT_TMP", v))
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // child stdout goes to a FILE, not a pipe: reading the pipe after
+      // a deadline destroyForcibly threw "Stream closed" and erased the
+      // child's completed cumulative BENCHCHILD lines (seen live — a
+      // killed local[2] child fell all the way back to in-process
+      // measurement despite having finished runs); a file survives the
+      // kill unconditionally
+      val outFile = Files.createTempFile(tmpBase, s"benchchild$cores-", ".out")
+      pb.redirectOutput(outFile.toFile)
       val proc = pb.start()
       cgroup.foreach { dir =>
         try Files.writeString(dir.resolve("cgroup.procs"), proc.pid().toString)
@@ -300,7 +308,9 @@ object Bench {
         proc.destroyForcibly()
         proc.waitFor()
       }
-      val out = new String(proc.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      val out =
+        try new String(Files.readAllBytes(outFile), java.nio.charset.StandardCharsets.UTF_8)
+        finally { try Files.deleteIfExists(outFile) catch { case _: Exception => () } }
       val rc = proc.exitValue()
       // the child prints a cumulative line after EVERY measured run, so
       // even a deadline-killed child yields its completed measurements —
@@ -518,19 +528,34 @@ object Bench {
     if (!skipScaling) {
       spark32.stop()
       val c4n = scaleN * 4
-      // per-level plan from remaining budget: a level needs roughly
-      // (warmup + runs) × runSec wall; the slower (N) level runs ~135s
-      // per 3M docs on 2 cores
-      def levelPlan(): (Int, Int, Int) = {
-        val remaining = (budgetSec - elapsedSec).toInt
-        val perLevel = remaining / 2
-        if (perLevel > 650) (4, 90, perLevel)
-        else if (perLevel > 400) (3, 60, perLevel)
-        else if (perLevel > 250) (2, 30, perLevel)
-        else (1, 0, math.max(perLevel, 180))
+      /** Expected clean-window wall seconds for one pipeline run at
+        * `cores` (measured at 3M docs: local[2] ~115-135, local[8]
+        * ~30-36, local[32] ~16-18 — ≈ 230/cores + 10, linear in docs).
+        */
+      def runEstSec(cores: Int): Double =
+        (230.0 / cores + 10.0) * (benchDocs / 3.0e6)
+      // Per-level plan sized to the LEVEL'S actual per-run cost, not a
+      // flat budget split: the old flat plan handed a local[2] child
+      // (3 runs, 60s quiets, 453s deadline) — infeasible at ~115s+/run,
+      // so the watchdog killed it after burning ~570s of budget for
+      // nothing (seen live). Now runs are chosen so warmup + runs ×
+      // (1.3×est + quiet) fits the share, and the deadline carries a
+      // 1.5× per-run storm margin — a kill means a genuine hang, not an
+      // arithmetic certainty.
+      def levelPlan(cores: Int, shareSec: Int): (Int, Int, Int) = {
+        val est = runEstSec(cores)
+        val warm = 1.2 * est
+        val quiet = if (shareSec > 8 * est) 60 else if (shareSec > 5 * est) 30 else 0
+        val runs = math.max(1, math.min(4, ((shareSec - warm - 30) / (1.3 * est + quiet)).toInt))
+        val deadline = (warm + runs * (1.5 * est + quiet) + 60).toInt
+        (runs, quiet, math.min(math.max(deadline, (3 * est).toInt), shareSec))
       }
       def measure(cores: Int): LevelResult = {
-        val (runs, quiet, deadline) = levelPlan()
+        val remaining = (budgetSec - elapsedSec).toInt
+        // the slow N level must leave the 4N level room for one full
+        // cycle; every later call just keeps a retry margin
+        val reserve = if (cores == scaleN) (3.5 * runEstSec(c4n)).toInt else 60
+        val (runs, quiet, deadline) = levelPlan(cores, math.max(remaining - reserve, 180))
         spawnLevel(cores, benchDocs, runs, quiet, deadline)
           .getOrElse(measureInProcess(cores, benchDocs))
       }
