@@ -328,6 +328,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("uniquesSketch: streaming (complete mode) equals batch on same data") {
+    implicit val sql = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = EventsStream
+      .uniquesSketch(ms.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("uniq_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString, r.getLong(1), r.getLong(2))
+      val streamed = spark.table("uniq_stream").collect().map(key).toSet
+      val batch = EventsStream.uniquesSketch(rows.toDF()).collect().map(key).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("uniquesSketch: registers merge by MAX and repeats never move them") {
     def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
     def ev(rows: (Long, Int, Long)*) =
