@@ -9,7 +9,7 @@ import graft.SparkTestBase
   * oracle-checked end-to-end; these tests pin the evaluator paths the
   * fixed registry pattern doesn't exercise.
   */
-class BgpPpmiSpec extends AnyFunSuite with SparkTestBase {
+class BgpPpmiSpec extends AnyFunSuite with SparkTestBase with graft.GenSampling {
 
   import spark.implicits._
 
@@ -75,6 +75,55 @@ class BgpPpmiSpec extends AnyFunSuite with SparkTestBase {
     }
     intercept[IllegalArgumentException] {
       Analytics.bgpMatch(tr, Seq.empty)
+    }
+  }
+
+  test("bgpMatch: property — random connected patterns equal brute-force SPARQL semantics") {
+    import org.scalacheck.Gen
+    // reference evaluator: unification over a binding environment,
+    // SPARQL set semantics via the final toSet
+    def brute(
+        triples: Seq[(String, String, String)],
+        pattern: Seq[(String, String, String)]
+    ): Set[Map[String, String]] = {
+      def unify(b: Option[Map[String, String]], term: String, value: String) =
+        b.flatMap { m =>
+          if (term.startsWith("?")) m.get(term) match {
+            case Some(v) => if (v == value) Some(m) else None
+            case None => Some(m + (term -> value))
+          }
+          else if (term == value) Some(m) else None
+        }
+      pattern
+        .foldLeft(Seq(Map.empty[String, String])) { (bs, atom) =>
+          bs.flatMap(b =>
+            triples.flatMap { case (s, p, o) =>
+              unify(unify(unify(Some(b), atom._1, s), atom._2, p), atom._3, o)
+            })
+        }
+        .toSet
+    }
+    val nodes = Seq("n1", "n2", "n3", "n4")
+    val preds = Seq("p1", "p2")
+    val genTriples = Gen.listOfN(
+      8,
+      for { s <- Gen.oneOf(nodes); p <- Gen.oneOf(preds); o <- Gen.oneOf(nodes) } yield (s, p, o)
+    )
+    // two atoms always connected through ?y; terms mix constants and
+    // variables (including a repeated ?x across atoms)
+    val genPattern = for {
+      t1 <- Gen.oneOf("?x", "n1")
+      t2 <- Gen.oneOf("?p", "p1")
+      t3 <- Gen.oneOf("?q", "p2", "?p")
+      t4 <- Gen.oneOf("?z", "n2", "?x")
+    } yield Seq((t1, t2, "?y"), ("?y", t3, t4))
+    forAllSamples2(genTriples, genPattern, n = 25) { (ts, pat) =>
+      val distinctTs = ts.distinct
+      val expected = brute(distinctTs, pat).map(b => b.map { case (k, v) => k.stripPrefix("?") -> v })
+      val df = Analytics.bgpMatch(distinctTs.toDF("subject", "predicate", "obj"), pat)
+      val cols = df.columns
+      val got = df.collect().map(r => cols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap).toSet
+      assert(got == expected, s"pattern $pat over $distinctTs")
     }
   }
 
