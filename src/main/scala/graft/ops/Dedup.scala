@@ -66,6 +66,29 @@ object Dedup {
       .select("doc_id", "dup_of")
   }
 
+  /** Threshold-sensitivity curve — the table a corpus owner reads
+    * before picking a dedup threshold: every verified same-source pair
+    * with Jaccard ≥ minThetaPct/100, histogrammed into 50-permille
+    * similarity buckets (bucket = floor(j‰/50)·50; the degenerate
+    * empty-empty pairs the ≥ rule admits sit in the 1000 bucket, same
+    * convention as [[ngramJaccardPairs]]). Reading the cumulative tail
+    * of this table IS the pair-volume-vs-threshold tradeoff. Output:
+    * (bucket, n_pairs).
+    *
+    * Scale shape: exactly the [[ngramJaccardPairs]] PPJoin plan at the
+    * loosest threshold of interest (prefixes lengthen as θ drops — the
+    * candidate bound degrades gracefully, it never becomes all-pairs),
+    * folded by one tiny bucket-keyed aggregate.
+    */
+  def thresholdCurve(docs: DataFrame, minThetaPct: Int = 70): DataFrame =
+    ngramJaccardPairs(docs, minThetaPct)
+      .select(
+        expr("CASE WHEN uni = 0 THEN 1000L ELSE (1000 * inter) div uni END").as("jp")
+      )
+      .select(expr("(jp div 50) * 50").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Exact n-gram (token-set) Jaccard pairs within `source` blocks:
     * emits (a, b, inter, uni) for 100*inter >= thetaPct*uni. Integer
     * comparison — bit-identical across engines.

@@ -77,6 +77,21 @@ object OpsQueries {
       "FROM tset a JOIN tset b ON a.source = b.source AND a.doc_id < b.doc_id " +
       "WHERE 100 * len(list_intersect(a.toks, b.toks)) >= 90 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
 
+  /** Dedup threshold-sensitivity curve (Dedup.thresholdCurve) — the
+    * oracle keeps the all-pairs rule at the loose θ; the Spark PPJoin
+    * candidates are lossless, so the histogram hash-matches.
+    */
+  val dedupThresholdCurve: Q = (s, dir) => Dedup.thresholdCurve(docs(s, dir), minThetaPct = 70)
+
+  val dedupThresholdCurveSql: String =
+    s"WITH $tsetCte, " +
+      "pr AS (SELECT CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter, " +
+      "CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni " +
+      "FROM tset a JOIN tset b ON a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE 100 * len(list_intersect(a.toks, b.toks)) >= 70 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))), " +
+      "jb AS (SELECT CASE WHEN uni = 0 THEN 1000 ELSE (1000 * inter) // uni END AS jp FROM pr) " +
+      "SELECT (jp // 50) * 50 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs FROM jb GROUP BY 1"
+
   val dedupContain: Q = (s, dir) => Dedup.containmentPairs(docs(s, dir), thetaPct = 90)
 
   /** Oracle keeps the plain blocked all-pairs containment rule — the
@@ -1778,6 +1793,7 @@ object OpsQueries {
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_threshold_curve" -> dedupThresholdCurve,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_groups" -> dedupGroups,
@@ -1875,6 +1891,7 @@ object OpsQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_threshold_curve" -> dedupThresholdCurveSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_groups" -> dedupGroupsSql,

@@ -1456,6 +1456,20 @@ class OpsSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("thresholdCurve: exact-Jaccard buckets; sub-threshold pairs excluded") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "s0"),          // vs 2: inter 3 / uni 5 = 600‰ -> excluded at θ=70
+      (2L, "w1 w2 w3 w5", "s0"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "s0"), // vs 4: 9/10 = 900‰
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "s0"),
+      (5L, "x1 x2", "s0"),                // vs 6: identical -> 1000‰
+      (6L, "x2 x1", "s0")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.thresholdCurve(d, minThetaPct = 70).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_pairs")).toMap
+    assert(got == Map(900L -> 1L, 1000L -> 1L))
+  }
+
   test("qualityCorr: matches brute-force exact-integer Pearson over quality rows") {
     val xy = TextAnalysis.quality(docs).select("n_tokens", "quality_milli")
       .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
