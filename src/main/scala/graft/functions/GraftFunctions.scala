@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** Column-level API + session registration for graft's native catalyst
+  * expressions.
+  *
+  * Two consumption paths, same expressions:
+  *   - **Column API** (what graft's own operators use): `dotLong(a, b)`
+  *     etc. build the Expression directly — no session mutation, works
+  *     under any SparkSession including the driver's own (which does not
+  *     load our extensions).
+  *   - **SQL names** (`dot_long`, `normsq_long`, `cosine_parts_milli`,
+  *     `minhash_sig`): registered either at session build time via
+  *     `spark.sql.extensions=graft.functions.GraftSparkExtensions`
+  *     (the spark-submit path) or idempotently at runtime via
+  *     [[GraftFunctions.register]].
+  */
+object GraftFunctions {
+
+  def dotLong(a: Column, b: Column): Column =
+    Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  def normSqLong(v: Column): Column =
+    Bridge.column(NormSqLong(Bridge.expression(v)))
+
+  def cosinePartsMilli(qv: Column, nv: Column): Column =
+    Bridge.column(CosinePartsMilli(Bridge.expression(qv), Bridge.expression(nv)))
+
+  def minhashSig(toks: Column, seeds: Int): Column =
+    Bridge.column(MinhashSig(Bridge.expression(toks), seeds))
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$fn expects a literal int, got $other")
+  }
+
+  /** (name, builder) table shared by the extensions hook and the runtime
+    * registrar.
+    */
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_long" -> { args => DotLong(args(0), args(1)) },
+    "normsq_long" -> { args => NormSqLong(args(0)) },
+    "cosine_parts_milli" -> { args => CosinePartsMilli(args(0), args(1)) },
+    "minhash_sig" -> { args => MinhashSig(args(0), intLit(args(1), "minhash_sig")) }
+  )
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftFunctions.type].getCanonicalName, name)
+
+  /** Idempotently register the SQL names on an existing session (the
+    * path for sessions built without `spark.sql.extensions`).
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info(name), builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point:
+  * `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftSparkExtensions].getCanonicalName, name),
+          builder
+        )
+      )
+    }
+}

@@ -1,0 +1,250 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector primitives over quantized `array<long>`
+  * embeddings.
+  *
+  * Why these exist: Spark's higher-order functions (`transform`,
+  * `zip_with`, `aggregate`) are `CodegenFallback` — every use drops the
+  * whole projection out of whole-stage codegen and evaluates the lambda
+  * per element through the interpreted path, allocating an intermediate
+  * array per call. The ANN scorers ([[graft.ops.Similarity]]) sit on
+  * exactly those expressions in their hottest loop (corpus-side scoring
+  * of candidate pairs). These expressions compute the identical values
+  * in a single fused compiled loop — no intermediate arrays, no lambda
+  * dispatch — so the scoring projection stays inside
+  * `WholeStageCodegen`.
+  *
+  * Null semantics are bit-compatible with the SQL forms they replace
+  * (the DuckDB oracle hash-compare depends on this):
+  *   - `dot_long(a, b)` == `aggregate(zip_with(a, b, (x,y) -> x*y), 0L,
+  *     (acc,x) -> acc + x)`: null input → null; length mismatch → null
+  *     (zip_with pads with null, the sum then poisons) unless both are
+  *     empty (→ 0); any null element → null; overflow wraps like Java
+  *     (Spark non-ANSI Multiply/Add semantics).
+  *   - `normsq_long(v)` == `aggregate(v, 0L, (acc,x) -> acc + x*x)`:
+  *     null input → null; any null element → null.
+  *   - `cosine_parts_milli(qv, nv)` fuses dot + both norms + the shared
+  *     integer score rule [[graft.ops.Similarity.CosScoreMilli]]
+  *     (`(1000 * dot * abs(dot)) div (nn * qn)`, `div` = Spark
+  *     IntegralDivide: truncate toward zero, null divisor-zero) into
+  *     one pass, returning struct(dot, qn, nn, score_milli).
+  */
+object VectorExprUtil {
+
+  /** True iff the two arrays have equal length and no null element in
+    * either — the precondition under which the fused dot is non-null.
+    */
+  private def cleanPair(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (n != b.numElements()) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Fused single-pass dot + norms + milli-cosine; see class doc for the
+    * exact null rules each field follows.
+    */
+  def cosineParts(qv: ArrayData, nv: ArrayData): InternalRow = {
+    val out = new Array[Any](4)
+    var qn: java.lang.Long = null
+    var nn: java.lang.Long = null
+    var dot: java.lang.Long = null
+    if (noNulls(qv)) {
+      var acc = 0L; var i = 0; val n = qv.numElements()
+      while (i < n) { val x = qv.getLong(i); acc += x * x; i += 1 }
+      qn = acc
+    }
+    if (noNulls(nv)) {
+      var acc = 0L; var i = 0; val n = nv.numElements()
+      while (i < n) { val x = nv.getLong(i); acc += x * x; i += 1 }
+      nn = acc
+    }
+    if (cleanPair(qv, nv)) {
+      var acc = 0L; var i = 0; val n = qv.numElements()
+      while (i < n) { acc += qv.getLong(i) * nv.getLong(i); i += 1 }
+      dot = acc
+    }
+    out(0) = dot
+    out(1) = qn
+    out(2) = nn
+    out(3) =
+      if (dot == null || qn == null || nn == null) null
+      else {
+        val denom = nn.longValue() * qn.longValue()
+        if (denom == 0L) null
+        else java.lang.Long.valueOf(1000L * dot.longValue() * math.abs(dot.longValue()) / denom)
+      }
+    new GenericInternalRow(out)
+  }
+
+  private def noNulls(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** `dot_long(a, b)`: fused integer dot product over two `array<long>`
+  * columns — see [[VectorExprUtil]] for the exact SQL equivalence.
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got (${l.simpleString}, ${r.simpleString})"
+      )
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `normsq_long(v)`: fused integer squared norm over `array<long>`. */
+case class NormSqLong(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.simpleString}"
+      )
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normsq_long"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getLong(i)
+      acc += v * v
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $x.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final long $v = $x.getLong($i);
+         |  $acc += $v * $v;
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `cosine_parts_milli(qv, nv)`: one-pass
+  * struct(dot, qn, nn, score_milli) — the fused form of the ANN
+  * scorers' four-column projection. Codegen emits a single static call
+  * into [[VectorExprUtil.cosineParts]] (loop JIT-compiles there), which
+  * keeps the surrounding projection inside whole-stage codegen.
+  */
+case class CosinePartsMilli(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got (${l.simpleString}, ${r.simpleString})"
+      )
+  }
+  override def dataType: DataType = StructType(
+    Seq(
+      StructField("dot", LongType, nullable = true),
+      StructField("qn", LongType, nullable = true),
+      StructField("nn", LongType, nullable = true),
+      StructField("score_milli", LongType, nullable = true)
+    )
+  )
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_parts_milli"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprUtil.cosineParts(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (x, y) => s"${ev.value} = graft.functions.VectorExprUtil.cosineParts($x, $y);"
+    )
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
