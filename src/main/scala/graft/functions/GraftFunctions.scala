@@ -33,6 +33,9 @@ object GraftFunctions {
   def minhashSig(toks: Column, seeds: Int): Column =
     Bridge.column(MinhashSig(Bridge.expression(toks), seeds))
 
+  def quantize100(v: Column): Column =
+    Bridge.column(Quantize100(Bridge.expression(v)))
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other =>
@@ -46,7 +49,8 @@ object GraftFunctions {
     "dot_long" -> { args => DotLong(args(0), args(1)) },
     "normsq_long" -> { args => NormSqLong(args(0)) },
     "cosine_parts_milli" -> { args => CosinePartsMilli(args(0), args(1)) },
-    "minhash_sig" -> { args => MinhashSig(args(0), intLit(args(1), "minhash_sig")) }
+    "minhash_sig" -> { args => MinhashSig(args(0), intLit(args(1), "minhash_sig")) },
+    "quantize100" -> { args => Quantize100(args(0)) }
   )
 
   private def info(name: String): ExpressionInfo =

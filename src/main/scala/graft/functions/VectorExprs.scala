@@ -248,3 +248,74 @@ case class CosinePartsMilli(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `quantize100(v)`: per-element
+  * `CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT)` over an
+  * `array<float>` (or `array<double>`) embedding — the shared
+  * float→integer quantization rule every ANN path and its DuckDB oracle
+  * agree on ([[graft.ops.Similarity.quantized]]). Native for the same
+  * reason as the scorers: `transform` is CodegenFallback, and this runs
+  * on every corpus scan of every embedding query. IEEE operation order
+  * is preserved exactly ((x * 100) + 0.5, floor, truncate-to-long), so
+  * values are bit-identical to the SQL form. Null elements stay null;
+  * null array stays null.
+  */
+case class Quantize100(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got ${other.simpleString}"
+      )
+  }
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize100"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    val float = isFloat
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val d = if (float) x.getFloat(i).toDouble else x.getDouble(i)
+        out(i) = java.lang.Long.valueOf(math.floor(d * 100d + 0.5d).toLong)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "(double) $x.getFloat($i)" else "$x.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val d = ctx.freshName("d")
+      val getCall = get.replace("$x", x).replace("$i", i)
+      s"""
+         |final int $n = $x.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    final double $d = $getCall;
+         |    $out[$i] = java.lang.Long.valueOf((long) java.lang.Math.floor($d * 100d + 0.5d));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

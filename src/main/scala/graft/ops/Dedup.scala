@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.extract.TokenRules
+import graft.functions.GraftFunctions
 
 /** Document deduplication operators for a training-data pipeline over the
   * `documents` table — exact, n-gram Jaccard, MinHash+LSH, and SimHash.
@@ -314,10 +315,13 @@ object Dedup {
     * md5("i:" + token) over the document's distinct tokens. Shared rule
     * with the oracle: list_min(list_transform(...)) there.
     */
-  private def minhashSig(toksCol: String, seeds: Int): Seq[org.apache.spark.sql.Column] =
-    (0 until seeds).map { i =>
-      expr(s"array_min(transform($toksCol, t -> md5(concat('$i:', t))))").as(s"mh$i")
-    }
+  private def minhashSig(toksCol: String, seeds: Int): Seq[org.apache.spark.sql.Column] = {
+    // one native single-pass signature (graft.functions.MinhashSig) in
+    // place of `seeds` interpreted transform/array_min folds; each mh_i
+    // is byte-identical to array_min(transform(toks, t -> md5('i:'||t)))
+    val sig = GraftFunctions.minhashSig(col(toksCol), seeds)
+    (0 until seeds).map(i => sig.getItem(i).as(s"mh$i"))
+  }
 
   /** Distinct sorted token set per document, (doc_id, toks) — the
     * second committable dedup-state artifact next to [[bandIndex]]

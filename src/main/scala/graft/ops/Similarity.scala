@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,7 +30,9 @@ object Similarity {
     embeddings.select(
       col("vec_id"),
       col("label"),
-      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))").as("v")
+      // native codegen'd quantizer — bit-identical to
+      // transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))
+      GraftFunctions.quantize100(col("embedding")).as("v")
     )
 
   /** Long-format (vec_id, d, x) with per-vector squared norm attached. */
@@ -39,7 +42,9 @@ object Similarity {
   private def norms(q: DataFrame): DataFrame =
     q.select(
       col("vec_id"),
-      expr("aggregate(v, 0L, (acc, x) -> acc + x * x)").as("n2")
+      // native codegen'd norm (graft.functions) — same value as
+      // aggregate(v, 0L, (acc, x) -> acc + x * x), fused loop
+      GraftFunctions.normSqLong(col("v")).as("n2")
     )
 
   /** The shared integer cosine score: monotone in cosine, exact in
@@ -74,10 +79,15 @@ object Similarity {
     */
   private[ops] def pairsScored(pairs: DataFrame): DataFrame =
     pairs
-      .withColumn("dot", expr("aggregate(zip_with(qv, nv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-      .withColumn("qn", expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("nn", expr("aggregate(nv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("score_milli", expr(CosScoreMilli))
+      // one fused native pass per pair (graft.functions) instead of four
+      // CodegenFallback higher-order folds; identical values and null
+      // rules, and the projection stays inside whole-stage codegen
+      .withColumn("cp", GraftFunctions.cosinePartsMilli(col("qv"), col("nv")))
+      .withColumn("dot", col("cp.dot"))
+      .withColumn("qn", col("cp.qn"))
+      .withColumn("nn", col("cp.nn"))
+      .withColumn("score_milli", col("cp.score_milli"))
+      .drop("cp")
 
   /** Per-query top-k over a scored pair frame: (q, n, score_milli, rnk).
     * Partitions = queries — never a global sort.
@@ -245,7 +255,7 @@ object Similarity {
     quantized(embeddings)
       .select(
         col("label").cast("long").as("label"),
-        expr("aggregate(v, 0L, (acc, x) -> acc + x * x)").as("n2")
+        GraftFunctions.normSqLong(col("v")).as("n2")
       )
       .groupBy("label")
       .agg(
@@ -806,10 +816,9 @@ object Similarity {
     val b = q.select(col("label"), col("bucket"), col("vec_id").as("b"), col("v").as("bv"))
     a.join(b, Seq("label", "bucket"))
       .where(col("a") < col("b"))
-      .withColumn("dot", expr("aggregate(zip_with(av, bv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
-      .withColumn("na", expr("aggregate(av, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("nb", expr("aggregate(bv, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("score_milli", expr("(1000 * dot * abs(dot)) div (na * nb)"))
+      // fused native scorer; score_milli is bit-identical to the
+      // spelled-out (1000 * dot * abs(dot)) div (na * nb) rule
+      .withColumn("score_milli", GraftFunctions.cosinePartsMilli(col("av"), col("bv")).getField("score_milli"))
       .where(col("score_milli") >= thetaMilli)
       .select("a", "b", "score_milli")
   }

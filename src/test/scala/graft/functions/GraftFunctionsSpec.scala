@@ -171,6 +171,35 @@ class GraftFunctionsSpec extends AnyFunSuite with GenSampling with SparkTestBase
     assert(!hasWSC(hof), "higher-order-function projection is expected to fall back (if Spark ever fixes this, the native path is still never worse)")
   }
 
+  test("quantize100 matches the transform(floor) SQL form on floats") {
+    val arrGen: Gen[Seq[Option[Float]]] =
+      Gen.choose(0, 8).flatMap(n =>
+        Gen.listOfN(
+          n,
+          Gen.frequency(
+            9 -> Gen.choose(-4.0f, 4.0f).map(Some(_)),
+            2 -> Gen.oneOf(0.005f, -0.005f, 0.994999f, 1.5f, -1.5f).map(Some(_)),
+            1 -> Gen.const(None)
+          )
+        )
+      )
+    forAllSamples(Gen.listOfN(30, arrGen), n = 10) { arrays =>
+      val rows = arrays.map(Option(_)) ++ Seq(None, Some(Seq.empty[Option[Float]]))
+      val df = rows.toDF("embedding")
+      val a = df
+        .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))").as("v"))
+        .collect()
+        .toSeq
+        .map(r => Option(r.getAs[scala.collection.Seq[Any]]("v")).map(_.toSeq))
+      val b = df
+        .select(GraftFunctions.quantize100(col("embedding")).as("v"))
+        .collect()
+        .toSeq
+        .map(r => Option(r.getAs[scala.collection.Seq[Any]]("v")).map(_.toSeq))
+      assert(a == b)
+    }
+  }
+
   test("SQL names register and resolve") {
     GraftFunctions.register(spark)
     val r = spark
