@@ -745,7 +745,15 @@ object Analytics {
     * core of [[triangleCounts]] and [[clusteringCoefficient]], so the
     * coefficient pays for ONE neighbor materialization, not two.
     */
-  private def triangleTable(nb: DataFrame, deg: DataFrame): DataFrame = {
+  /** Distinct-triangle list (tu, tv, tw) over a neighbor table — the
+    * degree-ordered oriented-wedge enumeration shared by
+    * [[triangleCounts]], [[clusteringCoefficient]], [[transitivity]]
+    * and [[edgeSupport]]: each unordered edge oriented from its lower
+    * (degree, name) endpoint, wedges self-joined on the source, closed
+    * by a left-semi probe of the oriented edge set. O(m^1.5) output
+    * regardless of hubs; every triangle exactly once.
+    */
+  private def triangleList(nb: DataFrame, deg: DataFrame): DataFrame = {
     val pe = nb.where(col("v") < col("u"))
       .join(deg.select(col("v"), col("d").as("da")), "v")
       .join(deg.select(col("v").as("u"), col("d").as("db")), "u")
@@ -760,11 +768,204 @@ object Analytics {
     val wedges = oriented.as("x")
       .join(oriented.as("y"), col("x.src") === col("y.src") && wedgeOrd)
       .select(col("x.src").as("tu"), col("x.dst").as("tv"), col("y.dst").as("tw"))
-    val tri = wedges.join(
+    wedges.join(
       oriented.select(col("src").as("tv"), col("dst").as("tw")),
       Seq("tv", "tw"),
       "left_semi"
     )
+  }
+
+  /** Per-undirected-edge triangle support — |N(a) ∩ N(b)| for every
+    * collapsed edge (a < b), 0 for triangle-free edges. This is the
+    * quantity k-truss cohesion is defined over, and on a KG it ranks
+    * edges by how much neighborhood corroboration backs them (a
+    * support-0 edge is structurally unwitnessed — the classic
+    * spam/extraction-error candidate).
+    *
+    * Shape at scale: one [[triangleList]] pass (O(m^1.5), hub-safe),
+    * each triangle explodes to its 3 lexicographically-normalized
+    * edges, one partial-aggregated count on (a, b), and a left join
+    * back onto the edge list. No per-pair neighbor-set intersection is
+    * ever materialized.
+    */
+  def edgeSupport(triples: DataFrame): DataFrame = {
+    val nb = graft.util.Materialize.stage(undirectedNb(triples))
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    edgeSupportOver(nb, deg)
+  }
+
+  /** [[edgeSupport]] over a prebuilt (possibly peeled) neighbor table. */
+  private def edgeSupportOver(nb: DataFrame, deg: DataFrame): DataFrame = {
+    val tri = triangleList(nb, deg)
+    val credits = tri
+      .select(
+        explode(
+          array(
+            struct(least(col("tu"), col("tv")).as("a"), greatest(col("tu"), col("tv")).as("b")),
+            struct(least(col("tu"), col("tw")).as("a"), greatest(col("tu"), col("tw")).as("b")),
+            struct(least(col("tv"), col("tw")).as("a"), greatest(col("tv"), col("tw")).as("b"))
+          )
+        ).as("e")
+      )
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("support"))
+    nb.where(col("v") < col("u"))
+      .select(col("v").as("a"), col("u").as("b"))
+      .join(credits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** k-truss decomposition: each edge's truss number = the largest k
+    * such that the edge survives in the k-truss (the maximal subgraph
+    * where every edge closes ≥ k−2 triangles), capped at `kMax` —
+    * survivors of the final peel report `kMax`. Truss is the standard
+    * step up from k-core for extracting genuinely cohesive KG
+    * communities: cores admit hub-stars, trusses demand triangles.
+    *
+    * Shape at scale: the classic iterative peel — each round recomputes
+    * [[edgeSupportOver]] on the staged surviving edge set (O(m'^1.5) on
+    * the shrinking m') and anti-joins the newly dead edges out; rounds
+    * are bounded by `maxRounds` and in practice by the peel depth, not
+    * data volume. Dead-edge sets are tiny relative to m, so the
+    * accumulated output unions stay shallow (re-staged each round).
+    */
+  def trussDecomposition(triples: DataFrame, kMax: Int = 8, maxRounds: Int = 60): DataFrame = {
+    var edges = graft.util.Materialize.stageFresh(
+      undirectedNb(triples)
+        .where(col("v") < col("u"))
+        .select(col("v").as("a"), col("u").as("b"))
+    )
+    val spark = triples.sparkSession
+    var out = spark
+      .createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("truss", org.apache.spark.sql.types.LongType)
+          )
+        )
+      )
+    var remaining = edges.count()
+    var k = 3
+    var rounds = 0
+    while (k <= kMax && remaining > 0 && rounds < maxRounds) {
+      var changed = true
+      while (changed && remaining > 0 && rounds < maxRounds) {
+        rounds += 1
+        val nb = edges
+          .select(col("a").as("v"), col("b").as("u"))
+          .union(edges.select(col("b").as("v"), col("a").as("u")))
+        val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+        val dead = edgeSupportOver(nb, deg)
+          .where(col("support") < k - 2)
+          .select("a", "b")
+        dead.persist()
+        try {
+          val nDead = dead.count()
+          if (nDead == 0L) changed = false
+          else {
+            out = graft.util.Materialize.stageFresh(
+              out.union(dead.select(col("a"), col("b"), lit((k - 1).toLong).as("truss")))
+            )
+            edges = graft.util.Materialize.stageFresh(edges.join(dead, Seq("a", "b"), "left_anti"))
+            remaining -= nDead
+          }
+        } finally dead.unpersist()
+      }
+      k += 1
+    }
+    out.union(edges.select(col("a"), col("b"), lit(kMax.toLong).as("truss")))
+  }
+
+  /** Resource-allocation link prediction (Zhou/Lü/Zhang's RA index):
+    * for each non-adjacent pair (a < b) sharing ≥ 1 common neighbor,
+    * Σ_u 1/deg(u) over the common neighbors u, in integer micro units
+    * (each center contributes `1000000 div deg(u)`). RA consistently
+    * beats plain common-neighbor counting on skewed graphs precisely
+    * because a stopword-like hub center is worth ~0 — the right prior
+    * for KG completion candidates on a web graph.
+    *
+    * Shape at scale: identical wedge enumeration to [[linkPredict]]
+    * (centers capped at `maxWedgeDegree` BEFORE the self-join, so a
+    * hub's d² wedges are never generated — the RA weight of a capped
+    * hub center is ≤ 1/cap, i.e. the cap drops only negligible-mass
+    * wedges); one partial-aggregated (a, b) group; one anti-join
+    * against the existing edge set.
+    */
+  def resourceAllocation(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
+    val nb = graft.util.Materialize.stage(undirectedNb(triples))
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    val nbc = nb
+      .join(deg.withColumnRenamed("v", "u").withColumnRenamed("d", "du"), "u")
+      .where(col("du") <= maxWedgeDegree)
+      .select("v", "u", "du")
+    val wedge = nbc.as("n1")
+      .join(nbc.as("n2"), col("n1.u") === col("n2.u") && col("n1.v") < col("n2.v"))
+      .select(col("n1.v").as("a"), col("n2.v").as("b"), col("n1.du").as("du"))
+    val pairs = wedge
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum(expr("1000000 div du")).as("ra_micro"))
+    val linked = nb.select(col("v").as("a"), col("u").as("b"))
+    pairs
+      .join(linked, Seq("a", "b"), "left_anti")
+      .select("a", "b", "common", "ra_micro")
+  }
+
+  /** Rich-club profile: for each degree threshold k, the subgraph
+    * induced by nodes of degree > k — node count, edge count, and
+    * density φ(k) in permille (2·E·1000 / (N·(N−1))). A rising φ(k)
+    * says the graph's hubs preferentially interlink (the "rich club"),
+    * a structural signature that distinguishes organic topic hubs from
+    * extraction-spam stars (which link to leaves, not to each other).
+    * Output: one row per threshold (k, n_nodes, n_edges, phi_permille).
+    *
+    * Shape at scale: the degree table and the degree-annotated edge
+    * list are each scanned ONCE, exploded by the (constant-sized)
+    * threshold array, and partial-aggregated on k — no per-threshold
+    * passes. The density ratio widens to DECIMAL(38,0): N² overflows a
+    * Long past ~3e9 nodes.
+    */
+  def richClub(triples: DataFrame, thresholds: Seq[Long] = Seq(2L, 4L, 8L, 16L, 32L)): DataFrame = {
+    val nb = graft.util.Materialize.stage(undirectedNb(triples))
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    val thArr = array(thresholds.map(lit): _*)
+    val nodes = deg
+      .select(explode(thArr).as("k"), col("d"))
+      .where(col("d") > col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_nodes"))
+    val edges = nb
+      .where(col("v") < col("u"))
+      .join(deg.select(col("v"), col("d").as("da")), "v")
+      .join(deg.select(col("v").as("u"), col("d").as("db")), "u")
+      .select(explode(thArr).as("k"), col("da"), col("db"))
+      .where(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_edges"))
+    val ks = triples.sparkSession
+      .createDataset(thresholds)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("k")
+    ks.join(nodes, Seq("k"), "left")
+      .join(edges, Seq("k"), "left")
+      .select(
+        col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges")
+      )
+      .withColumn(
+        "phi_permille",
+        expr(
+          "CASE WHEN n_nodes < 2 THEN 0 ELSE " +
+            "CAST((CAST(2000 AS DECIMAL(38,0)) * n_edges) DIV (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1)) AS BIGINT) END"
+        )
+      )
+  }
+
+  private def triangleTable(nb: DataFrame, deg: DataFrame): DataFrame = {
+    val tri = triangleList(nb, deg)
     val corners = tri
       .select(explode(array(col("tu"), col("tv"), col("tw"))).as("entity"))
       .groupBy("entity")

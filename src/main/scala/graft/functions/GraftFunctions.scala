@@ -36,6 +36,13 @@ object GraftFunctions {
   def quantize100(v: Column): Column =
     Bridge.column(Quantize100(Bridge.expression(v)))
 
+  /** Aggregate: keep the top `k` struct rows per group under the
+    * field-by-field order given by `desc` — see
+    * [[graft.functions.TopKRows]].
+    */
+  def topKRows(item: Column, k: Int, desc: Seq[Boolean]): Column =
+    Bridge.column(TopKRows(Bridge.expression(item), k, desc).toAggregateExpression())
+
   private def intLit(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other =>

@@ -841,6 +841,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance verification of the SimHash candidate pairs: each
+    * banded candidate (hamming ≤ `maxHamming` within its source block)
+    * is scored with the classic Levenshtein distance over the first
+    * `prefixLen` characters of both texts, plus the length-normalized
+    * similarity in permille. SimHash says "probably near-duplicate";
+    * edit distance is the character-level ground check a curator reads
+    * before bulk-dropping a candidate cluster — the two disagree
+    * exactly on the shuffled-paragraph / template-rewrite cases.
+    *
+    * Shape at scale: the pair set is the pigeonhole-banded candidate
+    * stream (never all-pairs); attaching the two prefixes is two
+    * doc_id hash joins; Levenshtein on the capped prefixes is
+    * O(prefixLen²) per pair — a constant, by design, because full-text
+    * edit distance over web documents is unpayable and unnecessary for
+    * a verification signal.
+    */
+  def editVerifiedPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      prefixLen: Int = 300
+  ): DataFrame = {
+    val txt = docs.select(col("doc_id"), expr(s"left(text, $prefixLen)").as("t"))
+    simhashPairs(docs, maxHamming)
+      .join(txt.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+      .join(txt.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn(
+        "sim_permille",
+        expr("1000 - (1000 * edit_dist) div greatest(length(ta), greatest(length(tb), 1))")
+      )
+      .select("a", "b", "hamming", "edit_dist", "sim_permille")
+  }
+
   /** Per-source duplication rollup over the [[nearDupKeep]] verdicts —
     * the crawl-quality table a corpus curator reads per domain: how
     * many documents each source contributed, how many the near-dup

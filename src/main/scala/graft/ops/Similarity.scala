@@ -90,15 +90,28 @@ object Similarity {
       .drop("cp")
 
   /** Per-query top-k over a scored pair frame: (q, n, score_milli, rnk).
-    * Partitions = queries — never a global sort.
+    *
+    * Runs as the bounded-heap aggregate [[graft.functions.TopKRows]]
+    * (map-side partial aggregation keeps k rows per query per map task;
+    * the exchange carries k × queries × tasks rows, not the full scored
+    * stream), NOT a partition-sorting window — same rows and ranks, the
+    * order is the identical (score desc, n asc) unique total order.
     */
-  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("q").orderBy(desc("score_milli"), asc("n"))
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q"), col("n"), col("score_milli"), col("rnk").cast("long").as("rnk"))
-  }
+      .groupBy("q")
+      .agg(
+        GraftFunctions
+          .topKRows(struct(col("score_milli"), col("n")), k, Seq(true, false))
+          .as("top")
+      )
+      .select(col("q"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("q"),
+        col("t.n").as("n"),
+        col("t.score_milli").as("score_milli"),
+        (col("pos") + 1).cast("long").as("rnk")
+      )
 
   /** Exact brute-force top-k: for each query vector (vec_id < nQueries),
     * the k nearest other vectors by quantized cosine. Query side is
@@ -397,16 +410,27 @@ object Similarity {
       quantized(embeddings)
         .select(col("vec_id"), expr(sketchExpr("v", SketchBits)).cast("long").as("sk"))
     )
-    val w = Window.partitionBy("q").orderBy(asc("hamming"), asc("n"))
+    // same bounded-heap top-k as perQueryTopK, ordered (hamming asc,
+    // n asc) — the sketch stream never crosses an exchange in full
     sk.select(col("vec_id").as("n"), col("sk").as("nsk"))
       .crossJoin(broadcast(
         sk.where(col("vec_id") < nQueries).select(col("vec_id").as("q"), col("sk").as("qsk"))
       ))
       .where(col("q") =!= col("n"))
       .select(col("q"), col("n"), expr("CAST(bit_count(qsk ^ nsk) AS BIGINT)").as("hamming"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("q"), col("n"), col("hamming"), col("rnk").cast("long").as("rnk"))
+      .groupBy("q")
+      .agg(
+        GraftFunctions
+          .topKRows(struct(col("hamming"), col("n")), k, Seq(false, false))
+          .as("top")
+      )
+      .select(col("q"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("q"),
+        col("t.n").as("n"),
+        col("t.hamming").as("hamming"),
+        (col("pos") + 1).cast("long").as("rnk")
+      )
   }
 
   /** Recall@k of the 48-bit Hamming ranking against the exact brute

@@ -337,6 +337,21 @@ object OpsQueries {
       "FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id " +
       "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
 
+  val dedupEditVerify: Q = (s, dir) => Dedup.editVerifiedPairs(docs(s, dir), maxHamming = 3, prefixLen = 300)
+
+  // the SimHash candidate CTE chain plus DuckDB's levenshtein over the
+  // same 300-char prefixes; greatest() nesting mirrors the Spark side
+  // so the integer division is identical
+  val dedupEditVerifySql: String =
+    s"WITH $simhashCtes, " +
+      "shs AS (SELECT sh.doc_id, sh.simhash, d.source, left(d.text, 300) AS t FROM sh JOIN documents d ON sh.doc_id = d.doc_id), " +
+      "pr AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming, " +
+      "CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist, length(a.t) AS la, length(b.t) AS lb " +
+      "FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) " +
+      "SELECT a, b, hamming, edit_dist, " +
+      "CAST(1000 - (1000 * edit_dist) // greatest(la, greatest(lb, 1)) AS BIGINT) AS sim_permille FROM pr"
+
   val embNearDup: Q = (s, dir) => Similarity.cosineNearDupPairs(emb(s, dir), thetaMilli = 150)
 
   // same (label, sign-bit bucket) blocking rule as the Spark side — the
@@ -1804,6 +1819,7 @@ object OpsQueries {
     "text_skipgrams" -> textSkipgrams,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
+    "dedup_edit_verify" -> dedupEditVerify,
     "emb_neardup" -> embNearDup,
     "emb_hard_negatives" -> embHardNegatives,
     "semantic_groups" -> semanticGroups,
@@ -1902,6 +1918,7 @@ object OpsQueries {
     "text_skipgrams" -> textSkipgramsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
+    "dedup_edit_verify" -> dedupEditVerifySql,
     "emb_neardup" -> embNearDupSql,
     "emb_hard_negatives" -> embHardNegativesSql,
     "semantic_groups" -> semanticGroupsSql,

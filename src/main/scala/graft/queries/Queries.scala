@@ -1153,6 +1153,88 @@ object Queries {
       "SELECT uni.entity, CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles FROM uni " +
       "LEFT JOIN (SELECT entity, count(*) AS cnt FROM x GROUP BY entity) c ON c.entity = uni.entity"
 
+  /** Per-undirected-edge triangle support (Analytics.edgeSupport) — the
+    * k-truss quantity and the per-edge corroboration rank; support-0
+    * edges are the structurally unwitnessed extraction-error candidates.
+    * The oracle replays the identical oriented triangle enumeration and
+    * credits each triangle to its 3 lexicographically-normalized edges.
+    */
+  val kgEdgeSupport: Q = (s, dir) =>
+    Analytics.edgeSupport(triples(s, dir))
+
+  val kgEdgeSupportSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr), " +
+      "nb AS (SELECT subject AS v, obj AS u FROM ed WHERE subject <> obj " +
+      "UNION SELECT obj, subject FROM ed WHERE subject <> obj), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY v), " +
+      "pe AS (SELECT nb.v, nb.u, da.d AS da, db.d AS db FROM nb " +
+      "JOIN deg da ON da.v = nb.v JOIN deg db ON db.v = nb.u WHERE nb.v < nb.u), " +
+      "o AS (SELECT CASE WHEN da < db OR (da = db AND v < u) THEN v ELSE u END AS src, " +
+      "CASE WHEN da < db OR (da = db AND v < u) THEN u ELSE v END AS dst, " +
+      "CASE WHEN da < db OR (da = db AND v < u) THEN db ELSE da END AS ddst FROM pe), " +
+      "wg AS (SELECT x.src AS tu, x.dst AS tv, y.dst AS tw FROM o x JOIN o y " +
+      "ON x.src = y.src AND (x.ddst < y.ddst OR (x.ddst = y.ddst AND x.dst < y.dst))), " +
+      "t AS (SELECT tu, tv, tw FROM wg WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wg.tv AND o.dst = wg.tw)), " +
+      "cred AS (SELECT least(tu, tv) AS a, greatest(tu, tv) AS b FROM t " +
+      "UNION ALL SELECT least(tu, tw), greatest(tu, tw) FROM t " +
+      "UNION ALL SELECT least(tv, tw), greatest(tv, tw) FROM t), " +
+      "sup AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM cred GROUP BY a, b), " +
+      "e AS (SELECT v AS a, u AS b FROM nb WHERE v < u) " +
+      "SELECT e.a, e.b, CAST(coalesce(sup.support, 0) AS BIGINT) AS support " +
+      "FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b"
+
+  /** Resource-allocation link prediction (Analytics.resourceAllocation)
+    * on the same 'd%'-predicate subgraph as kg_link_predict — RA
+    * down-weights hub centers (Σ 1/deg(u) in integer micro units), the
+    * skew-correct prior for KG completion candidates. Oracle replays
+    * the capped wedge join with the identical integer division.
+    */
+  val kgResourceAlloc: Q = (s, dir) =>
+    Analytics.resourceAllocation(
+      triples(s, dir).where(col("predicate").startsWith("d")),
+      lpWedgeCap
+    )
+
+  val kgResourceAllocSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr WHERE predicate LIKE 'd%'), " +
+      "nb AS (SELECT subject AS v, obj AS u FROM ed WHERE subject <> obj " +
+      "UNION SELECT obj, subject FROM ed WHERE subject <> obj), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY v), " +
+      s"nbc AS (SELECT nb.v, nb.u, deg.d AS du FROM nb JOIN deg ON deg.v = nb.u WHERE deg.d <= $lpWedgeCap), " +
+      "pairs AS (SELECT n1.v AS a, n2.v AS b, CAST(count(*) AS BIGINT) AS common, " +
+      "CAST(sum(1000000 // n1.du) AS BIGINT) AS ra_micro " +
+      "FROM nbc n1 JOIN nbc n2 ON n1.u = n2.u AND n1.v < n2.v GROUP BY n1.v, n2.v) " +
+      "SELECT a, b, common, ra_micro FROM pairs " +
+      "WHERE NOT EXISTS (SELECT 1 FROM nb WHERE nb.v = pairs.a AND nb.u = pairs.b)"
+
+  /** Rich-club profile (Analytics.richClub): density of the subgraph
+    * induced by nodes of degree > k per threshold — do the hubs
+    * interlink (organic topic structure) or only fan out to leaves
+    * (spam stars)? Oracle replays the threshold explode and the
+    * HUGEINT-widened permille density.
+    */
+  val kgRichClub: Q = (s, dir) =>
+    Analytics.richClub(triples(s, dir))
+
+  val kgRichClubSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr), " +
+      "nb AS (SELECT subject AS v, obj AS u FROM ed WHERE subject <> obj " +
+      "UNION SELECT obj, subject FROM ed WHERE subject <> obj), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY v), " +
+      "ks AS (SELECT CAST(unnest([2, 4, 8, 16, 32]) AS BIGINT) AS k), " +
+      "nodes AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k), " +
+      "e AS (SELECT nb.v, nb.u, da.d AS da, db.d AS db FROM nb " +
+      "JOIN deg da ON da.v = nb.v JOIN deg db ON db.v = nb.u WHERE nb.v < nb.u), " +
+      "edges AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges FROM ks JOIN e ON e.da > ks.k AND e.db > ks.k GROUP BY ks.k) " +
+      "SELECT ks.k, CAST(coalesce(n.n_nodes, 0) AS BIGINT) AS n_nodes, " +
+      "CAST(coalesce(eg.n_edges, 0) AS BIGINT) AS n_edges, " +
+      "CAST(CASE WHEN coalesce(n.n_nodes, 0) < 2 THEN 0 ELSE " +
+      "(2000::HUGEINT * coalesce(eg.n_edges, 0)) // (n.n_nodes::HUGEINT * (n.n_nodes - 1)) END AS BIGINT) AS phi_permille " +
+      "FROM ks LEFT JOIN nodes n ON n.k = ks.k LEFT JOIN edges eg ON eg.k = ks.k"
+
   /** Per-entity local clustering coefficient in integer permille
     * (Analytics.clusteringCoefficient) — neighborhood closure next to
     * the raw triangle count. The oracle replays the identical
@@ -2369,6 +2451,9 @@ object Queries {
     "kg_ppr" -> kgPpr,
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
+    "kg_edge_support" -> kgEdgeSupport,
+    "kg_resource_alloc" -> kgResourceAlloc,
+    "kg_richclub" -> kgRichClub,
     "kg_clustering" -> kgClustering,
     "kg_transitivity" -> kgTransitivity,
     "kg_transitive" -> kgTransitive,
@@ -2475,6 +2560,9 @@ object Queries {
     "kg_ppr" -> kgPprSql,
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
+    "kg_edge_support" -> kgEdgeSupportSql,
+    "kg_resource_alloc" -> kgResourceAllocSql,
+    "kg_richclub" -> kgRichClubSql,
     "kg_clustering" -> kgClusteringSql,
     "kg_transitivity" -> kgTransitivitySql,
     "kg_transitive" -> kgTransitiveSql,
