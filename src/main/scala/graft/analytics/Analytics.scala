@@ -309,6 +309,86 @@ object Analytics {
     rank
   }
 
+  /** Katz centrality over the directed distinct edge set: k_0 = 1 for
+    * every node, k_{t+1}(v) = 1 + β·Σ_{(u,v)} k_t(u), run a fixed
+    * `iterations` rounds in integer micro units
+    * (1000000 + (betaMilli · Σ contrib) div 1000). Unlike PageRank's
+    * outdegree-normalized diffusion, Katz counts raw β-damped walks
+    * INTO a node, so it separates "many weak in-links" from "few
+    * strong" differently — the standard second opinion next to
+    * PageRank when ranking KG entities, and convergent while
+    * β < 1/λ_max (at β = 0.1 that holds for in-degree ≤ 10 per step
+    * mass; the fixed-round form is deterministic regardless).
+    *
+    * Shape at scale: identical to [[pageRank]] — the staged edge set is
+    * re-joined with the rank table each round (one data-sized exchange
+    * per round, partial-aggregated on the destination), rounds are a
+    * constant, plan depth stays constant via the staged edges.
+    */
+  def katz(triples: DataFrame, iterations: Int = 4, betaMilli: Long = 100L): DataFrame = {
+    val edges = prEdges(triples)
+    val nodes = edgeNodes(edges)
+    var rank = nodes.select(col("entity"), lit(1000000L).as("katz_micro"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("entity", "subject"), "subject")
+        .select(col("obj").as("entity"), col("katz_micro"))
+        .groupBy("entity")
+        .agg(sum("katz_micro").as("contrib"))
+      rank = nodes
+        .join(contrib, Seq("entity"), "left")
+        .select(
+          col("entity"),
+          (lit(1000000L) + expr(s"($betaMilli * coalesce(contrib, 0L)) div 1000")).as("katz_micro")
+        )
+    }
+    rank
+  }
+
+  /** Link-prediction holdout calibration: remove a deterministic 1/16
+    * sample of the collapsed edges (md5 of the normalized pair starting
+    * with hex '0' — the engine's standard seeded draw), then histogram
+    * how many common neighbors each held-out edge retains in the peeled
+    * graph. The `common = 0` bucket is the fraction of true edges that
+    * NO wedge-based predictor (Jaccard, RA, Adamic-Adar) can ever
+    * recover — the honest ceiling a KG-completion eval needs before
+    * quoting hits@k. Output: (common, n_pairs).
+    *
+    * Shape at scale: the held set joins the capped neighbor table on
+    * each endpoint — Σ_H deg(a) intermediate rows, hub-bounded by the
+    * SAME `maxWedgeDegree` cap as linkPredict (a capped hub's wedges
+    * are exactly the ones whose predictors the cap already forgoes, so
+    * eval and predictor see the same graph); one (a, b) count and one
+    * constant-width histogram aggregate.
+    */
+  def lpHoldoutEval(triples: DataFrame, maxWedgeDegree: Long = 10000L): DataFrame = {
+    val und = graft.util.Materialize.stage(
+      undirectedNb(triples)
+        .where(col("v") < col("u"))
+        .select(col("v").as("a"), col("u").as("b"))
+    )
+    val held = und.where(substring(md5(concat_ws("|", col("a"), col("b"))), 1, 1) === lit("0"))
+    val rest = und.join(held, Seq("a", "b"), "left_anti")
+    val nb = rest
+      .select(col("a").as("v"), col("b").as("u"))
+      .union(rest.select(col("b").as("v"), col("a").as("u")))
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("d"))
+    val nbc = nb
+      .join(deg.withColumnRenamed("v", "u").withColumnRenamed("d", "du"), "u")
+      .where(col("du") <= maxWedgeDegree)
+      .select("v", "u")
+    val common = held
+      .join(nbc.select(col("v").as("a"), col("u")), "a")
+      .join(nbc.select(col("v").as("b"), col("u")), Seq("b", "u"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+    held
+      .join(common, Seq("a", "b"), "left")
+      .select(coalesce(col("common"), lit(0L)).as("common"))
+      .groupBy("common")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Link prediction — common-neighbor / Jaccard scores for node pairs
     * NOT already connected by an edge (the classic missing-edge
     * suggester). Neighborhoods are undirected and self-loop-free; for

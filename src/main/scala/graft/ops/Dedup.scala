@@ -357,6 +357,25 @@ object Dedup {
   def bandIndex(docs: DataFrame, seeds: Int = 16, bands: Int = 8): DataFrame =
     bandedKeys(tokenSetTable(docs), seeds, bands)
 
+  /** (doc_id, bandKey, toks) — the banded projection with the token set
+    * retained: the row-local input of the STREAMING near-dup path
+    * ([[graft.streaming.DedupStream]]), whose per-band state verifies
+    * with the tokens directly instead of joining the committed token
+    * table. Same signature/band-key bytes as [[bandIndex]]; duplicate
+    * (doc, bandKey) rows from band collisions are left in (the stream
+    * stage dedups per group — a stateless `distinct` is not available
+    * pre-state on a stream).
+    */
+  private[graft] def bandedWithToks(docs: DataFrame, seeds: Int, bands: Int): DataFrame = {
+    val rows = seeds / bands
+    val t = tokenSetTable(docs)
+    val sig = t.select(col("doc_id") +: col("toks") +: minhashSig("toks", seeds): _*)
+    val bandKeyCols = (0 until bands).map { bIdx =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"mh${bIdx * rows + r}")): _*)).as("bandKey")
+    }
+    sig.select(col("doc_id"), explode(array(bandKeyCols: _*)).as("bandKey"), col("toks"))
+  }
+
   /** [[bandIndex]] from an already-materialized token-set frame —
     * used when `derived_token_sets` is committed first and the band
     * index is derived from the committed table instead of re-tokenizing

@@ -1090,6 +1090,53 @@ object TextAnalysis {
       .select("doc_id", "n_bigrams", "mean_p_milli", "min_p_milli")
   }
 
+  /** Trigram-order LM fit score — [[lmScore]]'s rule one order up: each
+    * document scored by the MEAN and MIN conditional probability of its
+    * trigrams, p(w3 | w1 w2) = cnt(w1 w2 w3) / cnt(w1 w2 ·), in integer
+    * milli (the context count is the trigram table's own (w1, w2)
+    * marginal, so every observed trigram has a defined context and the
+    * join is total). The order-2 vs order-3 score GAP per document is
+    * the repetition signal bigram models miss: templated text is far
+    * more predictable at order 3 than order 2.
+    *
+    * Shape at scale: identical to lmScore — the staged per-occurrence
+    * trigram frame feeds (a) the (w1,w2,w3) count, (b) the (w1,w2)
+    * marginal re-aggregated from that already-small table, (c) the
+    * score join back; final regroup on doc_id. Nothing quadratic, hot
+    * stopword contexts are AQE-skew-splittable.
+    */
+  def trigramLmScore(docs: DataFrame): DataFrame = {
+    val occ = graft.util.Materialize.stage(
+      docs
+        .select(col("doc_id"), TokenRules.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+        .select(
+          col("doc_id"),
+          explode(
+            expr(
+              "transform(sequence(1, size(toks) - 2), " +
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2, element_at(toks, i + 2) AS w3))"
+            )
+          ).as("t")
+        )
+        .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
+    )
+    val tri = occ.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
+    val ctx = tri.groupBy("w1", "w2").agg(sum("cnt3").as("cnt2"))
+    occ
+      .join(tri, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .withColumn("p_milli", expr("(1000 * cnt3) div cnt2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum("p_milli").as("sp"),
+        min("p_milli").as("min_p_milli")
+      )
+      .withColumn("mean_p_milli", expr("sp div n_trigrams"))
+      .select("doc_id", "n_trigrams", "mean_p_milli", "min_p_milli")
+  }
+
   /** Per-source distribution drift: total-variation distance (in ppm)
     * between each source's token distribution and the whole corpus's —
     * the mixture-monitoring number that says "this shard stopped

@@ -874,6 +874,24 @@ object OpsQueries {
       "CAST(sum(p_milli) // count(*) AS BIGINT) AS mean_p_milli, " +
       "CAST(min(p_milli) AS BIGINT) AS min_p_milli FROM p GROUP BY doc_id"
 
+  /** Trigram-order LM fit (TextAnalysis.trigramLmScore) — lm_score one
+    * order up; the per-doc order-2/order-3 gap is the repetition signal
+    * bigram models miss. Oracle replays the trigram stream with the
+    * trigram table's own (w1, w2) marginal as the context count.
+    */
+  val lmTrigramScore: Q = (s, dir) => TextAnalysis.trigramLmScore(docs(s, dir))
+
+  val lmTrigramScoreSql: String =
+    s"WITH $toksCte, " +
+      "t0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM tk WHERE len(toks) >= 3), " +
+      "t AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3 FROM t0), " +
+      "tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt3 FROM t GROUP BY 1, 2, 3), " +
+      "cx AS (SELECT w1, w2, CAST(sum(cnt3) AS BIGINT) AS cnt2 FROM tc GROUP BY 1, 2), " +
+      "p AS (SELECT doc_id, (1000 * cnt3) // cnt2 AS p_milli FROM t JOIN tc USING (w1, w2, w3) JOIN cx USING (w1, w2)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +
+      "CAST(sum(p_milli) // count(*) AS BIGINT) AS mean_p_milli, " +
+      "CAST(min(p_milli) AS BIGINT) AS min_p_milli FROM p GROUP BY doc_id"
+
   /** Per-source total-variation drift vs the corpus token distribution
     * (TextAnalysis.sourceDrift) — exact integer ppm on both sides.
     */
@@ -1842,6 +1860,7 @@ object OpsQueries {
     "emb_spread" -> embSpread,
     "lm_bigrams" -> lmBigrams,
     "text_lm_score" -> textLmScore,
+    "lm_trigram_score" -> lmTrigramScore,
     "source_drift" -> sourceDrift,
     "text_fingerprints" -> textFingerprints,
     "line_dedup" -> lineDedup,
@@ -1941,6 +1960,7 @@ object OpsQueries {
     "emb_spread" -> embSpreadSql,
     "lm_bigrams" -> lmBigramsSql,
     "text_lm_score" -> textLmScoreSql,
+    "lm_trigram_score" -> lmTrigramScoreSql,
     "source_drift" -> sourceDriftSql,
     "text_fingerprints" -> textFingerprintsSql,
     "line_dedup" -> lineDedupSql,

@@ -1184,6 +1184,58 @@ object Queries {
       "SELECT e.a, e.b, CAST(coalesce(sup.support, 0) AS BIGINT) AS support " +
       "FROM e LEFT JOIN sup ON sup.a = e.a AND sup.b = e.b"
 
+  /** Katz centrality (Analytics.katz) — 4 unrolled rounds of the
+    * β-damped walk count in integer micro units (β = 0.01, small enough
+    * that four rounds stay far inside BIGINT even through 10^4-indegree
+    * hubs). The oracle unrolls identical rounds as CTEs, PPR-style.
+    */
+  private val katzIterations = 4
+  private val katzBetaMilli = 10L
+
+  val kgKatz: Q = (s, dir) =>
+    Analytics.katz(triples(s, dir), katzIterations, katzBetaMilli)
+
+  val kgKatzSql: String = {
+    val base =
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr), " +
+        "nodes AS (SELECT subject AS entity FROM ed UNION SELECT obj FROM ed), " +
+        "r0 AS (SELECT entity, CAST(1000000 AS BIGINT) AS katz_micro FROM nodes)"
+    val iters = (1 to katzIterations).map { i =>
+      s"c$i AS (SELECT ed.obj AS entity, CAST(sum(r.katz_micro) AS BIGINT) AS contrib " +
+        s"FROM ed JOIN r${i - 1} r ON r.entity = ed.subject GROUP BY ed.obj), " +
+        s"r$i AS (SELECT n.entity, CAST(1000000 + ($katzBetaMilli * coalesce(c.contrib, 0)) // 1000 AS BIGINT) AS katz_micro " +
+        s"FROM nodes n LEFT JOIN c$i c ON c.entity = n.entity)"
+    }.mkString(", ", ", ", " ")
+    TokenRules.Sql.withTriples + base + iters +
+      s"SELECT entity, katz_micro FROM r$katzIterations"
+  }
+
+  /** Link-prediction holdout calibration (Analytics.lpHoldoutEval) —
+    * remove the deterministic 1/16 md5 edge sample, histogram the
+    * common neighbors each held-out edge keeps in the peeled graph;
+    * the common=0 bucket is the recoverability ceiling for every
+    * wedge-based predictor. Oracle replays the md5 draw and the capped
+    * wedge join.
+    */
+  val kgLpHoldout: Q = (s, dir) =>
+    Analytics.lpHoldoutEval(triples(s, dir), lpWedgeCap)
+
+  val kgLpHoldoutSql: String =
+    TokenRules.Sql.withTriples +
+      ", ed AS (SELECT DISTINCT subject, obj FROM tr), " +
+      "nb0 AS (SELECT subject AS v, obj AS u FROM ed WHERE subject <> obj " +
+      "UNION SELECT obj, subject FROM ed WHERE subject <> obj), " +
+      "und AS (SELECT v AS a, u AS b FROM nb0 WHERE v < u), " +
+      "held AS (SELECT a, b FROM und WHERE substr(md5(a || '|' || b), 1, 1) = '0'), " +
+      "rest AS (SELECT a, b FROM und WHERE NOT EXISTS (SELECT 1 FROM held h WHERE h.a = und.a AND h.b = und.b)), " +
+      "nb AS (SELECT a AS v, b AS u FROM rest UNION ALL SELECT b, a FROM rest), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nb GROUP BY v), " +
+      s"nbc AS (SELECT nb.v, nb.u FROM nb JOIN deg ON deg.v = nb.u WHERE deg.d <= $lpWedgeCap), " +
+      "cm AS (SELECT h.a, h.b, CAST(count(*) AS BIGINT) AS common FROM held h " +
+      "JOIN nbc x ON x.v = h.a JOIN nbc y ON y.v = h.b AND y.u = x.u GROUP BY h.a, h.b) " +
+      "SELECT CAST(coalesce(cm.common, 0) AS BIGINT) AS common, CAST(count(*) AS BIGINT) AS n_pairs " +
+      "FROM held LEFT JOIN cm ON cm.a = held.a AND cm.b = held.b GROUP BY 1"
+
   /** Resource-allocation link prediction (Analytics.resourceAllocation)
     * on the same 'd%'-predicate subgraph as kg_link_predict — RA
     * down-weights hub centers (Σ 1/deg(u) in integer micro units), the
@@ -2452,6 +2504,8 @@ object Queries {
     "kg_link_predict" -> kgLinkPredict,
     "kg_triangles" -> kgTriangles,
     "kg_edge_support" -> kgEdgeSupport,
+    "kg_katz" -> kgKatz,
+    "kg_lp_holdout" -> kgLpHoldout,
     "kg_resource_alloc" -> kgResourceAlloc,
     "kg_richclub" -> kgRichClub,
     "kg_clustering" -> kgClustering,
@@ -2561,6 +2615,8 @@ object Queries {
     "kg_link_predict" -> kgLinkPredictSql,
     "kg_triangles" -> kgTrianglesSql,
     "kg_edge_support" -> kgEdgeSupportSql,
+    "kg_katz" -> kgKatzSql,
+    "kg_lp_holdout" -> kgLpHoldoutSql,
     "kg_resource_alloc" -> kgResourceAllocSql,
     "kg_richclub" -> kgRichClubSql,
     "kg_clustering" -> kgClusteringSql,
