@@ -36,6 +36,9 @@ object GraftFunctions {
   def quantize100(v: Column): Column =
     Bridge.column(Quantize100(Bridge.expression(v)))
 
+  def signSketch(v: Column, bits: Int): Column =
+    Bridge.column(SignSketch(Bridge.expression(v), bits))
+
   /** Aggregate: keep the top `k` struct rows per group under the
     * field-by-field order given by `desc` — see
     * [[graft.functions.TopKRows]].
@@ -57,7 +60,8 @@ object GraftFunctions {
     "normsq_long" -> { args => NormSqLong(args(0)) },
     "cosine_parts_milli" -> { args => CosinePartsMilli(args(0), args(1)) },
     "minhash_sig" -> { args => MinhashSig(args(0), intLit(args(1), "minhash_sig")) },
-    "quantize100" -> { args => Quantize100(args(0)) }
+    "quantize100" -> { args => Quantize100(args(0)) },
+    "sign_sketch" -> { args => SignSketch(args(0), intLit(args(1), "sign_sketch")) }
   )
 
   private def info(name: String): ExpressionInfo =

@@ -319,3 +319,81 @@ case class Quantize100(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `sign_sketch(v, bits)`: the packed sign-bit LSH sketch — bit j set
+  * iff Σ_d v[d] · w(j, d) > 0 with the shared deterministic hyperplane
+  * weight w(j, d) = ((j·31 + d·17) % 7) − 3
+  * ([[graft.ops.Similarity.planeWeightExpr]], same rule in the DuckDB
+  * oracles). Native for the same CodegenFallback reason as the other
+  * vector primitives — the SQL form is a triple-nested higher-order
+  * fold evaluated interpreted per row. Values are identical: integer
+  * arithmetic only, and a null element poisons every plane's dot in
+  * the SQL form (`null > 0` is false), so the sketch degrades to 0 —
+  * reproduced here.
+  */
+case class SignSketch(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits > 0 && bits < 63, s"bits must be in [1, 62], got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.simpleString}"
+      )
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_sketch"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var i = 0
+    while (i < n) { if (x.isNullAt(i)) return 0L; i += 1 }
+    var acc = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0L
+      var d = 0
+      while (d < n) {
+        dot += x.getLong(d) * (((j * 31 + d * 17) % 7) - 3)
+        d += 1
+      }
+      if (dot > 0L) acc |= 1L << j
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val dot = ctx.freshName("dot")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |final int $n = $x.numElements();
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) { if ($x.isNullAt($i)) { $anyNull = true; break; } }
+         |long $acc = 0L;
+         |if (!$anyNull) {
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    long $dot = 0L;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dot += $x.getLong($d) * ((($j * 31 + $d * 17) % 7) - 3);
+         |    }
+         |    if ($dot > 0L) $acc |= 1L << $j;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

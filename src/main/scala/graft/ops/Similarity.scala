@@ -371,7 +371,7 @@ object Similarity {
 
   def buckets(embeddings: DataFrame): DataFrame =
     quantized(embeddings)
-      .select(col("vec_id"), expr(bucketExpr("v")).cast("long").as("bucket"))
+      .select(col("vec_id"), sketchCol("v", Planes).as("bucket"))
 
   /** Width of the binary similarity sketch used by [[hammingTopK]] —
     * wider than the 8-bit LSH bucket (buckets partition, sketches
@@ -384,6 +384,15 @@ object Similarity {
     * is exactly this at `Planes` bits, so the bucket ≡ sketch-low-byte
     * invariant (unit-tested) holds by construction.
     */
+  /** Native evaluation of [[sketchExpr]] (graft.functions.SignSketch —
+    * identical integer values, fused codegen loop instead of the
+    * interpreted triple-nested fold). All Spark-side sketch/bucket
+    * sites go through this; [[sketchExpr]] remains the documented
+    * shared rule the DuckDB oracles replay.
+    */
+  private[ops] def sketchCol(v: String, bits: Int): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.signSketch(col(v), bits).cast("long")
+
   def sketchExpr(v: String, bits: Int): String =
     s"aggregate(transform(sequence(0, ${bits - 1}), j -> " +
       s"CASE WHEN aggregate(zip_with($v, sequence(0, size($v) - 1), " +
@@ -408,7 +417,7 @@ object Similarity {
   def hammingTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
     val sk = graft.util.Materialize.stage(
       quantized(embeddings)
-        .select(col("vec_id"), expr(sketchExpr("v", SketchBits)).cast("long").as("sk"))
+        .select(col("vec_id"), sketchCol("v", SketchBits).as("sk"))
     )
     // same bounded-heap top-k as perQueryTopK, ordered (hamming asc,
     // n asc) — the sketch stream never crosses an exchange in full
@@ -480,7 +489,7 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
     // bucket is a per-row expression — attach it in the scan projection
     // instead of self-joining a separate buckets() frame
-    val q = quantized(embeddings).withColumn("bucket", expr(bucketExpr("v")).cast("long"))
+    val q = quantized(embeddings).withColumn("bucket", sketchCol("v", Planes))
     val queries = q.where(col("vec_id") < nQueries)
     val corpus = q.select(col("vec_id").as("n"), col("bucket"), col("v").as("nv"))
     val pairs = pairsScored(
@@ -502,7 +511,7 @@ object Similarity {
     * brute force at real bucket counts.
     */
   def lshTopKProbed(embeddings: DataFrame, nQueries: Int = 20, k: Int = 8): DataFrame = {
-    val q = quantized(embeddings).withColumn("bucket", expr(bucketExpr("v")).cast("long"))
+    val q = quantized(embeddings).withColumn("bucket", sketchCol("v", Planes))
     val queries = q
       .where(col("vec_id") < nQueries)
       .select(
@@ -835,7 +844,7 @@ object Similarity {
     * encodes the same bucket rule.
     */
   def cosineNearDupPairs(embeddings: DataFrame, thetaMilli: Int = 150): DataFrame = {
-    val q = quantized(embeddings).withColumn("bucket", expr(bucketExpr("v")).cast("long"))
+    val q = quantized(embeddings).withColumn("bucket", sketchCol("v", Planes))
     val a = q.select(col("label"), col("bucket"), col("vec_id").as("a"), col("v").as("av"))
     val b = q.select(col("label"), col("bucket"), col("vec_id").as("b"), col("v").as("bv"))
     a.join(b, Seq("label", "bucket"))

@@ -200,6 +200,33 @@ class GraftFunctionsSpec extends AnyFunSuite with GenSampling with SparkTestBase
     }
   }
 
+  test("sign_sketch matches the nested-fold SQL form") {
+    val arrGen: Gen[Seq[Option[Long]]] =
+      Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(
+          n,
+          Gen.frequency(9 -> Gen.choose(-500L, 500L).map(Some(_)), 1 -> Gen.const(None))
+        )
+      )
+    forAllSamples(Gen.listOfN(30, arrGen), n = 8) { arrays =>
+      val rows = arrays.map(Option(_)) ++ Seq(Some(Seq.empty[Option[Long]]))
+      val df = rows.toDF("v")
+      Seq(8, 48).foreach { bits =>
+        val a = df
+          .select(expr(graft.ops.Similarity.sketchExpr("v", bits)).cast("long").as("s"))
+          .collect()
+          .toSeq
+          .map(r => r.get(0))
+        val b = df
+          .select(GraftFunctions.signSketch(col("v"), bits).cast("long").as("s"))
+          .collect()
+          .toSeq
+          .map(r => r.get(0))
+        assert(a == b, s"bits=$bits")
+      }
+    }
+  }
+
   test("SQL names register and resolve") {
     GraftFunctions.register(spark)
     val r = spark
