@@ -14,6 +14,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.installOptimizations(spark)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 3).foreach { i =>

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.installOptimizations(spark)
     new java.io.File(outDir).mkdirs()
     // snapshot-backed mode: when SPARK_GRAFT_DERIVED_ROOT is set, commit
     // the derived triple/entity tables once and let every kg_* query

@@ -75,13 +75,25 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info(name), builder)
     }
+
+  /** Idempotently install the optimizer rewrites
+    * ([[graft.plans.TopKRewrite]]) on an existing session via
+    * `experimental.extraOptimizations` — the runtime path the engine's
+    * own mains (Verify / Bench / Profile) and test harness use; the
+    * `spark.sql.extensions` route injects the same rule at build time.
+    */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.TopKRewrite))
+      spark.experimental.extraOptimizations = cur :+ graft.plans.TopKRewrite
+  }
 }
 
 /** `spark.sql.extensions` entry point:
   * `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (
@@ -91,4 +103,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         )
       )
     }
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
 }
