@@ -2258,6 +2258,126 @@ object Queries {
       "SELECT c_custkey, o_orderkey, total_qty FROM big " +
       "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey"
 
+  /** TPC-H Q4 shape (order-priority checking): orders in one quarter
+    * counted per priority when at least one lineitem came back
+    * returned (the corpus carries no commit/receipt dates, so the
+    * reference predicate becomes the return flag — same EXISTS
+    * semi-join shape). At scale: both filters push to their scans, the
+    * EXISTS runs as a left-semi hash join on orderkey, one
+    * priority-keyed partial aggregate.
+    */
+  val q4Priority: Q = (s, dir) => {
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .where(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp")
+      )
+    val ret = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    ord
+      .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4PrioritySql: String =
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' " +
+      "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+      "GROUP BY 1"
+
+  /** TPC-H Q6 shape (forecasting revenue change): one filtered scan of
+    * lineitem folded to a single row — the pure scan-throughput probe
+    * (predicate pushdown + partial agg; zero joins). Revenue in
+    * cents×bp integer units like every money expression here.
+    */
+  val q6Forecast: Q = (s, dir) =>
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .where(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_quantity") < 24.0
+      )
+      .agg(
+        sum(
+          expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+          )
+        ).as("revenue_i"),
+        count(lit(1)).as("n_items")
+      )
+
+  val q6ForecastSql: String =
+    "SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+      "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_i, " +
+      "CAST(count(*) AS BIGINT) AS n_items FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+      "AND l_quantity < 24"
+
+  /** TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    * lost revenue from returned items in one quarter, with their
+    * nation. The dimension chain customer→nation broadcasts; lineitem
+    * shuffles once on orderkey; the top-20 is a global sort of an
+    * already customer-sized aggregate.
+    */
+  val q10Returns: Q = (s, dir) => {
+    val ord = s.read.parquet(s"$dir/orders.parquet")
+      .where(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp")
+      )
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_returnflag") === "R")
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val nat = s.read.parquet(s"$dir/nation.parquet")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(expr(revExpr)).as("revenue_i"))
+      .orderBy(desc("revenue_i"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    s"SELECT c_custkey, c_name, n_name, CAST(sum($revExpr) AS BIGINT) AS revenue_i " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+      "GROUP BY 1, 2, 3 ORDER BY revenue_i DESC, c_custkey LIMIT 20"
+
+  /** TPC-H Q14 shape (promotion effect): promo revenue share of one
+    * ship-month in integer permille. Part is the broadcast side; the
+    * conditional aggregate folds in the same pass as the join.
+    */
+  val q14Promo: Q = (s, dir) => {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(
+        col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp")
+      )
+    val part = s.read.parquet(s"$dir/part.parquet")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", expr(revExpr)).otherwise(0L)).as("promo_i"),
+        sum(expr(revExpr)).as("total_i")
+      )
+      .select(
+        col("promo_i"),
+        col("total_i"),
+        expr("(1000 * promo_i) div greatest(total_i, 1L)").as("promo_permille")
+      )
+  }
+
+  val q14PromoSql: String =
+    s"WITH x AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revExpr ELSE 0 END) AS BIGINT) AS promo_i, " +
+      s"CAST(sum($revExpr) AS BIGINT) AS total_i " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01') " +
+      "SELECT promo_i, total_i, CAST((1000 * promo_i) // greatest(total_i, 1) AS BIGINT) AS promo_permille FROM x"
+
   /** Synchronous label-propagation communities
     * (Analytics.labelPropagation, 4 fixed rounds). The oracle unrolls
     * the identical rounds: per round, neighbor-label counts then argmax
@@ -2563,7 +2683,11 @@ object Queries {
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
     "q5_local_supplier" -> q5LocalSupplier,
-    "q18_large_orders" -> q18LargeOrders
+    "q18_large_orders" -> q18LargeOrders,
+    "q4_priority" -> q4Priority,
+    "q6_forecast" -> q6Forecast,
+    "q10_returns" -> q10Returns,
+    "q14_promo" -> q14Promo
   ) ++ OpsQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -2674,6 +2798,10 @@ object Queries {
     "q1_agg" -> q1AggSql,
     "q3_shipping" -> q3ShippingSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
-    "q18_large_orders" -> q18LargeOrdersSql
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "q4_priority" -> q4PrioritySql,
+    "q6_forecast" -> q6ForecastSql,
+    "q10_returns" -> q10ReturnsSql,
+    "q14_promo" -> q14PromoSql
   ) ++ OpsQueries.oracles
 }
