@@ -1777,6 +1777,29 @@ object Queries {
       "SELECT dev.event_type, dev.day, dev.n_events, dev.med, md.mad, dev.deviation " +
       "FROM dev JOIN md USING (event_type) WHERE dev.deviation >= 3 * greatest(md.mad, 1)"
 
+  /** Seasonal-naive forecast eval (EventsStream.seasonalNaiveForecast)
+    * — floor-mean of the 7/14/21-day look-backs vs the actual daily
+    * count, absolute error per (type, day). The oracle replays the
+    * same three self-joins and the same 21-day eligibility floor.
+    */
+  val eventsForecast: Q = (s, dir) =>
+    graft.streaming.EventsStream.seasonalNaiveForecast(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsForecastSql: String =
+    "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events " +
+      "FROM events GROUP BY 1, 2), " +
+      "f0 AS (SELECT event_type, min(day) AS d0 FROM d GROUP BY 1), " +
+      "x AS (SELECT d.event_type, d.day, d.n_events, b1.n_events AS c1, b2.n_events AS c2, b3.n_events AS c3 " +
+      "FROM d JOIN f0 USING (event_type) " +
+      "LEFT JOIN d b1 ON b1.event_type = d.event_type AND b1.day = d.day - 7 " +
+      "LEFT JOIN d b2 ON b2.event_type = d.event_type AND b2.day = d.day - 14 " +
+      "LEFT JOIN d b3 ON b3.event_type = d.event_type AND b3.day = d.day - 21 " +
+      "WHERE d.day >= f0.d0 + 21) " +
+      "SELECT event_type, day, n_events AS actual, " +
+      "CAST((coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0)) // 3 AS BIGINT) AS forecast, " +
+      "CAST(abs(n_events - (coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0)) // 3) AS BIGINT) AS abs_err " +
+      "FROM x"
+
   /** Day-of-week seasonality (EventsStream.seasonality) — per-type
     * traffic profile in integer permille; dow 0 = Sunday in both
     * engines (Spark's dayofweek shifted down one).
@@ -2677,6 +2700,7 @@ object Queries {
     "events_rolling" -> eventsRolling,
     "events_anomaly" -> eventsAnomaly,
     "events_seasonality" -> eventsSeasonality,
+    "events_forecast" -> eventsForecast,
     "events_hourly" -> eventsHourly,
     "events_interarrival" -> eventsInterarrival,
     "events_debounce" -> eventsDebounce,
@@ -2792,6 +2816,7 @@ object Queries {
     "events_rolling" -> eventsRollingSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_seasonality" -> eventsSeasonalitySql,
+    "events_forecast" -> eventsForecastSql,
     "events_hourly" -> eventsHourlySql,
     "events_interarrival" -> eventsInterarrivalSql,
     "events_debounce" -> eventsDebounceSql,

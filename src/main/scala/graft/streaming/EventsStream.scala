@@ -173,6 +173,49 @@ object EventsStream {
     * (type, dow) counts; the totals and the ratio run over the bounded
     * (types × 7) table.
     */
+  /** Seasonal-naive forecast evaluation: for every (event_type, day)
+    * with at least three same-weekday predecessors in the data, the
+    * forecast is the floor-mean of the counts 7, 14 and 21 days back
+    * (0 when that weekday was silent), scored against the actual count
+    * by absolute error. This is the monitoring baseline every anomaly
+    * pager needs calibrated before ML forecasting earns its keep — and
+    * the per-type MAE trend is itself the drift signal. Output:
+    * (event_type, day, actual, forecast, abs_err).
+    *
+    * Shape at scale: daily counts are one partial-aggregated exchange
+    * (types × days rows — tiny); the three look-backs are equi-joins
+    * of that small frame against itself on (type, day−7k) — broadcast
+    * territory at any realistic type vocabulary. The eligibility rule
+    * (day ≥ min day + 21 per type) keeps the scored window fully
+    * covered so absent joins mean "weekday was silent", not "before
+    * history began".
+    */
+  def seasonalNaiveForecast(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val firstDay = daily.groupBy("event_type").agg(min("day").as("d0"))
+    def back(k: Int): DataFrame =
+      daily.select(
+        col("event_type"),
+        date_add(col("day"), 7 * k).as("day"),
+        col("n_events").as(s"c$k")
+      )
+    daily
+      .join(firstDay, "event_type")
+      .where(col("day") >= date_add(col("d0"), 21))
+      .join(back(1), Seq("event_type", "day"), "left")
+      .join(back(2), Seq("event_type", "day"), "left")
+      .join(back(3), Seq("event_type", "day"), "left")
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n_events").as("actual"),
+        expr("(coalesce(c1, 0L) + coalesce(c2, 0L) + coalesce(c3, 0L)) div 3").as("forecast")
+      )
+      .withColumn("abs_err", abs(col("actual") - col("forecast")))
+  }
+
   def seasonality(events: DataFrame): DataFrame = {
     val d = events
       .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
