@@ -383,11 +383,23 @@ object Bench {
     */
   private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
     private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val peak = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+      }
     }
     def snapshot(): Long = bytes.get()
+
+    /** Max single-task peak execution memory seen since the last reset —
+      * the "would one task of this query OOM an executor" column next to
+      * shuffle volume (execution memory = joins/aggs/sorts; excludes
+      * storage). Max, not sum: tasks run concurrently and per-task peak
+      * is what a fixed-size executor slot must absorb.
+      */
+    def peakSnapshotAndReset(): Long = peak.getAndSet(0L)
   }
 
   def main(args: Array[String]): Unit = {
@@ -422,6 +434,7 @@ object Bench {
     spark32.sparkContext.addSparkListener(tally)
     var failed = List.empty[String]
     val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val peakTaskMem = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val queryList =
       if (skipQueries) Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
       else SparkEntry.queries.toSeq.sortBy(_._1)
@@ -437,6 +450,7 @@ object Bench {
       val t = timeOnce(name, fn).orElse(timeOnce(name, fn)).getOrElse { failed ::= name; -1.0 }
       Thread.sleep(30) // listener-bus drain — outside the timed window
       shuffleBytes(name) = tally.snapshot() - s0
+      peakTaskMem(name) = tally.peakSnapshotAndReset()
       name -> t
     }
     // best-of-2 where it matters: absolute noise scales with query cost,
@@ -476,11 +490,14 @@ object Bench {
     val shufJson = shuffleBytes
       .map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+    val peakJson = peakTaskMem
+      .map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val failedJson = failed.reverse.map(n => s""""$n"""").mkString("[", ",", "]")
     var snapJson = "null"
     def emit(kggenJson: String): Unit = {
       val line =
-        s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$shufJson,"failed":$failedJson,"queries_snapshot_backed":$snapJson,"sf":"$sfDir","kggen":$kggenJson}"""
+        s"""{"metric":"total_query_sec","value":${fmt(total)},"unit":"sec","queries":$qs,"shuffle_bytes":$shufJson,"peak_task_mem":$peakJson,"failed":$failedJson,"queries_snapshot_backed":$snapJson,"sf":"$sfDir","kggen":$kggenJson}"""
       println(line)
       persistPhase(line)
     }
