@@ -39,6 +39,9 @@ object GraftFunctions {
   def signSketch(v: Column, bits: Int): Column =
     Bridge.column(SignSketch(Bridge.expression(v), bits))
 
+  def winnowFingerprints(text: Column, gramLen: Int, hexLen: Int, window: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), gramLen, hexLen, window))
+
   /** Aggregate: keep the top `k` struct rows per group under the
     * field-by-field order given by `desc` — see
     * [[graft.functions.TopKRows]].
@@ -61,7 +64,15 @@ object GraftFunctions {
     "cosine_parts_milli" -> { args => CosinePartsMilli(args(0), args(1)) },
     "minhash_sig" -> { args => MinhashSig(args(0), intLit(args(1), "minhash_sig")) },
     "quantize100" -> { args => Quantize100(args(0)) },
-    "sign_sketch" -> { args => SignSketch(args(0), intLit(args(1), "sign_sketch")) }
+    "sign_sketch" -> { args => SignSketch(args(0), intLit(args(1), "sign_sketch")) },
+    "winnow_fingerprints" -> { args =>
+      WinnowFingerprints(
+        args(0),
+        intLit(args(1), "winnow_fingerprints"),
+        intLit(args(2), "winnow_fingerprints"),
+        intLit(args(3), "winnow_fingerprints")
+      )
+    }
   )
 
   private def info(name: String): ExpressionInfo =

@@ -810,20 +810,14 @@ object TextAnalysis {
       .where(length(col("text")) >= GramLen + WinnowWindow - 1)
       .select(
         col("doc_id"),
-        expr(
-          s"transform(sequence(1, length(text) - ${GramLen - 1}), " +
-            s"i -> substr(md5(CAST(substr(text, i, $GramLen) AS BINARY)), 1, $HashHexLen))"
-        ).as("hs")
-      )
-      .select(
-        col("doc_id"),
+        // native one-pass winnowing (graft.functions.WinnowFingerprints):
+        // byte-identical to the two-transform SQL rule the oracle
+        // replays — per-gram md5-hex prefix, window minimum, distinct —
+        // with a monotonic-deque O(n) sliding min and no intermediate
+        // gram/slice arrays
         explode(
-          array_distinct(
-            expr(
-              s"transform(sequence($WinnowWindow, size(hs)), " +
-                s"p -> array_min(slice(hs, p - ${WinnowWindow - 1}, $WinnowWindow)))"
-            )
-          )
+          graft.functions.GraftFunctions
+            .winnowFingerprints(col("text"), GramLen, HashHexLen, WinnowWindow)
         ).as("fp")
       )
   // no trailing distinct: doc_id is the documents table's key (one row

@@ -227,6 +227,48 @@ class GraftFunctionsSpec extends AnyFunSuite with GenSampling with SparkTestBase
     }
   }
 
+  test("winnow_fingerprints matches the two-transform SQL form") {
+    val textGen: Gen[String] = Gen.frequency(
+      5 -> Gen.listOfN(40, Gen.frequency(8 -> Gen.choose('a', 'e'), 2 -> Gen.const(' '))).map(_.mkString),
+      3 -> Gen.listOfN(15, Gen.choose('a', 'z')).map(_.mkString),
+      1 -> Gen.const("ababababababababab"), // periodic: equal-prefix dedup path
+      1 -> Gen.const("héllo wörld — 東京 tökens répeat héllo wörld") // multi-byte offsets
+    )
+    forAllSamples(Gen.listOfN(25, textGen), n = 8) { texts =>
+      val df = (texts ++ Seq("", "short", "exactly11ch")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .where(length(col("text")) >= 8 + 4 - 1)
+      val sqlForm = df
+        .select(
+          col("doc_id"),
+          expr(
+            "transform(sequence(1, length(text) - 7), i -> substr(md5(CAST(substr(text, i, 8) AS BINARY)), 1, 8))"
+          ).as("hs")
+        )
+        .select(
+          col("doc_id"),
+          explode(
+            array_distinct(
+              expr("transform(sequence(4, size(hs)), p -> array_min(slice(hs, p - 3, 4)))")
+            )
+          ).as("fp")
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSet
+      val native = df
+        .select(
+          col("doc_id"),
+          explode(GraftFunctions.winnowFingerprints(col("text"), 8, 8, 4)).as("fp")
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSet
+      assert(native == sqlForm)
+    }
+  }
+
   test("SQL names register and resolve") {
     GraftFunctions.register(spark)
     val r = spark
