@@ -328,7 +328,7 @@ object CandidatePairs {
         .join(base.select(col("entity").as("a"), col("sh").as("sha"), col("norm").as("na")), "a")
         .join(base.select(col("entity").as("b"), col("sh").as("shb"), col("norm").as("nb")), "b")
         .where(col("na") =!= col("nb"))
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("inter", graft.functions.GraftFunctions.distinctIntersectSize(col("sha"), col("shb")).cast("int"))
         .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
         .where(lit(4) * col("inter") >= lit(3) * col("uni"))
         .select("a", "b")

@@ -42,6 +42,9 @@ object GraftFunctions {
   def winnowFingerprints(text: Column, gramLen: Int, hexLen: Int, window: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), gramLen, hexLen, window))
 
+  def distinctIntersectSize(a: Column, b: Column): Column =
+    Bridge.column(DistinctIntersectSize(Bridge.expression(a), Bridge.expression(b)))
+
   /** Aggregate: keep the top `k` struct rows per group under the
     * field-by-field order given by `desc` — see
     * [[graft.functions.TopKRows]].
@@ -65,6 +68,7 @@ object GraftFunctions {
     "minhash_sig" -> { args => MinhashSig(args(0), intLit(args(1), "minhash_sig")) },
     "quantize100" -> { args => Quantize100(args(0)) },
     "sign_sketch" -> { args => SignSketch(args(0), intLit(args(1), "sign_sketch")) },
+    "distinct_intersect_size" -> { args => DistinctIntersectSize(args(0), args(1)) },
     "winnow_fingerprints" -> { args =>
       WinnowFingerprints(
         args(0),

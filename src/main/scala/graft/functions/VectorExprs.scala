@@ -397,3 +397,73 @@ case class SignSketch(child: Expression, bits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `distinct_intersect_size(a, b)`: |a ∩ b| for two arrays whose
+  * elements are already DISTINCT within each array — the verification
+  * kernel of every Jaccard/containment dedup check. Equal to
+  * `size(array_intersect(a, b))` under that precondition (each side's
+  * callers build their arrays with `array_distinct`; union size then
+  * derives as `size(a) + size(b) - inter`, so neither the intersection
+  * nor the union array is ever materialized). Null elements match each
+  * other, as in `array_intersect`. Why native: the built-in builds an
+  * OpenHashSet AND the output array per pair; candidate verification
+  * runs this over every PPJoin/LSH candidate pair, where only the
+  * COUNT is consumed. Element equality is Java value equality
+  * (UTF8String/boxed integrals — the callers' types); float arrays
+  * would diverge from SQL equality on signed zero, so keep it off
+  * float sets.
+  */
+case class DistinctIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(le, _), ArrayType(re, _)) if le == re => TypeCheckResult.TypeCheckSuccess
+    case (l, r) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two arrays of the same element type, got (${l.simpleString}, ${r.simpleString})"
+      )
+  }
+  private lazy val elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "distinct_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    // probe with the smaller side's hash set
+    val (small, large) = if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+    val set = new java.util.HashSet[Any](math.max(8, small.numElements() * 2))
+    var hasNullSmall = false
+    var i = 0
+    val ns = small.numElements()
+    while (i < ns) {
+      if (small.isNullAt(i)) hasNullSmall = true
+      else set.add(small.get(i, elemType))
+      i += 1
+    }
+    var cnt = 0L
+    var nullCounted = false
+    var j = 0
+    val nl = large.numElements()
+    while (j < nl) {
+      if (large.isNullAt(j)) {
+        if (hasNullSmall && !nullCounted) { cnt += 1; nullCounted = true }
+      } else if (set.contains(large.get(j, elemType))) cnt += 1
+      j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the loop lives in the compiled helper; one static call keeps the
+    // surrounding projection in whole-stage codegen
+    val ref = ctx.addReferenceObj("disExpr", this, classOf[DistinctIntersectSize].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($x, $y)).longValue();")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

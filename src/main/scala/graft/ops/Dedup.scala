@@ -110,9 +110,15 @@ object Dedup {
       .select(
         col("a"),
         col("b"),
-        size(array_intersect(col("atoks"), col("btoks"))).cast("long").as("inter"),
-        size(array_union(col("atoks"), col("btoks"))).cast("long").as("uni")
+        // native count (graft.functions): same value as
+        // size(array_intersect(...)) on these distinct sets; union size
+        // derives from the sizes, so neither array is materialized
+        graft.functions.GraftFunctions
+          .distinctIntersectSize(col("atoks"), col("btoks"))
+          .as("inter"),
+        (size(col("atoks")) + size(col("btoks"))).cast("long").as("sz")
       )
+      .select(col("a"), col("b"), col("inter"), (col("sz") - col("inter")).as("uni"))
       .where(lit(100) * col("inter") >= lit(thetaPct) * col("uni"))
     t
   }
@@ -248,7 +254,7 @@ object Dedup {
       .select(
         col("a"),
         col("b"),
-        size(array_intersect(col("ag"), col("bg"))).cast("long").as("inter"),
+        graft.functions.GraftFunctions.distinctIntersectSize(col("ag"), col("bg")).as("inter"),
         least(size(col("ag")), size(col("bg"))).cast("long").as("min_grams")
       )
       .where(lit(100) * col("inter") >= lit(thetaPct) * col("min_grams"))
@@ -478,7 +484,7 @@ object Dedup {
       .join(idx.select(col("doc_id").as("base_id"), col("bandKey")), "bandKey")
       .select("delta_id", "base_id")
       .distinct()
-    val inter = size(array_intersect(col("dtoks"), col("btoks")))
+    val inter = graft.functions.GraftFunctions.distinctIntersectSize(col("dtoks"), col("btoks"))
     val uni = size(col("dtoks")) + size(col("btoks")) - inter
     val ver = cand
       .join(dt.select(col("doc_id").as("delta_id"), col("toks").as("dtoks")), "delta_id")
@@ -552,9 +558,12 @@ object Dedup {
       .select(
         col("a"),
         col("b"),
-        size(array_intersect(col("atoks"), col("btoks"))).cast("long").as("inter"),
-        size(array_union(col("atoks"), col("btoks"))).cast("long").as("uni")
+        graft.functions.GraftFunctions
+          .distinctIntersectSize(col("atoks"), col("btoks"))
+          .as("inter"),
+        (size(col("atoks")) + size(col("btoks"))).cast("long").as("sz")
       )
+      .select(col("a"), col("b"), col("inter"), (col("sz") - col("inter")).as("uni"))
       .where(lit(100) * col("inter") >= lit(thetaPct) * col("uni"))
   }
 

@@ -269,6 +269,31 @@ class GraftFunctionsSpec extends AnyFunSuite with GenSampling with SparkTestBase
     }
   }
 
+  test("distinct_intersect_size matches size(array_intersect) on distinct arrays") {
+    val arrGen: Gen[Seq[String]] =
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "über", "東京")))
+        .map(_.distinct)
+    forAllSamples(Gen.listOfN(30, Gen.zip(arrGen, arrGen)), n = 8) { pairs =>
+      val df = pairs.map { case (a, b) => (Option(a), Option(b)) }
+        .++(Seq((None, Some(Seq("a"))), (Some(Seq.empty[String]), Some(Seq.empty[String]))))
+        .toDF("a", "b")
+      val sqlForm = df
+        .select(expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("i"))
+        .collect()
+        .map(r => Option(r.get(0)).map { case l: Long => l; case i: Int => i.toLong })
+        .toSeq
+      val native = df
+        .select(GraftFunctions.distinctIntersectSize(col("a"), col("b")).as("i"))
+        .collect()
+        .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .toSeq
+      // SQL size() of a null array is -1 under legacy or null under
+      // default — with non-null arrays both agree; the null-input row
+      // must be null on the native side
+      assert(native.zip(sqlForm).forall { case (n, s) => n == s || (n.isEmpty && s.exists(_ < 0)) })
+    }
+  }
+
   test("SQL names register and resolve") {
     GraftFunctions.register(spark)
     val r = spark
