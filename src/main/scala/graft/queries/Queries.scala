@@ -1657,6 +1657,32 @@ object Queries {
   private val msgRoleCase =
     "CASE WHEN doc_id % 7 = 3 THEN 'system' WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END"
 
+  /** Context-window packing manifest (Conversations.packWindows) over
+    * the same synthesized messages table — concat-and-cut at 160
+    * rendered chars; the oracle replays the running-sum window and the
+    * same integer window-id rule.
+    */
+  val convPack: Q = (s, dir) => {
+    val msgs = docs(s, dir).select(
+      (col("doc_id") % 50).as("conversation_id"),
+      col("doc_id").as("seq"),
+      expr(msgRoleCase).as("role"),
+      substring(col("text"), 1, 40).as("content")
+    )
+    graft.sources.Conversations.packWindows(msgs, capChars = 160)
+  }
+
+  val convPackSql: String =
+    s"WITH msgs AS (SELECT doc_id % 50 AS conversation_id, doc_id AS seq, $msgRoleCase AS role, " +
+      "substr(text, 1, 40) AS content FROM documents), " +
+      "k AS (SELECT conversation_id, seq, CAST(length(role) + length(content) + 3 AS BIGINT) AS len " +
+      "FROM msgs WHERE role IN ('user', 'assistant')), " +
+      "c AS (SELECT conversation_id, seq, len, CAST(coalesce(sum(len) OVER (PARTITION BY conversation_id " +
+      "ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM k) " +
+      "SELECT conversation_id, CAST(cum_before // 160 AS BIGINT) AS win, CAST(count(*) AS BIGINT) AS n_turns, " +
+      "CAST(sum(len) AS BIGINT) AS n_chars, CAST(min(seq) AS BIGINT) AS first_seq, CAST(max(seq) AS BIGINT) AS last_seq " +
+      "FROM c GROUP BY 1, 2"
+
   val convFlatten: Q = (s, dir) => {
     val msgs = docs(s, dir).select(
       (col("doc_id") % 50).as("conversation_id"),
@@ -2689,6 +2715,7 @@ object Queries {
     "events_latency_hist" -> eventsLatencyHist,
     "conv_flatten" -> convFlatten,
     "conv_stats" -> convStats,
+    "conv_pack" -> convPack,
     "events_window" -> eventsWindow,
     "events_user_stats" -> eventsUserStats,
     "events_props" -> eventsProps,
@@ -2805,6 +2832,7 @@ object Queries {
     "events_latency_hist" -> eventsLatencyHistSql,
     "conv_flatten" -> convFlattenSql,
     "conv_stats" -> convStatsSql,
+    "conv_pack" -> convPackSql,
     "events_window" -> eventsWindowSql,
     "events_user_stats" -> eventsUserStatsSql,
     "events_props" -> eventsPropsSql,

@@ -42,6 +42,44 @@ object Conversations {
         ).as("flattened")
       )
 
+  /** Context-window packing of a conversation's kept turns — the
+    * concat-and-cut rule ([[graft.ops.Sampling.seqPack]]'s doctrine
+    * applied to dialogue): turns are laid out in seq order and cut into
+    * windows of at most `capChars` rendered characters (a turn whose
+    * cumulative start crosses a cap boundary opens the next window; a
+    * single turn longer than the cap occupies its own window — turns
+    * are never split, the SFT convention). Output one row per packed
+    * window: (conversation_id, win, n_turns, n_chars, first_seq,
+    * last_seq) — the packing manifest an SFT batcher materializes
+    * before tokenization, and n_chars/cap is the padding-waste signal.
+    *
+    * Shuffle shape: ONE exchange — the per-conversation running-sum
+    * window and the (conversation_id, win) aggregate share the hash
+    * partitioning; window ids derive from the cumulative length BEFORE
+    * each turn (`cum_before div cap`), a deterministic pure function of
+    * the ordered turn lengths.
+    */
+  def packWindows(messages: DataFrame, capChars: Int = 160): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conversation_id")
+      .orderBy("seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    messages
+      .where(col("role").isin(KeptRoles: _*))
+      // rendered length = "role: content\n" (the flatten() line + its
+      // joining newline), so the cap is over exactly what ships
+      .withColumn("len", (length(col("role")) + length(col("content")) + lit(3L)).cast("long"))
+      .withColumn("cum_before", coalesce(sum("len").over(w), lit(0L)))
+      .withColumn("win", expr(s"cum_before div $capChars"))
+      .groupBy("conversation_id", "win")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum("len").as("n_chars"),
+        min("seq").as("first_seq"),
+        max("seq").as("last_seq")
+      )
+  }
+
   /** Per-conversation turn-structure stats — the filter signals an
     * SFT-data pipeline reads before a conversation enters training:
     * kept-message count, per-role counts, total content length, and
