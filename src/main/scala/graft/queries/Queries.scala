@@ -1803,6 +1803,24 @@ object Queries {
       "SELECT dev.event_type, dev.day, dev.n_events, dev.med, md.mad, dev.deviation " +
       "FROM dev JOIN md USING (event_type) WHERE dev.deviation >= 3 * greatest(md.mad, 1)"
 
+  /** Exact per-type value percentiles (EventsStream.valueQuantiles) —
+    * milli-quantized histogram-cumulative percentiles, never a raw-row
+    * sort; the oracle replays the identical ceil-rank rule.
+    */
+  val eventsValueQuantiles: Q = (s, dir) =>
+    graft.streaming.EventsStream.valueQuantiles(s.read.parquet(s"$dir/events.parquet"))
+
+  val eventsValueQuantilesSql: String =
+    "WITH vm AS (SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM events), " +
+      "h AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c FROM vm GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1), " +
+      "cu AS (SELECT h.event_type, h.vm, CAST(sum(c) OVER (PARTITION BY h.event_type ORDER BY h.vm) AS BIGINT) AS cum, t.n " +
+      "FROM h JOIN t USING (event_type)) " +
+      "SELECT event_type, CAST(min(CASE WHEN 100 * cum >= 50 * n THEN vm END) AS BIGINT) AS p50_milli, " +
+      "CAST(min(CASE WHEN 100 * cum >= 90 * n THEN vm END) AS BIGINT) AS p90_milli, " +
+      "CAST(min(CASE WHEN 100 * cum >= 99 * n THEN vm END) AS BIGINT) AS p99_milli " +
+      "FROM cu GROUP BY 1"
+
   /** Seasonal-naive forecast eval (EventsStream.seasonalNaiveForecast)
     * — floor-mean of the 7/14/21-day look-backs vs the actual daily
     * count, absolute error per (type, day). The oracle replays the
@@ -2728,6 +2746,7 @@ object Queries {
     "events_anomaly" -> eventsAnomaly,
     "events_seasonality" -> eventsSeasonality,
     "events_forecast" -> eventsForecast,
+    "events_value_quantiles" -> eventsValueQuantiles,
     "events_hourly" -> eventsHourly,
     "events_interarrival" -> eventsInterarrival,
     "events_debounce" -> eventsDebounce,
@@ -2845,6 +2864,7 @@ object Queries {
     "events_anomaly" -> eventsAnomalySql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_forecast" -> eventsForecastSql,
+    "events_value_quantiles" -> eventsValueQuantilesSql,
     "events_hourly" -> eventsHourlySql,
     "events_interarrival" -> eventsInterarrivalSql,
     "events_debounce" -> eventsDebounceSql,

@@ -216,6 +216,36 @@ object EventsStream {
       .withColumn("abs_err", abs(col("actual") - col("forecast")))
   }
 
+  /** Exact per-type value percentiles in integer milli units — the
+    * histogram-cumulative formulation (lengthQuantiles' doctrine per
+    * key): values quantize to floor(value·1000 + 0.5), one
+    * partial-aggregated (type, value) histogram, a per-type cumulative
+    * over the DISTINCT value spectrum, and the ceil-rank percentile
+    * rule (smallest value whose cumulative count covers ⌈q·n/100⌉).
+    * Output: (event_type, p50_milli, p90_milli, p99_milli). Unlike
+    * percentile_approx this is exact AND never sorts raw rows — the
+    * cumulative window runs over the value spectrum, which is bounded
+    * by value cardinality, not event volume.
+    */
+  def valueQuantiles(events: DataFrame): DataFrame = {
+    val vm = events.select(
+      col("event_type"),
+      expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm")
+    )
+    val hist = vm.groupBy("event_type", "vm").agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(Window.partitionBy("event_type").orderBy("vm")))
+      .join(tot, "event_type")
+    cum
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") * 100 >= col("n") * 50, col("vm"))).as("p50_milli"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("vm"))).as("p90_milli"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("vm"))).as("p99_milli")
+      )
+  }
+
   def seasonality(events: DataFrame): DataFrame = {
     val d = events
       .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
